@@ -1,0 +1,299 @@
+"""Density-clustering mode driver.
+
+Mirrors the reference driver ``Clustering::Density::main``
+(src/density_clustering.cpp:559-825) and its screening stage
+(CUDA semantics, src/density_clustering_cuda.cu:396-594): same flags, same
+artifact files, same restart/reuse behavior -- with the O(N^2) compute
+running on TPU via :mod:`clustering_tpu.ops`.
+"""
+
+import sys
+
+import numpy as np
+
+from ..utils import io
+from ..utils.logger import logger
+from .. import ops
+
+
+def _die(msg):
+    print(msg, file=sys.stderr)
+    sys.exit(1)
+
+
+def has_2_digits(val) -> bool:
+    """float-precision two-decimal check (reference: density_clustering.cpp:500-504)."""
+    f = np.float32(val)
+    truncated = np.float32(int(np.float32(f * np.float32(100.0))) / 100.0)
+    return bool(truncated == f)
+
+
+def sorted_fe_order(free_energy) -> np.ndarray:
+    """FE-ascending frame order; stable on ties
+    (reference: density_clustering.cpp:214-228)."""
+    return np.argsort(np.asarray(free_energy), kind="stable")
+
+
+def assign_low_density_frames(clustering, nhhd_idx, free_energy):
+    """Assign unclustered frames to their nearest higher-density neighbor's
+    cluster, processing in FE-ascending order
+    (reference: density_clustering.cpp:345-360).
+
+    Implemented as pointer-jumping along the higher-density-neighbor chain
+    (acyclic: fe strictly decreases along it), which reproduces the
+    sequential scan's result in O(log N) gather rounds.
+    """
+    c = np.asarray(clustering, dtype=np.int64).copy()
+    nhhd = np.asarray(nhhd_idx, dtype=np.int64)
+    n = len(c)
+    ptr = np.where(c > 0, np.arange(n, dtype=np.int64), nhhd)
+    while True:
+        nxt = ptr[ptr]
+        if np.array_equal(nxt, ptr):
+            break
+        ptr = nxt
+    resolved = c[ptr]
+    return np.where(c > 0, c, resolved)
+
+
+def sorted_cluster_names(clustering):
+    """Rename states by decreasing population: most populated -> 1
+    (reference: density_clustering.cpp:458-493). Population ties break
+    toward the smaller original id getting the larger new name (the
+    reference leaves tie order unspecified)."""
+    c = np.asarray(clustering, dtype=np.int64)
+    vals, counts = np.unique(c, return_counts=True)
+    order = np.argsort(counts, kind="stable")  # ascending population
+    new_name = np.empty_like(vals)
+    k = len(vals)
+    for rank, idx in enumerate(order):
+        new_name[idx] = k - rank
+    lookup = dict(zip(vals.tolist(), new_name.tolist()))
+    return np.asarray([lookup[s] for s in c.tolist()], dtype=np.int64)
+
+
+def normalized_cluster_names(n_below, clustering, order):
+    """Rename cluster labels to 1..K by ascending raw label over the
+    below-threshold frames; 0 stays 0
+    (reference: density_clustering.cpp:437-456)."""
+    c = np.asarray(clustering, dtype=np.int64)
+    prefix_names = np.unique(c[order[:n_below]])
+    prefix_names = prefix_names[prefix_names != 0]
+    lookup = np.zeros(int(c.max()) + 1 if len(c) else 1, dtype=np.int64)
+    for new, old in enumerate(prefix_names, start=1):
+        lookup[old] = new
+    return lookup[c]
+
+
+def screening_step(free_energy, nh_dist, threshold, coords, prev_clustering,
+                   order=None, coords_sorted=None):
+    """One screening threshold: returns the normalized clustered trajectory.
+
+    Reference: CUDA screening driver src/density_clustering_cuda.cu:396-594.
+
+    ``order`` / ``coords_sorted`` may be passed to re-use the FE sort across
+    thresholds of a screening series.
+    """
+    fe = np.asarray(free_energy, dtype=np.float32)
+    n = len(fe)
+    if order is None:
+        order = sorted_fe_order(fe)
+    if coords_sorted is None:
+        coords_sorted = np.asarray(coords, dtype=np.float32)[order]
+    # number of frames with fe <= threshold (std::upper_bound semantics,
+    # reference: density_clustering.cpp:402-410)
+    fe_sorted = fe[order]
+    n_below = int(np.searchsorted(fe_sorted, np.float32(threshold),
+                                  side="right"))
+    sigma2 = ops.neighbors.compute_sigma2(nh_dist)
+    max_dist2 = np.float32(4.0 * sigma2)
+    logger("    %6s %9i" % ("%.2f" % threshold, n_below))
+    prev = (np.zeros(n, dtype=np.int64) if prev_clustering is None
+            else np.asarray(prev_clustering, dtype=np.int64))
+    prev_sorted = prev[order]
+    prev_sorted[n_below:] = 0
+    # first not-yet-clustered frame in FE order
+    # (reference: density_clustering_cuda.cu:446-451)
+    zeros = np.flatnonzero(prev_sorted == 0)
+    prev_last = int(zeros[0]) if len(zeros) else n
+    if prev_last >= n_below:
+        # nothing new below this threshold -> keep previous clustering
+        # (reference: density_clustering_cuda.cu:459-463)
+        return prev.copy()
+    # initial labels as frame pointers in sorted space: seeded frames point
+    # to the first occurrence of their seed label, new frames to themselves
+    # (reference rebase: density_clustering_cuda.cu:330-346, 493-499)
+    labels0 = np.arange(n, dtype=np.int64)
+    prefix = prev_sorted[:n_below]
+    seeded = prefix != 0
+    if seeded.any():
+        vals, first_idx = np.unique(prefix[seeded], return_index=True)
+        seeded_pos = np.flatnonzero(seeded)
+        first_occ = seeded_pos[first_idx]  # first sorted-index per seed value
+        labels0[seeded_pos] = first_occ[
+            np.searchsorted(vals, prefix[seeded])]
+    final = ops.screening_labels(coords_sorted, labels0.astype(np.int32),
+                                 n_below, max_dist2)
+    clustering = np.zeros(n, dtype=np.int64)
+    clustering[order[:n_below]] = final[:n_below].astype(np.int64) + 1
+    return normalized_cluster_names(n_below, clustering, order)
+
+
+def main(args, header_comment, comments_map):
+    """density mode (reference: src/density_clustering.cpp:559-825)."""
+    coords = io.read_coords(args.file)
+    n_rows = coords.shape[0]
+    free_energy = None
+
+    if args.input and (args.free_energy or args.nearest_neighbors):
+        _die("error: for input (-i) -D/-B should be used.")
+
+    logger("~~~ free energy and population")
+    if args.free_energy_input:
+        logger("    re-using free energy: " + args.free_energy_input)
+        if args.radii or args.radius is not None:
+            logger("warning: radius (-r/-R) is ignored")
+        if args.free_energy or args.population:
+            logger("warning: -p/-d flags are ignored")
+        free_energy = io.read_free_energies(args.free_energy_input)
+        io.read_comments(args.free_energy_input, comments_map)
+    elif args.free_energy or args.population or args.output:
+        if args.radii:
+            logger("    calculating free energy and population")
+            if args.output:
+                _die("error: clustering cannot be done with several radii"
+                     " (-R is set).")
+            if not (args.population or args.free_energy):
+                _die("error: no output defined for populations or free"
+                     " energies.\n       why did you define -R ?")
+            radii = list(args.radii)
+            logger("    using radii: " + ", ".join(str(r) for r in radii))
+            pops_map = ops.populations(coords, radii)
+            logger("    storing results")
+            for radius in sorted(pops_map):
+                pops = pops_map[radius]
+                if args.population:
+                    io.write_pops(
+                        io.stringprintf(args.population + "_%f", radius),
+                        pops, header_comment, comments_map)
+                if args.free_energy:
+                    io.write_fes(
+                        io.stringprintf(args.free_energy + "_%f", radius),
+                        ops.free_energies(pops), header_comment, comments_map)
+        else:
+            if args.radius is None:
+                # no radius: compute the lumping radius from NN statistics
+                # (reference: density_clustering.cpp:646-673)
+                logger("    computing lumping radius")
+                pops = ops.populations(coords, [1.0])[1.0]
+                fe_tmp = ops.free_energies(pops)
+                _, nh_dist, _, _ = ops.nearest_neighbors(coords, fe_tmp)
+                sigma2 = ops.neighbors.compute_sigma2(nh_dist)
+                radius_lump = float(np.sqrt(np.float32(4.0 * sigma2)))
+                logger("        d_lump=" + io.fmt_float(radius_lump))
+                comments_map["lumping_radius"] = radius_lump
+                radius = radius_lump
+            else:
+                radius = float(args.radius)
+            logger("    calculating free energy and population")
+            logger("    using radius: " + io.fmt_float(radius))
+            comments_map["clustering_radius"] = radius
+            pops = ops.populations(coords, [radius])[radius]
+            if args.population:
+                logger("    storing population in: " + args.population)
+                io.write_pops(args.population, pops, header_comment,
+                              comments_map)
+            free_energy = ops.free_energies(pops)
+            if args.free_energy:
+                logger("    storing free energy in: " + args.free_energy)
+                io.write_fes(args.free_energy, free_energy, header_comment,
+                             comments_map)
+
+    # nearest neighbors
+    nh = None
+    logger("\n~~~ nearest neighbors")
+    if args.nearest_neighbors_input:
+        logger("    re-using nearest neighbor: "
+               + args.nearest_neighbors_input)
+        nh = io.read_neighborhood(args.nearest_neighbors_input)
+        io.read_comments(args.nearest_neighbors_input, comments_map)
+    elif args.nearest_neighbors or args.output:
+        if args.radii:
+            _die("error: nearest neighbor calculation cannot be done with\n"
+                 "       several radii (-R is set).")
+        logger("    calculating nearest neighbors")
+        nh = ops.nearest_neighbors(coords, free_energy)
+        if comments_map["lumping_radius"] == 0.0:
+            sigma2 = ops.neighbors.compute_sigma2(nh[1])
+            radius_lump = float(np.sqrt(np.float32(4.0 * sigma2)))
+            logger("    lumping radius: " + io.fmt_float(radius_lump))
+            comments_map["lumping_radius"] = radius_lump
+        if args.nearest_neighbors:
+            logger("    storing nearest neighbors in: "
+                   + args.nearest_neighbors)
+            io.write_neighborhood(args.nearest_neighbors,
+                                  nh[0], nh[1], nh[2], nh[3],
+                                  io.append_comments_map(header_comment,
+                                                         comments_map))
+
+    # clustering
+    if args.output:
+        if args.radii:
+            _die("error: output needs to depend on single radius\n"
+                 "       but several radii (-R) are set.")
+        if args.input:
+            logger("~~~ generating microstates")
+            if args.threshold_screening:
+                logger("warning: screening (-T) is ignored")
+            logger("    reading initial states: " + args.input)
+            clustering = io.read_clustered_trajectory(args.input)
+            io.read_comments(args.input, comments_map)
+            logger("    assigning low density states to initial states")
+            clustering = assign_low_density_frames(clustering, nh[2],
+                                                   free_energy)
+            logger("    sorting and renaming states by decreasing"
+                   " population")
+            clustering = sorted_cluster_names(clustering)
+            logger("    storing states in: " + args.output)
+            io.write_clustered_trajectory(args.output, clustering,
+                                          header_comment, comments_map)
+        elif args.threshold_screening is not None:
+            logger("\n~~~ free energy screening")
+            params = list(args.threshold_screening)
+            if len(params) > 3:
+                _die("error: option -T expects at most three floating point"
+                     " arguments: FROM STEP TO.")
+            t_from = np.float32(0.1)
+            t_step = np.float32(0.1)
+            t_to = np.float32(np.max(free_energy))
+            if len(params) >= 1 and params[0] >= 0.0:
+                t_from = np.float32(params[0])
+            if len(params) >= 2:
+                t_step = np.float32(params[1])
+            if len(params) == 3:
+                t_to = np.float32(params[2])
+            if not (has_2_digits(t_from) and has_2_digits(t_step)):
+                _die("error: -T can handle at maximum two digits.")
+            comments_map["screening_to"] = float(t_to)
+            comments_map["screening_from"] = float(t_from)
+            comments_map["screening_step"] = float(t_step)
+            logger("\n        fe    frames")
+            # fp32 loop arithmetic mirrors the reference exactly
+            # (density_clustering.cpp:801-817)
+            t_to_low = np.float32(t_to - t_step / np.float32(10.0) + t_step)
+            t_to_high = np.float32(t_to + t_step / np.float32(10.0) + t_step)
+            order = sorted_fe_order(free_energy)
+            coords_sorted = coords[order]
+            clustering = None
+            t = t_from
+            while (t < t_to_low) and not (t_to_high < t):
+                clustering = screening_step(free_energy, nh[1], t, coords,
+                                            clustering, order=order,
+                                            coords_sorted=coords_sorted)
+                io.write_clustered_trajectory(
+                    io.stringprintf(args.output + ".%0.2f", float(t)),
+                    clustering, header_comment, comments_map)
+                t = np.float32(t + t_step)
+        else:
+            _die("error: one of -T/-i is needed to generate output.")
+    logger("~~~ freeing memory")

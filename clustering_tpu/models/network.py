@@ -1,0 +1,318 @@
+"""Free-energy network (tree) builder over a screening threshold series.
+
+Mirrors ``Clustering::NetworkBuilder::main`` (reference:
+src/network_builder.cpp:379-512): walks ``basename.%0.2f`` files from the
+lowest to the highest threshold, remaps state ids to be globally unique,
+links every node to its parent at the next free-energy level, prunes by
+minimum population and writes links/nodes/leaves/end-node-trajectory files
+plus an optional interactive HTML visualization (cytoscape.js via a small
+template instead of the reference's 29k-line embedded blob,
+src/embedded_cytoscape.hpp).
+"""
+
+import math
+import os
+import sys
+
+import numpy as np
+
+from ..utils import io
+from ..utils.logger import logger
+
+
+def save_network_links(fname, network, header_comment, comments_map):
+    """Reference: network_builder.cpp:182-192."""
+    fname += "_links.dat"
+    logger("    saving links in: " + fname)
+    hc = io.append_comments_map(header_comment, comments_map)
+    hc += ("#\n# Name of the cluster connected to the name in next "
+           "higher free energy level\n# Named by the remapped clusters.\n#\n"
+           "# cluster_name(fe+step) cluster_name(fe)\n")
+    io.write_map(fname, network, hc, val_then_key=True)
+
+
+def save_node_info(fname, free_energies, pops, header_comment, comments_map):
+    """Reference: network_builder.cpp:194-218."""
+    fname += "_nodes.dat"
+    logger("    saving nodes in: " + fname)
+    hc = io.append_comments_map(header_comment, comments_map)
+    hc += "#\n# nodes\n"
+    hc += ("#\n# Name of all clusters at a given free energies (fe) "
+           "with the corresponding populations pop.\n"
+           "# id(cluster) fe pop\n")
+    with open(fname, "w") as fh:
+        fh.write(hc)
+        for key in sorted(pops):
+            fh.write(f"{key} {io.fmt_float(free_energies[key])}"
+                     f" {pops[key]}\n")
+
+
+def compute_and_save_leaves(fname, network, header_comment, comments_map):
+    """Reference: network_builder.cpp:220-248."""
+    fname += "_leaves.dat"
+    logger("    saving leaves in: " + fname)
+    leaves = set()
+    not_leaves = set()
+    for src in sorted(network):
+        target = network[src]
+        not_leaves.add(target)
+        if src in not_leaves:
+            leaves.discard(src)
+        else:
+            leaves.add(src)
+    hc = io.append_comments_map(header_comment, comments_map)
+    hc += ("#\n# All network leaves, i.e. nodes (microstates) without child\n"
+           "# nodes at a lower free energy level. These microstates"
+           " represent\n"
+           "# the minima of their local basins.\n#\n"
+           "# id(cluster)\n")
+    io.write_single_column(fname, sorted(leaves), hc)
+    return leaves
+
+
+def save_traj_of_leaves(fname, leaves, d_min, d_max, d_step, remapped_name,
+                        n_rows, header_comment, comments_map):
+    """Reference: network_builder.cpp:250-278."""
+    fname += "_end_node_traj.dat"
+    logger("    saving end-node trajectory in: " + fname)
+    traj = np.zeros(n_rows, dtype=np.int64)
+    prec = np.float32(d_step) / np.float32(10.0)
+    d = np.float32(d_min)
+    leaf_arr = np.asarray(sorted(leaves), dtype=np.int64)
+    while not (d <= d_max + d_step + prec and d >= d_max + d_step - prec):
+        cl_now = io.read_clustered_trajectory(
+            io.stringprintf(remapped_name, float(d)))
+        if len(leaf_arr):
+            is_leaf = np.isin(cl_now, leaf_arr)
+            traj = np.where(is_leaf, cl_now, traj)
+        d = np.float32(d + d_step)
+    hc = io.append_comments_map(header_comment, comments_map)
+    hc += ("#\n# All frames beloning to a leaf node are marked with\n"
+           "# the custer id. All others with zero.\n")
+    hc += "#\n# state/cluster id frames are assigned to\n"
+    io.write_single_column(fname, [int(s) for s in traj], hc)
+
+
+# --------------------------------------------------------------------------
+# HTML visualization (tree layout + cytoscape.js template)
+# --------------------------------------------------------------------------
+
+_HORIZONTAL_SPACING = 10
+_VERTICAL_SPACING = 50
+
+
+class _Node:
+    """Tree node for the visualization layout
+    (reference: network_builder.cpp:63-179)."""
+
+    __slots__ = ("id", "fe", "pop", "children", "pos_x", "pos_y", "_width")
+
+    def __init__(self, node_id=0, fe=0.0, pop=0):
+        self.id = node_id
+        self.fe = fe
+        self.pop = pop
+        self.children = {}
+        self.pos_x = 0
+        self.pos_y = 0
+        self._width = 0
+
+    def find_parent_of(self, search_id):
+        if search_id in self.children:
+            return self
+        for child in self.children.values():
+            found = child.find_parent_of(search_id)
+            if found is not None:
+                return found
+        return None
+
+    def subtree_width(self):
+        if not self._width:
+            self_width = 10 + 2 * _HORIZONTAL_SPACING
+            total = sum(c.subtree_width() for c in self.children.values())
+            self._width = max(total, self_width)
+        return self._width
+
+    def set_pos(self, x, y):
+        self.pos_x = x
+        self.pos_y = y
+        total = sum(c.subtree_width() for c in self.children.values())
+        cur_x = int(x - 0.5 * total)
+        for cid in sorted(self.children):
+            child = self.children[cid]
+            stw = child.subtree_width()
+            child.set_pos(int(cur_x + 0.5 * stw), y + _VERTICAL_SPACING)
+            cur_x += stw
+
+    def serialize(self, out):
+        log_pop = math.log(self.pop) if self.pop > 0 else 0.0
+        out.append(
+            "{group:'nodes',id:'n%d',position:{x:%d,y:%d},data:{id:'n%d',"
+            "pop:%d,fe:%f,info:'%d: fe=%0.2f, pop=%d',logpop:%0.2f}},"
+            % (self.id, self.pos_x, self.pos_y, self.id, self.pop, self.fe,
+               self.id, self.fe, self.pop, log_pop))
+        for cid in sorted(self.children):
+            out.append(
+                "{group:'edges',data:{id:'e%d_%d',source:'n%d',"
+                "target:'n%d'}}," % (cid, self.id, cid, self.id))
+
+    def serialize_subtree(self, out):
+        for cid in sorted(self.children):
+            child = self.children[cid]
+            child.serialize(out)
+            child.serialize_subtree(out)
+
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html>
+<head>
+<title>clustering-tpu network</title>
+<meta charset="utf-8"/>
+<script src="https://cdnjs.cloudflare.com/ajax/libs/cytoscape/3.28.1/cytoscape.min.js"></script>
+<style>
+  body {{ margin: 0; font-family: sans-serif; }}
+  #cy {{ width: 100vw; height: 100vh; display: block; }}
+</style>
+</head>
+<body>
+<div id="cy"></div>
+<script>
+var cy = cytoscape({{
+  container: document.getElementById('cy'),
+  layout: {{ name: 'preset' }},
+  style: cytoscape.stylesheet().selector('node').css({{
+    'width': 'mapData(logpop, {logpop_min:.2f}, {logpop_max:.2f}, 5, 30)',
+    'height': 'mapData(logpop, {logpop_min:.2f}, {logpop_max:.2f}, 5, 30)',
+    'background-color': 'mapData(fe, {fe_min:f}, {fe_max:f}, blue, red)'
+  }}).selector('edge').css({{
+    'opacity': '1.0', 'width': '5', 'target-arrow-shape': 'triangle'
+  }}).selector(':selected').css({{
+    'content': 'data(info)', 'font-size': 24, 'color': '#00ff00'
+  }}),
+  elements: [
+{elements}
+  ]
+}});
+</script>
+</body>
+</html>
+"""
+
+
+def save_network_to_html(fname, network, free_energies, pops):
+    """Reference: network_builder.cpp:280-372 (tree construction + layout);
+    the cytoscape.js page itself comes from a small template."""
+    logger("\n~~~ computing network visualization")
+    fe_vals = list(free_energies.values())
+    pop_vals = list(pops.values())
+    fe_min, fe_max = min(fe_vals), max(fe_vals)
+    pop_min, pop_max = min(pop_vals), max(pop_vals)
+    fake_root = _Node()
+    for i_from in sorted(network):
+        i_to = network[i_from]
+        parent_to = fake_root.find_parent_of(i_to)
+        if parent_to is None:
+            fake_root.children[i_to] = _Node(i_to, free_energies[i_to],
+                                             pops[i_to])
+            parent_to = fake_root
+        parent_from = fake_root.find_parent_of(i_from)
+        if parent_from is not None:
+            parent_to.children[i_to].children[i_from] = \
+                parent_from.children[i_from]
+            del parent_from.children[i_from]
+        else:
+            parent_to.children[i_to].children[i_from] = _Node(
+                i_from, free_energies.get(i_from, 0.0), pops.get(i_from, 0))
+    logger("    ...done")
+    fake_root.set_pos(0, 0)
+    elements = []
+    fake_root.serialize_subtree(elements)
+    log_pop_min = math.log(pop_min) if pop_min > 0 else 0.0
+    log_pop_max = math.log(pop_max) if pop_max > 0 else 0.0
+    with open(fname + "_visualization.html", "w") as fh:
+        fh.write(_HTML_TEMPLATE.format(
+            logpop_min=log_pop_min, logpop_max=log_pop_max,
+            fe_min=fe_min, fe_max=fe_max,
+            elements="\n".join(elements)))
+
+
+# --------------------------------------------------------------------------
+# driver
+# --------------------------------------------------------------------------
+
+def main(args, header_comment, comments_map):
+    d_min = np.float32(args.min)
+    d_max = np.float32(args.max)
+    d_step = np.float32(args.step)
+    basename = args.basename + ".%0.2f"
+    remapped_name = "remapped_" + basename
+    minpop = int(args.minpop)
+
+    network = {}
+    pops = {}
+    free_energies = {}
+
+    fname_next = io.stringprintf(basename, float(d_min))
+    if not os.path.exists(fname_next):
+        print(f"error: file does not exist: {fname_next}"
+              "       check basename (-b) and --min/--max/--step",
+              file=sys.stderr)
+        sys.exit(0)
+    io.read_comments(fname_next, comments_map)
+    cl_next = io.read_clustered_trajectory(fname_next)
+    n_rows = len(cl_next)
+    prec = d_step / np.float32(10.0)
+    if d_max == 0.0:
+        if comments_map["screening_to"] > 0:
+            d_max = np.float32(comments_map["screening_to"] + d_step)
+        else:
+            d_max = np.float32(np.finfo(np.float32).max)
+    else:
+        d_max = np.float32(d_max + d_step)
+
+    logger("~~~ remapping cluster files and generating network")
+    d = d_min
+    while d < d_max - prec and os.path.exists(fname_next):
+        logger("    " + fname_next + " -> "
+               + io.stringprintf(remapped_name, float(d)))
+        cl_now = cl_next
+        fname_next = io.stringprintf(basename, float(d + d_step))
+        io.write_clustered_trajectory(io.stringprintf(remapped_name,
+                                                      float(d)),
+                                      cl_now, header_comment, comments_map)
+        if os.path.exists(fname_next):
+            cl_next = io.read_clustered_trajectory(fname_next)
+            max_id = int(cl_now.max())
+            nz = cl_next != 0
+            cl_next = np.where(nz, cl_next + max_id, cl_next)
+            both = nz & (cl_now != 0)
+            for i in np.flatnonzero(both):
+                network[int(cl_now[i])] = int(cl_next[i])
+            vals, counts = np.unique(cl_now[both], return_counts=True)
+            for v, c in zip(vals.tolist(), counts.tolist()):
+                pops[v] = pops.get(v, 0) + c
+                free_energies[v] = float(d)
+        d = np.float32(d + d_step)
+    d_max = np.float32(d - d_step)
+
+    comments_map["minimal_population"] = float(minpop)
+    if minpop > 1:
+        logger(f"\n~~~ removing states with population p < {minpop}")
+        logger("    ... removing nodes")
+        removals = {k for k, v in pops.items() if v < minpop}
+        for k in removals:
+            del pops[k]
+        logger("    ... removing edges")
+        network = {a: b for a, b in network.items()
+                   if a not in removals and b not in removals}
+
+    logger("\n~~~ storing output files")
+    save_network_links(args.output, network, header_comment, comments_map)
+    save_node_info(args.output, free_energies, pops, header_comment,
+                   comments_map)
+    leaves = compute_and_save_leaves(args.output, network, header_comment,
+                                     comments_map)
+    save_traj_of_leaves(args.output, leaves, d_min, float(d_max),
+                        float(d_step), remapped_name, n_rows,
+                        header_comment, comments_map)
+    if args.network_html:
+        save_network_to_html(args.output, network, free_energies, pops)

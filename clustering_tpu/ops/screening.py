@@ -1,0 +1,147 @@
+"""Free-energy screening: density-connected microstate assignment.
+
+TPU-native replacement for the reference's screening stage. Semantics follow
+the CUDA backend (src/density_clustering_cuda.cu:396-594 with kernel
+src/density_clustering_cuda_kernels.cu:132-192), which the reference
+validated manually: the frames whose free energy lies below the threshold
+(the first ``n_below`` frames in FE-sorted order) are partitioned into the
+connected components of the graph
+
+    i ~ j  iff  d2(i, j) < max_dist2 (= 4 * sigma^2)
+
+with previously-assigned cluster labels acting as permanent equivalences
+(seeded restarts re-use the previous threshold's clustering,
+src/density_clustering.cpp:806-817).
+
+Instead of the reference's host-side fixpoint loop with device label sweeps
+and host pointer-chasing merges (CUDA: one host<->device label round-trip per
+iteration), the whole fixpoint runs on-device inside one ``lax.while_loop``:
+
+  1. blockwise neighbor-min sweep (Gauss-Seidel over row blocks so min labels
+     propagate within a sweep, like the CUDA kernel's in-shared-memory
+     updates),
+  2. a label-table scatter-min union (the parallel equivalent of the
+     reference's ``merge_results`` pointer-chase + dict rebase,
+     src/density_clustering_cuda.cu:348-394, 557-571),
+  3. pointer-jumping compression of the label table.
+
+Labels are int32 frame pointers in FE-sorted index space with the invariant
+label[i] <= i; a component's final label is the smallest sorted-index of its
+members, which reproduces the reference's name-assignment order.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pairwise import sq_dists, pad_rows
+
+DEFAULT_ROW_BLOCK = 1024
+DEFAULT_COL_BLOCK = 4096
+
+_IMAX = jnp.int32(np.iinfo(np.int32).max)
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+def _screening_fixpoint(coords_sorted, labels0, n_below, max_dist2,
+                        row_block=DEFAULT_ROW_BLOCK,
+                        col_block=DEFAULT_COL_BLOCK):
+    """Run the connected-component fixpoint.
+
+    Args:
+      coords_sorted: (N_pad, D) fp32, frames in FE-ascending order (padded).
+      labels0: (N_pad,) int32 initial frame-pointer labels, labels0[i] <= i.
+      n_below: dynamic int32, number of in-play frames (FE below threshold).
+      max_dist2: dynamic fp32 squared linking distance.
+    Returns:
+      (N_pad,) int32 final labels (component = min member sorted-index).
+    """
+    n_pad = coords_sorted.shape[0]
+    n_row_blocks = (n_below + row_block - 1) // row_block
+    n_col_blocks = (n_below + col_block - 1) // col_block
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def sweep(labels):
+        def row_body(i_row, labels_cur):
+            row0 = i_row * row_block
+            x = jax.lax.dynamic_slice_in_dim(coords_sorted, row0,
+                                             row_block, axis=0)
+            lab_x = jax.lax.dynamic_slice_in_dim(labels_cur, row0,
+                                                 row_block, axis=0)
+            row_ids = row0 + jax.lax.broadcasted_iota(
+                jnp.int32, (row_block, 1), 0)[:, 0]
+
+            def col_body(i_col, m):
+                col0 = i_col * col_block
+                y = jax.lax.dynamic_slice_in_dim(coords_sorted, col0,
+                                                 col_block, axis=0)
+                lab_y = jax.lax.dynamic_slice_in_dim(labels_cur, col0,
+                                                     col_block, axis=0)
+                d2 = sq_dists(x, y)
+                col_ids = col0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (row_block, col_block), 1)
+                adj = (d2 < max_dist2) & (col_ids < n_below)
+                cand = jnp.where(adj, lab_y[None, :], _IMAX)
+                return jnp.minimum(m, jnp.min(cand, axis=1))
+
+            m = jax.lax.fori_loop(0, n_col_blocks, col_body,
+                                  jnp.full((row_block,), _IMAX,
+                                           dtype=jnp.int32))
+            new_lab = jnp.where(row_ids < n_below,
+                                jnp.minimum(lab_x, m), lab_x)
+            return jax.lax.dynamic_update_slice_in_dim(
+                labels_cur, new_lab, row0, axis=0)
+
+        return jax.lax.fori_loop(0, n_row_blocks, row_body, labels)
+
+    def pointer_jump(m):
+        def cond(m):
+            return jnp.any(m[m] != m)
+
+        def body(m):
+            return m[m]
+
+        return jax.lax.while_loop(cond, body, m)
+
+    def outer_cond(state):
+        _, changed = state
+        return changed
+
+    def outer_body(state):
+        labels_in, _ = state
+        labels_cur = sweep(labels_in)
+        # union at label granularity: all frames sharing a pre-sweep label
+        # are rebased together (reference dict-rebase semantics)
+        table = iota.at[labels_in].min(labels_cur)
+        table = pointer_jump(table)
+        labels_out = table[labels_in]
+        return (labels_out, jnp.any(labels_out != labels_in))
+
+    labels, _ = jax.lax.while_loop(outer_cond, outer_body,
+                                   (labels0, jnp.bool_(True)))
+    return labels
+
+
+def screening_labels(coords_sorted, initial_labels, n_below, max_dist2,
+                     row_block=DEFAULT_ROW_BLOCK,
+                     col_block=DEFAULT_COL_BLOCK):
+    """Host wrapper: pad, run the fixpoint, unpad.
+
+    ``coords_sorted`` (N, D) must already be in FE-ascending order and
+    ``initial_labels`` (N,) int32 frame pointers with labels[i] <= i.
+    """
+    coords_sorted = jnp.asarray(coords_sorted, dtype=jnp.float32)
+    labels = jnp.asarray(initial_labels, dtype=jnp.int32)
+    n = coords_sorted.shape[0]
+    block = int(np.lcm(row_block, col_block))
+    n_pad = -(-n // block) * block
+    coords_padded = pad_rows(coords_sorted, block)
+    if n_pad != n:
+        pad_lab = jnp.arange(n, n_pad, dtype=jnp.int32)
+        labels = jnp.concatenate([labels, pad_lab])
+    out = _screening_fixpoint(coords_padded, labels, jnp.int32(n_below),
+                              jnp.float32(max_dist2),
+                              row_block=row_block, col_block=col_block)
+    return np.asarray(jax.device_get(out))[:n]

@@ -1,0 +1,306 @@
+"""File formats, provenance metadata and helpers.
+
+Host-side equivalent of the reference toolkit (reference: src/tools.{hpp,hxx,cpp}).
+All artifact files are whitespace-separated ASCII with ``#``-prefixed comment
+headers and ``#@ key = value`` provenance metadata lines; the on-disk byte
+layout of data lines matches the reference so pipelines are drop-in
+compatible (reference: tools.cpp:229-277 for metadata, tools.hxx:207-272 for
+column IO).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+# metadata keys carried between pipeline stages, all modes register these
+# up-front with value 0.0 == "unset" (reference: clustering.cpp:484-493)
+COMMENT_KEYS = (
+    "clustering_radius",
+    "lumping_radius",
+    "screening_from",
+    "screening_to",
+    "screening_step",
+    "minimal_population",
+    "cmin",
+    "single_coring_time",
+    "limits",
+)
+
+
+def default_comments_map() -> dict:
+    return {k: 0.0 for k in COMMENT_KEYS}
+
+
+def fmt_float(x) -> str:
+    """Format a float the way C++ default ostream formatting does.
+
+    Six significant digits, trailing zeros stripped, scientific notation for
+    large/small magnitudes -- i.e. printf ``%g``.
+    """
+    return "%g" % float(x)
+
+
+def fmt_scientific(x) -> str:
+    """printf ``%e`` style used for free-energy columns (std::scientific)."""
+    return "%e" % float(x)
+
+
+def stringprintf(fmt: str, *args) -> str:
+    """C-style sprintf (reference: tools.cpp:80-94)."""
+    return fmt % args
+
+
+# ----------------------------------------------------------------------------
+# single-column / map readers & writers
+# ----------------------------------------------------------------------------
+
+def _iter_tokens_skip_comments(path):
+    """Yield whitespace tokens, skipping the rest of a line once a
+    non-numeric token is hit (C++ stream-extraction failure semantics,
+    reference: tools.hxx:228-253)."""
+    with open(path) as fh:
+        for line in fh:
+            for tok in line.split():
+                yield tok, line
+                # caller decides whether to abort the line
+
+
+def read_single_column(path, dtype=float):
+    """Read one value per whitespace-token; on a parse failure skip the rest
+    of that line (comment lines start with ``#``).
+
+    Reference: tools.hxx:228-253 (``read_single_column``).
+    """
+    out = []
+    with open(path) as fh:
+        for line in fh:
+            for tok in line.split():
+                try:
+                    out.append(dtype(tok))
+                except ValueError:
+                    break  # skip rest of line
+    if not out:
+        print(f"error: opened empty file '{path}'", file=sys.stderr)
+        sys.exit(1)
+    return out
+
+
+def read_clustered_trajectory(path) -> np.ndarray:
+    return np.asarray(read_single_column(path, dtype=int), dtype=np.int64)
+
+
+def read_free_energies(path) -> np.ndarray:
+    return np.asarray(read_single_column(path, dtype=float), dtype=np.float32)
+
+
+def read_concat_limits(path) -> list:
+    """Read chunk lengths, return cumulative frame limits
+    (reference: tools.cpp:133-142)."""
+    lens = read_single_column(path, dtype=int)
+    return list(np.cumsum(lens))
+
+
+def check_concat_limits(concat_limits, n_frames):
+    """Warn on ill-defined limits (reference: tools.cpp:189-205)."""
+    from .logger import logger
+    if concat_limits[-1] < n_frames:
+        logger(f"warning: last {n_frames - concat_limits[-1]}"
+               " frames are ignored. check concat-limits/nframes")
+    if concat_limits[0] == 0:
+        logger("warning: first trajectory is of zero length. check\n"
+               "         help for correct usage of --concat-limits")
+    if concat_limits[-1] > n_frames:
+        logger("warning: limits are larger than the file length.\n"
+               "         Check your limits!")
+
+
+def resolve_concat_limits(args_limits_file, args_nframes, n_frames):
+    """Common --concat-limits / --concat-nframes handling shared by the
+    mpp/coring/noise/stats drivers (reference: e.g. coring.cpp:81-95)."""
+    if args_limits_file:
+        limits = read_concat_limits(args_limits_file)
+    elif args_nframes:
+        step = int(args_nframes)
+        limits = list(range(step, n_frames + 1, step))
+    else:
+        limits = [n_frames]
+    check_concat_limits(limits, n_frames)
+    return limits
+
+
+def write_single_column(path, data, header_comment="", scientific=False):
+    """Reference: tools.hxx:256-272."""
+    with open(path, "w") as fh:
+        fh.write(header_comment)
+        if scientific:
+            fh.write("\n".join(fmt_scientific(v) for v in data))
+        else:
+            fh.write("\n".join(_fmt_any(v) for v in data))
+        if len(data):
+            fh.write("\n")
+
+
+def _fmt_any(v):
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    return fmt_float(v)
+
+
+def write_map(path, mapping, header_comment="", val_then_key=False):
+    """Two-column key/value file, keys ascending (reference: tools.hxx:207-226)."""
+    with open(path, "w") as fh:
+        fh.write(header_comment)
+        for k in sorted(mapping):
+            v = mapping[k]
+            a, b = (v, k) if val_then_key else (k, v)
+            fh.write(f"{_fmt_any(a)} {_fmt_any(b)}\n")
+
+
+# ----------------------------------------------------------------------------
+# coordinates
+# ----------------------------------------------------------------------------
+
+def read_coords(path, usecols=None, dtype=np.float32) -> np.ndarray:
+    """Read an (N, D) whitespace-separated ASCII coordinates file.
+
+    Reference: tools.hxx:39-111 (two-pass aligned reader); here a single
+    numpy pass suffices. Returns a C-contiguous float32 array.
+    """
+    arr = np.loadtxt(path, dtype=dtype, ndmin=2, comments="#")
+    if usecols is not None:
+        arr = arr[:, list(usecols)]
+    return np.ascontiguousarray(arr, dtype=dtype)
+
+
+# ----------------------------------------------------------------------------
+# neighborhood files
+# ----------------------------------------------------------------------------
+
+def write_neighborhood(path, nh_idx, nh_dist, nhhd_idx, nhhd_dist,
+                       header_comment=""):
+    """4-column nearest-neighbor file (reference: tools.cpp:144-174)."""
+    header_comment = header_comment + (
+        "#\n# column definitions:\n"
+        "#        nn = nearest neighbor\n"
+        "#     nn_hd = nearest neighbor with higher density\n"
+        "#     id(i) = id/line number of i\n"
+        "#   dsqr(i) = squared euclidean distance to i\n#\n"
+        "# id(nn)  dsqr(nn) id(nn_hd) dsqr(nn_hd)\n")
+    with open(path, "w") as fh:
+        fh.write(header_comment)
+        for a, b, c, d in zip(nh_idx, nh_dist, nhhd_idx, nhhd_dist):
+            fh.write(f"{int(a)} {fmt_float(b)} {int(c)} {fmt_float(d)}\n")
+
+
+def read_neighborhood(path):
+    """Returns (nh_idx, nh_dist, nhhd_idx, nhhd_dist) arrays
+    (reference: tools.cpp:101-131)."""
+    rows = []
+    with open(path) as fh:
+        for line in fh:
+            toks = line.split()
+            if len(toks) < 4:
+                continue
+            try:
+                rows.append((int(toks[0]), float(toks[1]),
+                             int(toks[2]), float(toks[3])))
+            except ValueError:
+                continue  # comment line
+    nh_idx = np.asarray([r[0] for r in rows], dtype=np.int64)
+    nh_dist = np.asarray([r[1] for r in rows], dtype=np.float32)
+    nhhd_idx = np.asarray([r[2] for r in rows], dtype=np.int64)
+    nhhd_dist = np.asarray([r[3] for r in rows], dtype=np.float32)
+    return nh_idx, nh_dist, nhhd_idx, nhhd_dist
+
+
+# ----------------------------------------------------------------------------
+# provenance metadata ("#@ key = value" comment lines)
+# ----------------------------------------------------------------------------
+
+def read_comments(path, comments_map: dict) -> None:
+    """Scan ``#@ key = value`` lines; update registered keys in-place; warn
+    when a previously-set value disagrees (reference: tools.cpp:229-265)."""
+    from .logger import logger
+    with open(path) as fh:
+        for line in fh:
+            toks = line.split()
+            if len(toks) >= 2 and toks[0] == "#@":
+                key = toks[1]
+                if key not in comments_map:
+                    continue
+                val = None
+                for tok in toks[2:]:
+                    try:
+                        val = float(tok)
+                        break
+                    except ValueError:
+                        continue
+                if val is None:
+                    val = -1.0  # line ended before a number
+                old = comments_map[key]
+                if old != 0 and abs(old - val) > 0.001:
+                    logger(f"warning: the values of {key}"
+                           " are not in agreement\n"
+                           f"        {fmt_float(val)} vs. {fmt_float(old)}")
+                comments_map[key] = val
+
+
+def append_comments_map(header_comment: str, comments_map: dict) -> str:
+    """Append ``#@`` lines for all non-zero keys (reference: tools.cpp:267-277)."""
+    header_comment += ("#\n# The following comments are reused for identifying"
+                       "\n# user-based mistakes and should not be modified.\n")
+    for key in sorted(comments_map):
+        if comments_map[key] != 0.0:
+            header_comment += "#@   %s = %.5f\n" % (key, comments_map[key])
+    return header_comment
+
+
+def make_header(mode: str, argv=None) -> str:
+    """Provenance header for output files (reference: clustering.cpp:466-482)."""
+    from .. import VERSION_STRING
+    argv = sys.argv if argv is None else argv
+    stamp = time.asctime(time.localtime())
+    cmd = " ".join(argv)
+    return (f"# clustering-tpu {VERSION_STRING} - {mode}\n"
+            "#\n"
+            f"# Created {stamp}\n"
+            "# by following command:\n#\n"
+            f"# {cmd} \n"
+            "#\n"
+            "# TPU-native rebuild of moldyn/clustering;"
+            " results are format-compatible with\n"
+            "# clustering v1.3.2,"
+            " see https://github.com/moldyn/clustering\n")
+
+
+# ----------------------------------------------------------------------------
+# artifact writers that stamp headers + metadata
+# ----------------------------------------------------------------------------
+
+def write_pops(path, pops, header_comment, comments_map):
+    """Reference: tools.cpp:50-56."""
+    hc = append_comments_map(header_comment, comments_map)
+    hc += "#\n# point density of each frame\n"
+    write_single_column(path, [int(p) for p in pops], hc, scientific=False)
+
+
+def write_fes(path, fes, header_comment, comments_map):
+    """Reference: tools.cpp:42-48."""
+    hc = append_comments_map(header_comment, comments_map)
+    hc += "#\n# free energy of each frame\n"
+    write_single_column(path, [float(f) for f in fes], hc, scientific=True)
+
+
+def write_clustered_trajectory(path, traj, header_comment, comments_map):
+    """Reference: tools.cpp:63-69."""
+    hc = append_comments_map(header_comment, comments_map)
+    hc += "#\n# state/cluster id frames are assigned to\n"
+    write_single_column(path, [int(s) for s in traj], hc, scientific=False)
+
+
+def microstate_populations(traj) -> dict:
+    """state -> count (reference: tools.cpp:176-187)."""
+    vals, counts = np.unique(np.asarray(traj), return_counts=True)
+    return {int(v): int(c) for v, c in zip(vals, counts)}

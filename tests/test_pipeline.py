@@ -1,0 +1,133 @@
+"""End-to-end pipeline test: density -> network -> mpp -> coring -> noise
+-> stats/filter through the CLI, mirroring the reference tool's documented
+workflow on a small synthetic free-energy landscape."""
+
+import os
+
+import numpy as np
+import pytest
+
+from clustering_tpu import cli
+
+
+@pytest.fixture()
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(1234)
+    a = rng.normal((0.0, 0.0), 0.12, size=(150, 2))
+    b = rng.normal((1.2, 0.1), 0.15, size=(120, 2))
+    c = rng.normal((-0.3, 1.5), 0.10, size=(60, 2))
+    coords = np.concatenate([a, b, c]).astype(np.float32)
+    # time-correlated ordering so MPP/coring see realistic dynamics
+    order = rng.permutation(len(coords))
+    coords = coords[order]
+    np.savetxt("coords.dat", coords, fmt="%.6f")
+    return tmp_path
+
+
+def run(args):
+    assert cli.main(args) == 0
+
+
+def test_full_pipeline(workdir):
+    # density with fixed radius, multi-threshold screening
+    run(["density", "-f", "coords.dat", "-r", "0.2",
+         "-p", "pop", "-d", "fe", "-b", "nn",
+         "-o", "clust", "-T", "0.2", "0.2", "2.0", "-v"])
+    assert os.path.exists("pop")
+    assert os.path.exists("fe")
+    assert os.path.exists("nn")
+    clust_files = sorted(f for f in os.listdir(".")
+                         if f.startswith("clust."))
+    assert "clust.0.20" in clust_files
+    assert len(clust_files) >= 5
+
+    fe = np.loadtxt("fe")
+    pops = np.loadtxt("pop")
+    assert len(fe) == len(pops) == 330
+    assert (pops >= 1).all()
+    assert fe.min() == 0.0
+
+    # re-use artifacts: -D/-B restart produces identical clustering
+    run(["density", "-f", "coords.dat", "-D", "fe", "-B", "nn",
+         "-o", "clust2", "-T", "0.2", "0.2", "2.0"])
+    for f in clust_files:
+        a = np.loadtxt(f)
+        b = np.loadtxt("clust2" + f[5:])
+        np.testing.assert_array_equal(a, b)
+
+    # network from the screening series
+    run(["network", "-p", "1", "-b", "clust", "-o", "network",
+         "--min", "0.2", "--step", "0.2"])
+    assert os.path.exists("network_links.dat")
+    assert os.path.exists("network_nodes.dat")
+    assert os.path.exists("network_leaves.dat")
+    assert os.path.exists("network_end_node_traj.dat")
+    assert os.path.exists("remapped_clust.0.20")
+
+    # seeded final density pass to fill the FEL
+    # (reference workflow: -i initial states)
+    hi = clust_files[-1]
+    run(["density", "-f", "coords.dat", "-D", "fe", "-B", "nn",
+         "-i", hi, "-o", "microstates"])
+    micro = np.loadtxt("microstates", dtype=int)
+    assert micro.shape == (330,)
+    assert (micro > 0).all()
+    # names sorted by decreasing population
+    vals, counts = np.unique(micro, return_counts=True)
+    assert set(vals) == set(range(1, len(vals) + 1))
+    by_name = dict(zip(vals, counts))
+    pops_in_name_order = [by_name[v] for v in sorted(vals)]
+    assert pops_in_name_order == sorted(pops_in_name_order, reverse=True)
+
+    # mpp on the microstates
+    run(["mpp", "-s", "microstates", "-D", "fe", "-l", "2",
+         "--qmin-from", "0.1", "--qmin-to", "0.9", "--qmin-step", "0.4"])
+    assert os.path.exists("mpp_traj_0.100.dat")
+    assert os.path.exists("mpp_pop_0.100.dat")
+    assert os.path.exists("mpp_transitions.dat")
+    assert os.path.exists("mpp_max_pop.dat")
+    assert os.path.exists("mpp_max_qmin.dat")
+
+    # coring
+    run(["coring", "-s", "microstates", "-w", "2", "-o", "cored",
+         "-d", "wtd", "--cores", "cores.dat"])
+    cored = np.loadtxt("cored", dtype=int)
+    assert cored.shape == (330,)
+    assert os.path.exists("cores.dat")
+
+    # noise
+    run(["noise", "-s", "microstates", "-o", "denoised", "-b", "clust",
+         "-c", "20"])
+    denoised = np.loadtxt("denoised", dtype=int)
+    assert denoised.shape == (330,)
+
+    # stats (prints table)
+    run(["stats", "-s", "microstates"])
+
+    # filter
+    run(["filter", "-s", "microstates", "-c", "coords.dat",
+         "-o", "filtered"])
+    first = np.loadtxt("filtered.state1.dat")
+    assert first.shape[1] == 2
+    assert len(first) == by_name[1]
+
+
+def test_multi_radius_mode(workdir):
+    run(["density", "-f", "coords.dat", "-R", "0.1", "0.3",
+         "-p", "pop", "-d", "fe"])
+    assert os.path.exists("pop_0.100000")
+    assert os.path.exists("pop_0.300000")
+    assert os.path.exists("fe_0.100000")
+    assert os.path.exists("fe_0.300000")
+    p1 = np.loadtxt("pop_0.100000")
+    p3 = np.loadtxt("pop_0.300000")
+    assert (p3 >= p1).all()
+
+
+def test_lumping_radius_default(workdir):
+    # without -r the lumping radius is derived from NN statistics
+    run(["density", "-f", "coords.dat", "-p", "pop", "-d", "fe"])
+    text = open("pop").read()
+    assert "#@   lumping_radius" in text
+    assert "#@   clustering_radius" in text
