@@ -1,0 +1,125 @@
+"""Benchmark harness: density-clustering throughput on real TPU hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: frame-pair interactions per second across the density
+pipeline's O(N^2) passes (multi-radius populations + joint NN search +
+screening sweeps), the same work the reference parallelizes with CUDA
+(src/density_clustering_cuda_kernels.cu).
+
+Baseline: the reference publishes no numbers (BASELINE.md), so we compare
+against an optimistic roofline estimate of its CUDA backend on the
+architecture it targets (-arch=compute_30, Kepler K20-class, 3.5 TFLOP/s
+fp32): ~12 flops/pair at 40% efficiency => ~1.2e11 pairs/s.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PAIRS_PER_SEC = 1.2e11
+
+N = int(os.environ.get("BENCH_N", 1 << 19))
+D = int(os.environ.get("BENCH_D", 4))
+RADII = [0.10, 0.15, 0.20]
+ROW_BLOCK = int(os.environ.get("BENCH_ROW_BLOCK", 2048))
+COL_BLOCK = int(os.environ.get("BENCH_COL_BLOCK", 8192))
+
+
+def synthetic_fel(n, d, seed=0):
+    """HP35-like free-energy landscape: anisotropic gaussian basins along
+    the leading 'PCA' dims plus background."""
+    rng = np.random.default_rng(seed)
+    centers = np.asarray([
+        [0.0, 0.0, 0.0, 0.0],
+        [1.1, 0.4, -0.2, 0.1],
+        [-0.8, 1.0, 0.3, -0.2],
+        [0.5, -0.9, 0.1, 0.3],
+    ])[:, :d]
+    weights = np.asarray([0.4, 0.3, 0.2, 0.1])
+    which = rng.choice(len(centers), size=n, p=weights)
+    scales = np.linspace(0.25, 0.08, d)
+    return (centers[which]
+            + rng.normal(size=(n, d)) * scales).astype(np.float32)
+
+
+def main():
+    import jax
+
+    from clustering_tpu import ops
+    from clustering_tpu.models import density as density_model
+
+    dev = jax.devices()[0]
+    print(f"# bench device: {dev}", file=sys.stderr)
+    coords = synthetic_fel(N, D)
+
+    total_pairs = 0.0
+    total_time = 0.0
+
+    # --- populations (multi-radius, one sweep) ---
+    # warmup/compile
+    ops.populations(coords[: 2 * ROW_BLOCK], RADII,
+                    row_block=ROW_BLOCK, col_block=COL_BLOCK)
+    t0 = time.perf_counter()
+    pops = ops.populations(coords, RADII,
+                           row_block=ROW_BLOCK, col_block=COL_BLOCK)
+    t_pops = time.perf_counter() - t0
+    total_pairs += float(N) * N
+    total_time += t_pops
+    print(f"# pops: {t_pops:.3f}s ({N * float(N) / t_pops:.3e} pairs/s)",
+          file=sys.stderr)
+
+    fe = ops.free_energies(pops[RADII[0]])
+
+    # --- nearest neighbors ---
+    ops.nearest_neighbors(coords[: 2 * ROW_BLOCK], fe[: 2 * ROW_BLOCK],
+                          row_block=ROW_BLOCK, col_block=COL_BLOCK)
+    t0 = time.perf_counter()
+    nn = ops.nearest_neighbors(coords, fe,
+                               row_block=ROW_BLOCK, col_block=COL_BLOCK)
+    t_nn = time.perf_counter() - t0
+    total_pairs += float(N) * N
+    total_time += t_nn
+    print(f"# nn:   {t_nn:.3f}s ({N * float(N) / t_nn:.3e} pairs/s)",
+          file=sys.stderr)
+
+    # --- screening series (seeded threshold scan) ---
+    order = density_model.sorted_fe_order(fe)
+    coords_sorted = coords[order]
+    fe_sorted = fe[order]
+    clustering = None
+    thresholds = [0.5, 1.0, 1.5, 2.0]
+    t0 = time.perf_counter()
+    screening_pairs = 0.0
+    for t in thresholds:
+        clustering = density_model.screening_step(
+            fe, nn[1], t, coords, clustering,
+            order=order, coords_sorted=coords_sorted)
+        n_below = float(np.searchsorted(fe_sorted, np.float32(t), "right"))
+        # one full sweep's pair count per threshold (lower bound: the
+        # fixpoint usually converges in a couple of sweeps)
+        screening_pairs += n_below * n_below
+    t_scr = time.perf_counter() - t0
+    total_pairs += screening_pairs
+    total_time += t_scr
+    n_states = len(np.unique(clustering[clustering > 0]))
+    print(f"# screening x{len(thresholds)}: {t_scr:.3f}s"
+          f" ({n_states} states at t={thresholds[-1]})", file=sys.stderr)
+
+    value = total_pairs / total_time
+    print(json.dumps({
+        "metric": f"density pipeline pair-interactions/s (N={N}, D={D},"
+                  f" {len(RADII)} radii + NN + {len(thresholds)}-step"
+                  " screening, 1 chip)",
+        "value": round(value / 1e9, 3),
+        "unit": "Gpairs/s",
+        "vs_baseline": round(value / BASELINE_PAIRS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

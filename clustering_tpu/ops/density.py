@@ -11,7 +11,8 @@ a frame j counts toward pop_i iff  d2(i, j) <= r^2, *including* j == i
 ``<`` differs only on exact-boundary ties (see SURVEY.md "hard parts" #2).
 
 Multi-radius counts are computed in one sweep over the pair blocks, like the
-CUDA kernel's per-radius loop.
+CUDA kernel's per-radius loop. The row-block kernel ``counts_rows`` is shared
+with the sharded multi-chip path (clustering_tpu.parallel.sharded).
 """
 
 import functools
@@ -20,49 +21,66 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pairwise import sq_dists, cdiv, pad_rows
+from .pairwise import sq_dists, pad_rows
 
 DEFAULT_ROW_BLOCK = 1024
 DEFAULT_COL_BLOCK = 4096
+
+
+def counts_rows(rows, col_blocks, radii2, n_valid_cols):
+    """Per-radius neighbor counts of ``rows`` against all column blocks.
+
+    Args:
+      rows: (R, D) query frames.
+      col_blocks: (n_col_blocks, C, D) all frames, blocked and padded.
+      radii2: (n_radii,) squared radii.
+      n_valid_cols: dynamic count of real (unpadded) columns.
+    Returns:
+      (n_radii, R) int32 counts.
+    """
+    n_col_blocks, col_block, _ = col_blocks.shape
+
+    def col_step(carry, inp):
+        y, i_col = inp
+        d2 = sq_dists(rows, y)
+        col_ids = i_col * col_block + jax.lax.broadcasted_iota(
+            jnp.int32, (1, col_block), 1)
+        valid = col_ids < n_valid_cols
+        within = (d2[None, :, :] <= radii2[:, None, None]) & valid[None]
+        return carry + jnp.sum(within, axis=2, dtype=jnp.int32), None
+
+    init = jnp.zeros((radii2.shape[0], rows.shape[0]), dtype=jnp.int32)
+    counts, _ = jax.lax.scan(
+        col_step, init,
+        (col_blocks, jnp.arange(n_col_blocks, dtype=jnp.int32)))
+    return counts
+
+
+def counts_row_range(coords_rows, coords_cols, radii2, n_valid_cols,
+                     row_block, col_block):
+    """Counts for a contiguous row range (R_total, D) against all columns
+    (N_pad, D), streamed in (row_block x col_block) tiles."""
+    n_rows = coords_rows.shape[0]
+    n_row_blocks = n_rows // row_block
+    col_blocks = coords_cols.reshape(-1, col_block, coords_cols.shape[1])
+
+    def row_fn(i_row):
+        x = jax.lax.dynamic_slice_in_dim(coords_rows, i_row * row_block,
+                                         row_block, axis=0)
+        return counts_rows(x, col_blocks, radii2, n_valid_cols)
+
+    all_counts = jax.lax.map(row_fn, jnp.arange(n_row_blocks,
+                                                dtype=jnp.int32))
+    return jnp.transpose(all_counts, (1, 0, 2)).reshape(radii2.shape[0],
+                                                        n_rows)
 
 
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
 def _populations_padded(coords_padded, radii2, n_valid,
                         row_block=DEFAULT_ROW_BLOCK,
                         col_block=DEFAULT_COL_BLOCK):
-    """counts (n_radii, N_padded) over an (N_padded, D) coords array.
-
-    Rows/cols with index >= n_valid are masked out of the counts.
-    """
-    n_pad = coords_padded.shape[0]
-    n_row_blocks = n_pad // row_block
-    n_col_blocks = n_pad // col_block
-    col_blocks = coords_padded.reshape(n_col_blocks, col_block, -1)
-
-    def row_fn(i_row):
-        x = jax.lax.dynamic_slice_in_dim(coords_padded, i_row * row_block,
-                                         row_block, axis=0)
-
-        def col_step(carry, inp):
-            y, i_col = inp
-            d2 = sq_dists(x, y)
-            col_ids = i_col * col_block + jax.lax.broadcasted_iota(
-                jnp.int32, (1, col_block), 1)
-            valid = col_ids < n_valid
-            # (n_radii, B, C) mask -> per-radius per-row counts
-            within = (d2[None, :, :] <= radii2[:, None, None]) & valid[None]
-            counts = jnp.sum(within, axis=2, dtype=jnp.int32)
-            return carry + counts, None
-
-        init = jnp.zeros((radii2.shape[0], row_block), dtype=jnp.int32)
-        counts, _ = jax.lax.scan(
-            col_step, init,
-            (col_blocks, jnp.arange(n_col_blocks, dtype=jnp.int32)))
-        return counts
-
-    # (n_row_blocks, n_radii, row_block) -> (n_radii, N)
-    all_counts = jax.lax.map(row_fn, jnp.arange(n_row_blocks, dtype=jnp.int32))
-    return jnp.transpose(all_counts, (1, 0, 2)).reshape(radii2.shape[0], n_pad)
+    return counts_row_range(coords_padded, coords_padded, radii2, n_valid,
+                            row_block, col_block)
 
 
 def populations(coords, radii,

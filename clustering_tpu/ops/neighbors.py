@@ -13,6 +13,8 @@ with a strict '<' update). Zero-distance pairs (exact duplicate frames) are
 excluded, following the CUDA backend's ``dist2 != 0`` guard; when a frame has
 no admissible neighbor, (index, dist) = (0, 0.0), matching the CUDA
 backend's zero-initialized output buffers (src/density_clustering_cuda.cu:209-215).
+
+The row-block kernel ``nn_rows`` is shared with the sharded multi-chip path.
 """
 
 import functools
@@ -29,59 +31,75 @@ DEFAULT_COL_BLOCK = 4096
 _INF = jnp.float32(np.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
-def _nn_padded(coords_padded, fe_padded, n_valid,
-               row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK):
-    n_pad = coords_padded.shape[0]
-    n_row_blocks = n_pad // row_block
-    n_col_blocks = n_pad // col_block
-    col_blocks = coords_padded.reshape(n_col_blocks, col_block, -1)
-    fe_blocks = fe_padded.reshape(n_col_blocks, col_block)
+def nn_rows(rows, fe_rows, col_blocks, fe_col_blocks, n_valid_cols):
+    """Running (dist, index) minima of ``rows`` against all column blocks.
+
+    Returns (nh_d, nh_j, hd_d, hd_j), each (R,). Distances are +inf when no
+    admissible neighbor exists (callers map that to (0, 0.0)).
+    """
+    n_col_blocks, col_block, _ = col_blocks.shape
+    row_block = rows.shape[0]
+
+    def col_step(carry, inp):
+        nh_d, nh_j, hd_d, hd_j = carry
+        y, fe_y, i_col = inp
+        d2 = sq_dists(rows, y)
+        col_ids = i_col * col_block + jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, col_block), 1)
+        valid = (col_ids < n_valid_cols) & (d2 > 0.0)
+        d2_nh = jnp.where(valid, d2, _INF)
+        bj = jnp.argmin(d2_nh, axis=1)
+        bd = jnp.take_along_axis(d2_nh, bj[:, None], axis=1)[:, 0]
+        bj_glob = bj.astype(jnp.int32) + i_col * col_block
+        upd = bd < nh_d
+        nh_d = jnp.where(upd, bd, nh_d)
+        nh_j = jnp.where(upd, bj_glob, nh_j)
+        d2_hd = jnp.where(fe_y[None, :] < fe_rows[:, None], d2_nh, _INF)
+        hj = jnp.argmin(d2_hd, axis=1)
+        hd = jnp.take_along_axis(d2_hd, hj[:, None], axis=1)[:, 0]
+        hj_glob = hj.astype(jnp.int32) + i_col * col_block
+        updh = hd < hd_d
+        hd_d = jnp.where(updh, hd, hd_d)
+        hd_j = jnp.where(updh, hj_glob, hd_j)
+        return (nh_d, nh_j, hd_d, hd_j), None
+
+    init = (jnp.full((row_block,), _INF),
+            jnp.zeros((row_block,), dtype=jnp.int32),
+            jnp.full((row_block,), _INF),
+            jnp.zeros((row_block,), dtype=jnp.int32))
+    carry, _ = jax.lax.scan(
+        col_step, init,
+        (col_blocks, fe_col_blocks,
+         jnp.arange(n_col_blocks, dtype=jnp.int32)))
+    return carry
+
+
+def nn_row_range(coords_rows, fe_rows, coords_cols, fe_cols, n_valid_cols,
+                 row_block, col_block):
+    """NN search for a contiguous row range against all columns."""
+    n_rows = coords_rows.shape[0]
+    n_row_blocks = n_rows // row_block
+    col_blocks = coords_cols.reshape(-1, col_block, coords_cols.shape[1])
+    fe_blocks = fe_cols.reshape(-1, col_block)
 
     def row_fn(i_row):
-        x = jax.lax.dynamic_slice_in_dim(coords_padded, i_row * row_block,
+        x = jax.lax.dynamic_slice_in_dim(coords_rows, i_row * row_block,
                                          row_block, axis=0)
-        fe_x = jax.lax.dynamic_slice_in_dim(fe_padded, i_row * row_block,
+        fe_x = jax.lax.dynamic_slice_in_dim(fe_rows, i_row * row_block,
                                             row_block, axis=0)
-
-        def col_step(carry, inp):
-            nh_d, nh_j, hd_d, hd_j = carry
-            y, fe_y, i_col = inp
-            d2 = sq_dists(x, y)
-            col_ids = i_col * col_block + jax.lax.broadcasted_iota(
-                jnp.int32, (row_block, col_block), 1)
-            valid = (col_ids < n_valid) & (d2 > 0.0)
-            d2_nh = jnp.where(valid, d2, _INF)
-            # nearest neighbor: blockwise argmin, then strict-< running merge
-            bj = jnp.argmin(d2_nh, axis=1)
-            bd = jnp.take_along_axis(d2_nh, bj[:, None], axis=1)[:, 0]
-            bj_glob = bj.astype(jnp.int32) + i_col * col_block
-            upd = bd < nh_d
-            nh_d = jnp.where(upd, bd, nh_d)
-            nh_j = jnp.where(upd, bj_glob, nh_j)
-            # higher-density neighbor: additionally fe[j] < fe[i]
-            d2_hd = jnp.where(fe_y[None, :] < fe_x[:, None], d2_nh, _INF)
-            hj = jnp.argmin(d2_hd, axis=1)
-            hd = jnp.take_along_axis(d2_hd, hj[:, None], axis=1)[:, 0]
-            hj_glob = hj.astype(jnp.int32) + i_col * col_block
-            updh = hd < hd_d
-            hd_d = jnp.where(updh, hd, hd_d)
-            hd_j = jnp.where(updh, hj_glob, hd_j)
-            return (nh_d, nh_j, hd_d, hd_j), None
-
-        init = (jnp.full((row_block,), _INF),
-                jnp.zeros((row_block,), dtype=jnp.int32),
-                jnp.full((row_block,), _INF),
-                jnp.zeros((row_block,), dtype=jnp.int32))
-        carry, _ = jax.lax.scan(
-            col_step, init,
-            (col_blocks, fe_blocks, jnp.arange(n_col_blocks, dtype=jnp.int32)))
-        return carry
+        return nn_rows(x, fe_x, col_blocks, fe_blocks, n_valid_cols)
 
     nh_d, nh_j, hd_d, hd_j = jax.lax.map(
         row_fn, jnp.arange(n_row_blocks, dtype=jnp.int32))
     return (nh_d.reshape(-1), nh_j.reshape(-1),
             hd_d.reshape(-1), hd_j.reshape(-1))
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+def _nn_padded(coords_padded, fe_padded, n_valid,
+               row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK):
+    return nn_row_range(coords_padded, fe_padded, coords_padded, fe_padded,
+                        n_valid, row_block, col_block)
 
 
 def nearest_neighbors(coords, free_energy,

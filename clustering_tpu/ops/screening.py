@@ -28,6 +28,9 @@ iteration), the whole fixpoint runs on-device inside one ``lax.while_loop``:
 Labels are int32 frame pointers in FE-sorted index space with the invariant
 label[i] <= i; a component's final label is the smallest sorted-index of its
 members, which reproduces the reference's name-assignment order.
+
+``sweep_row_range`` and ``union_rebase`` are shared with the sharded
+multi-chip path (clustering_tpu.parallel.sharded).
 """
 
 import functools
@@ -44,11 +47,78 @@ DEFAULT_COL_BLOCK = 4096
 _IMAX = jnp.int32(np.iinfo(np.int32).max)
 
 
+def sweep_row_range(coords_all, labels, row_offset, n_rows_local, n_below,
+                    max_dist2, row_block, col_block):
+    """Gauss-Seidel neighbor-min sweep over rows
+    [row_offset, row_offset + n_rows_local).
+
+    ``coords_all`` is the full padded (N_pad, D) FE-sorted frame matrix and
+    ``labels`` the full (N_pad,) label vector; only local rows below
+    ``n_below`` are updated. Returns the updated full label vector.
+    """
+    n_local_blocks = n_rows_local // row_block
+    n_active = jnp.clip((n_below - row_offset + row_block - 1) // row_block,
+                        0, n_local_blocks)
+    n_col_blocks = (n_below + col_block - 1) // col_block
+
+    def row_body(i_row, labels_cur):
+        row0 = row_offset + i_row * row_block
+        x = jax.lax.dynamic_slice_in_dim(coords_all, row0, row_block, axis=0)
+        lab_x = jax.lax.dynamic_slice_in_dim(labels_cur, row0, row_block,
+                                             axis=0)
+        row_ids = row0 + jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, 1), 0)[:, 0]
+
+        def col_body(i_col, m):
+            col0 = i_col * col_block
+            y = jax.lax.dynamic_slice_in_dim(coords_all, col0, col_block,
+                                             axis=0)
+            lab_y = jax.lax.dynamic_slice_in_dim(labels_cur, col0, col_block,
+                                                 axis=0)
+            d2 = sq_dists(x, y)
+            col_ids = col0 + jax.lax.broadcasted_iota(
+                jnp.int32, (row_block, col_block), 1)
+            adj = (d2 < max_dist2) & (col_ids < n_below)
+            cand = jnp.where(adj, lab_y[None, :], _IMAX)
+            return jnp.minimum(m, jnp.min(cand, axis=1))
+
+        m = jax.lax.fori_loop(0, n_col_blocks, col_body,
+                              jnp.full((row_block,), _IMAX, dtype=jnp.int32))
+        new_lab = jnp.where(row_ids < n_below,
+                            jnp.minimum(lab_x, m), lab_x)
+        return jax.lax.dynamic_update_slice_in_dim(labels_cur, new_lab,
+                                                   row0, axis=0)
+
+    return jax.lax.fori_loop(0, n_active, row_body, labels)
+
+
+def pointer_jump(table):
+    """Compress label chains until table == table[table]."""
+    def cond(m):
+        return jnp.any(m[m] != m)
+
+    def body(m):
+        return m[m]
+
+    return jax.lax.while_loop(cond, body, table)
+
+
+def union_rebase(labels_in, labels_cur):
+    """Label-granularity union: all frames sharing a pre-sweep label are
+    rebased to the minimum post-sweep label proposed for it (parallel
+    equivalent of the reference dict-rebase,
+    src/density_clustering_cuda.cu:557-571)."""
+    iota = jnp.arange(labels_in.shape[0], dtype=jnp.int32)
+    table = iota.at[labels_in].min(labels_cur)
+    table = pointer_jump(table)
+    return table[labels_in]
+
+
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
 def _screening_fixpoint(coords_sorted, labels0, n_below, max_dist2,
                         row_block=DEFAULT_ROW_BLOCK,
                         col_block=DEFAULT_COL_BLOCK):
-    """Run the connected-component fixpoint.
+    """Run the connected-component fixpoint on one chip.
 
     Args:
       coords_sorted: (N_pad, D) fp32, frames in FE-ascending order (padded).
@@ -59,51 +129,6 @@ def _screening_fixpoint(coords_sorted, labels0, n_below, max_dist2,
       (N_pad,) int32 final labels (component = min member sorted-index).
     """
     n_pad = coords_sorted.shape[0]
-    n_row_blocks = (n_below + row_block - 1) // row_block
-    n_col_blocks = (n_below + col_block - 1) // col_block
-    iota = jnp.arange(n_pad, dtype=jnp.int32)
-
-    def sweep(labels):
-        def row_body(i_row, labels_cur):
-            row0 = i_row * row_block
-            x = jax.lax.dynamic_slice_in_dim(coords_sorted, row0,
-                                             row_block, axis=0)
-            lab_x = jax.lax.dynamic_slice_in_dim(labels_cur, row0,
-                                                 row_block, axis=0)
-            row_ids = row0 + jax.lax.broadcasted_iota(
-                jnp.int32, (row_block, 1), 0)[:, 0]
-
-            def col_body(i_col, m):
-                col0 = i_col * col_block
-                y = jax.lax.dynamic_slice_in_dim(coords_sorted, col0,
-                                                 col_block, axis=0)
-                lab_y = jax.lax.dynamic_slice_in_dim(labels_cur, col0,
-                                                     col_block, axis=0)
-                d2 = sq_dists(x, y)
-                col_ids = col0 + jax.lax.broadcasted_iota(
-                    jnp.int32, (row_block, col_block), 1)
-                adj = (d2 < max_dist2) & (col_ids < n_below)
-                cand = jnp.where(adj, lab_y[None, :], _IMAX)
-                return jnp.minimum(m, jnp.min(cand, axis=1))
-
-            m = jax.lax.fori_loop(0, n_col_blocks, col_body,
-                                  jnp.full((row_block,), _IMAX,
-                                           dtype=jnp.int32))
-            new_lab = jnp.where(row_ids < n_below,
-                                jnp.minimum(lab_x, m), lab_x)
-            return jax.lax.dynamic_update_slice_in_dim(
-                labels_cur, new_lab, row0, axis=0)
-
-        return jax.lax.fori_loop(0, n_row_blocks, row_body, labels)
-
-    def pointer_jump(m):
-        def cond(m):
-            return jnp.any(m[m] != m)
-
-        def body(m):
-            return m[m]
-
-        return jax.lax.while_loop(cond, body, m)
 
     def outer_cond(state):
         _, changed = state
@@ -111,12 +136,10 @@ def _screening_fixpoint(coords_sorted, labels0, n_below, max_dist2,
 
     def outer_body(state):
         labels_in, _ = state
-        labels_cur = sweep(labels_in)
-        # union at label granularity: all frames sharing a pre-sweep label
-        # are rebased together (reference dict-rebase semantics)
-        table = iota.at[labels_in].min(labels_cur)
-        table = pointer_jump(table)
-        labels_out = table[labels_in]
+        labels_cur = sweep_row_range(coords_sorted, labels_in, 0, n_pad,
+                                     n_below, max_dist2,
+                                     row_block, col_block)
+        labels_out = union_rebase(labels_in, labels_cur)
         return (labels_out, jnp.any(labels_out != labels_in))
 
     labels, _ = jax.lax.while_loop(outer_cond, outer_body,

@@ -1,0 +1,34 @@
+"""Device-mesh construction helpers.
+
+The framework scales over a 1-D mesh on the frame axis: the O(N^2) pair
+interactions are row-sharded (each chip owns a contiguous row range and
+streams all columns), the TPU-native replacement for the reference's
+multi-GPU row-range decomposition (src/density_clustering_cuda.cu:139-182)
+and MPI triangular balance (src/density_clustering_mpi.cpp:59-77).
+Collectives (psum-style count merges, all_gather label exchange) ride ICI;
+there is no rank-0 special-casing -- the program is SPMD throughout.
+"""
+
+import numpy as np
+
+import jax
+
+FRAME_AXIS = "frames"
+
+
+def make_mesh(n_devices=None, devices=None):
+    """1-D mesh over the frame axis.
+
+    Args:
+      n_devices: use the first n devices (default: all).
+      devices: explicit device list (overrides n_devices).
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return jax.sharding.Mesh(np.asarray(devices), (FRAME_AXIS,))
+
+
+def mesh_size(mesh) -> int:
+    return int(np.prod(list(mesh.shape.values())))
