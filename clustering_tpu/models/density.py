@@ -86,7 +86,7 @@ def normalized_cluster_names(n_below, clustering, order):
 
 
 def screening_step(free_energy, nh_dist, threshold, coords, prev_clustering,
-                   order=None, coords_sorted=None):
+                   order=None, coords_sorted=None, engine=None):
     """One screening threshold: returns the normalized clustered trajectory.
 
     Reference: CUDA screening driver src/density_clustering_cuda.cu:396-594.
@@ -132,8 +132,9 @@ def screening_step(free_energy, nh_dist, threshold, coords, prev_clustering,
         first_occ = seeded_pos[first_idx]  # first sorted-index per seed value
         labels0[seeded_pos] = first_occ[
             np.searchsorted(vals, prefix[seeded])]
-    final = ops.screening_labels(coords_sorted, labels0.astype(np.int32),
-                                 n_below, max_dist2)
+    if engine is None:
+        engine = ops.screening.ScreeningEngine(coords_sorted)
+    final = engine.run(labels0.astype(np.int32), n_below, max_dist2)
     clustering = np.zeros(n, dtype=np.int64)
     clustering[order[:n_below]] = final[:n_below].astype(np.int64) + 1
     return normalized_cluster_names(n_below, clustering, order)
@@ -143,6 +144,7 @@ def main(args, header_comment, comments_map):
     """density mode (reference: src/density_clustering.cpp:559-825)."""
     coords = io.read_coords(args.file)
     n_rows = coords.shape[0]
+    engine = ops.engine.DensityEngine(coords)
     free_energy = None
 
     if args.input and (args.free_energy or args.nearest_neighbors):
@@ -168,7 +170,7 @@ def main(args, header_comment, comments_map):
                      " energies.\n       why did you define -R ?")
             radii = list(args.radii)
             logger("    using radii: " + ", ".join(str(r) for r in radii))
-            pops_map = ops.populations(coords, radii)
+            pops_map = engine.populations(radii)
             logger("    storing results")
             for radius in sorted(pops_map):
                 pops = pops_map[radius]
@@ -185,9 +187,9 @@ def main(args, header_comment, comments_map):
                 # no radius: compute the lumping radius from NN statistics
                 # (reference: density_clustering.cpp:646-673)
                 logger("    computing lumping radius")
-                pops = ops.populations(coords, [1.0])[1.0]
+                pops = engine.populations([1.0])[1.0]
                 fe_tmp = ops.free_energies(pops)
-                _, nh_dist, _, _ = ops.nearest_neighbors(coords, fe_tmp)
+                _, nh_dist, _, _ = engine.nearest_neighbors(fe_tmp)
                 sigma2 = ops.neighbors.compute_sigma2(nh_dist)
                 radius_lump = float(np.sqrt(np.float32(4.0 * sigma2)))
                 logger("        d_lump=" + io.fmt_float(radius_lump))
@@ -198,7 +200,7 @@ def main(args, header_comment, comments_map):
             logger("    calculating free energy and population")
             logger("    using radius: " + io.fmt_float(radius))
             comments_map["clustering_radius"] = radius
-            pops = ops.populations(coords, [radius])[radius]
+            pops = engine.populations([radius])[radius]
             if args.population:
                 logger("    storing population in: " + args.population)
                 io.write_pops(args.population, pops, header_comment,
@@ -222,7 +224,7 @@ def main(args, header_comment, comments_map):
             _die("error: nearest neighbor calculation cannot be done with\n"
                  "       several radii (-R is set).")
         logger("    calculating nearest neighbors")
-        nh = ops.nearest_neighbors(coords, free_energy)
+        nh = engine.nearest_neighbors(free_energy)
         if comments_map["lumping_radius"] == 0.0:
             sigma2 = ops.neighbors.compute_sigma2(nh[1])
             radius_lump = float(np.sqrt(np.float32(4.0 * sigma2)))
@@ -284,12 +286,14 @@ def main(args, header_comment, comments_map):
             t_to_high = np.float32(t_to + t_step / np.float32(10.0) + t_step)
             order = sorted_fe_order(free_energy)
             coords_sorted = coords[order]
+            engine = ops.screening.ScreeningEngine(coords_sorted)
             clustering = None
             t = t_from
             while (t < t_to_low) and not (t_to_high < t):
                 clustering = screening_step(free_energy, nh[1], t, coords,
                                             clustering, order=order,
-                                            coords_sorted=coords_sorted)
+                                            coords_sorted=coords_sorted,
+                                            engine=engine)
                 io.write_clustered_trajectory(
                     io.stringprintf(args.output + ".%0.2f", float(t)),
                     clustering, header_comment, comments_map)

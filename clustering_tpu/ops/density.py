@@ -84,15 +84,25 @@ def _populations_padded(coords_padded, radii2, n_valid,
 
 
 def populations(coords, radii,
-                row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK):
+                row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK,
+                backend="auto", prune=True):
     """Neighbor populations for each radius.
 
     Args:
       coords: (N, D) float32 array (numpy or jax).
       radii: sequence of radii.
+      backend: 'pallas' (fused tile kernel + bbox pruning), 'xla'
+        (blockwise jnp), or 'auto' (pallas on TPU, xla elsewhere).
     Returns:
       dict radius -> (N,) int64 numpy array of populations (self included).
     """
+    if backend == "auto":
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if backend == "pallas":
+        from .engine import DensityEngine
+        eng = DensityEngine(coords, row_block=row_block,
+                            col_block=col_block, backend="pallas")
+        return eng.populations(radii, prune=prune)
     coords = jnp.asarray(coords, dtype=jnp.float32)
     n = coords.shape[0]
     block = int(np.lcm(row_block, col_block))

@@ -1,0 +1,169 @@
+"""Device-resident driver for the density pipeline's O(N^2) stages.
+
+Uploads the frame matrix once, caches sort orders, padded/transposed device
+copies and bbox pruning structures, and runs the Pallas (or XLA) kernels for
+populations and NN search against them. This is the engine behind
+``clustering density``: the reference re-reads and re-uploads per stage
+(src/density_clustering_cuda.cu:65-99, 200-224); here HBM keeps everything
+resident across the whole mode run.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import density as dops
+from . import neighbors as nops
+from . import pruning
+
+DEFAULT_ROW_BLOCK = 512
+DEFAULT_COL_BLOCK = 2048
+
+
+class DensityEngine:
+    def __init__(self, coords, row_block=DEFAULT_ROW_BLOCK,
+                 col_block=DEFAULT_COL_BLOCK, backend="auto"):
+        if backend == "auto":
+            backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+        self.backend = backend
+        self.row_block = row_block
+        self.col_block = col_block
+        self.coords = np.ascontiguousarray(coords, dtype=np.float32)
+        self.n, self.d = self.coords.shape
+        block = int(np.lcm(row_block, col_block))
+        self.n_pad = -(-self.n // block) * block
+        self._orders = {}       # name -> (order, padded_host)
+        self._dev = {}          # name -> device array ((D, N_pad) or (N_pad, D))
+        self._skips = {}        # (name, thresh2, strict) -> skip words
+
+    # -- cached layouts ----------------------------------------------------
+
+    def _padded(self, name):
+        if name not in self._orders:
+            if name == "orig":
+                order = None
+                sorted_coords = self.coords
+            elif name == "dim0":
+                order = np.argsort(self.coords[:, 0], kind="stable")
+                sorted_coords = self.coords[order]
+            elif name == "morton":
+                order = pruning.morton_order(self.coords)
+                sorted_coords = self.coords[order]
+            else:
+                raise ValueError(name)
+            padded = np.zeros((self.n_pad, self.d), dtype=np.float32)
+            padded[:self.n] = sorted_coords
+            padded[self.n:] = np.float32(3e38)
+            self._orders[name] = (order, padded)
+        return self._orders[name]
+
+    def _device(self, name):
+        if name not in self._dev:
+            _, padded = self._padded(name)
+            if self.backend == "pallas":
+                self._dev[name] = jnp.asarray(padded.T)
+            else:
+                self._dev[name] = jnp.asarray(padded)
+        return self._dev[name]
+
+    def _skip_words(self, name, thresh2, strict=True):
+        key = (name, float(thresh2), strict)
+        if key not in self._skips:
+            _, padded = self._padded(name)
+            self._skips[key], _ = pruning.radius_skip_words(
+                padded, self.row_block, self.col_block,
+                np.float32(thresh2), strict=strict)
+        return self._skips[key]
+
+    def _best_sort(self, thresh2):
+        """Pick the ordering (dim0 vs morton) with the higher measured tile
+        skip fraction at this radius."""
+        best, best_frac = None, -1.0
+        for name in ("dim0", "morton"):
+            _, padded = self._padded(name)
+            rmin, rmax = pruning.block_bboxes(padded, self.row_block)
+            cmin, cmax = pruning.block_bboxes(padded, self.col_block)
+            frac = float(
+                (pruning.bbox_dist2(rmin, rmax, cmin, cmax)
+                 > np.float32(thresh2)).mean())
+            if frac > best_frac:
+                best, best_frac = name, frac
+        return best
+
+    # -- ops ---------------------------------------------------------------
+
+    def populations(self, radii, prune=True):
+        radii = list(radii)
+        radii2 = jnp.asarray([np.float32(r) * np.float32(r) for r in radii],
+                             dtype=jnp.float32)
+        if self.backend != "pallas":
+            counts = dops._populations_padded(
+                self._device("orig"), radii2, jnp.int32(self.n),
+                row_block=self.row_block, col_block=self.col_block)
+            counts = np.asarray(jax.device_get(counts))[:, :self.n]
+            return {r: counts[i].astype(np.int64)
+                    for i, r in enumerate(radii)}
+        from . import pallas_kernels as pk
+        r_max2 = np.float32(max(radii)) * np.float32(max(radii))
+        if prune:
+            name = self._best_sort(r_max2)
+            skip = self._skip_words(name, r_max2, strict=True)
+        else:
+            name = "orig"
+            skip, _ = pruning.no_skip_words(self.n_pad // self.row_block,
+                                            self.n_pad // self.col_block)
+        order, _ = self._padded(name)
+        counts = pk.pops_tiles(self._device(name), radii2, np.int32(self.n),
+                               skip, row_block=self.row_block,
+                               col_block=self.col_block)
+        counts = np.asarray(jax.device_get(counts))[:, :self.n]
+        if order is not None:
+            unsorted = np.empty_like(counts)
+            unsorted[:, order] = counts
+            counts = unsorted
+        return {r: counts[i].astype(np.int64) for i, r in enumerate(radii)}
+
+    def nearest_neighbors(self, free_energy, prune=True, band_blocks=4):
+        fe = np.asarray(free_energy, dtype=np.float32)
+        if self.backend != "pallas":
+            return nops.nearest_neighbors(self.coords, fe,
+                                          row_block=self.row_block,
+                                          col_block=self.col_block,
+                                          backend="xla")
+        from . import pallas_kernels as pk
+        n, n_pad = self.n, self.n_pad
+        fe_padded = np.full(n_pad, np.inf, dtype=np.float32)
+        fe_padded[:n] = fe
+        fe_dev = jnp.asarray(fe_padded).reshape(1, n_pad)
+        coords_t = self._device("orig")
+        _, padded = self._padded("orig")
+        nrb, ncb = n_pad // self.row_block, n_pad // self.col_block
+        if prune and ncb > 2 * band_blocks:
+            band_words, _ = pruning.band_skip_words(
+                nrb, ncb, self.row_block, self.col_block,
+                band_blocks * self.col_block)
+            out1 = pk.nn_tiles(coords_t, fe_dev, np.int32(n), band_words,
+                               row_block=self.row_block,
+                               col_block=self.col_block)
+            nh_d1 = np.asarray(out1[0])[0]
+            hd_d1 = np.asarray(out1[2])[0]
+            row_ub = np.maximum(nh_d1, hd_d1).reshape(
+                nrb, self.row_block).max(axis=1)
+            skip_words, _ = pruning.ub_skip_words(
+                padded, self.row_block, self.col_block, row_ub)
+        else:
+            skip_words, _ = pruning.no_skip_words(nrb, ncb)
+        out = pk.nn_tiles(coords_t, fe_dev, np.int32(n), skip_words,
+                          row_block=self.row_block,
+                          col_block=self.col_block)
+        nh_d = np.array(jax.device_get(out[0]))[0, :n]
+        nh_j = np.array(jax.device_get(out[1]))[0, :n].astype(np.int64)
+        hd_d = np.array(jax.device_get(out[2]))[0, :n]
+        hd_j = np.array(jax.device_get(out[3]))[0, :n].astype(np.int64)
+        no_nh = ~np.isfinite(nh_d)
+        nh_d[no_nh] = 0.0
+        nh_j[no_nh] = 0
+        no_hd = ~np.isfinite(hd_d)
+        hd_d[no_hd] = 0.0
+        hd_j[no_hd] = 0
+        return nh_j, nh_d.astype(np.float32), hd_j, hd_d.astype(np.float32)

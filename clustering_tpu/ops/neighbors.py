@@ -104,8 +104,16 @@ def _nn_padded(coords_padded, fe_padded, n_valid,
 
 def nearest_neighbors(coords, free_energy,
                       row_block=DEFAULT_ROW_BLOCK,
-                      col_block=DEFAULT_COL_BLOCK):
+                      col_block=DEFAULT_COL_BLOCK,
+                      backend="auto", prune=True):
     """Returns (nh_idx, nh_d2, nhhd_idx, nhhd_d2) as numpy arrays of len N."""
+    if backend == "auto":
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if backend == "pallas":
+        from .engine import DensityEngine
+        eng = DensityEngine(coords, row_block=row_block,
+                            col_block=col_block, backend="pallas")
+        return eng.nearest_neighbors(free_energy, prune=prune)
     coords = jnp.asarray(coords, dtype=jnp.float32)
     fe = jnp.asarray(free_energy, dtype=jnp.float32)
     n = coords.shape[0]

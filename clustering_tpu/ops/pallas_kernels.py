@@ -1,0 +1,303 @@
+"""Fused Pallas TPU kernels for the O(N^2) density-clustering hot loops.
+
+TPU-native re-design of the reference CUDA kernels
+(src/density_clustering_cuda_kernels.cu):
+
+  * ``pops_tiles``      -- multi-radius population counts (kernel analog:
+    population_count, :9-56)
+  * ``nn_tiles``        -- joint NN + NN-higher-density masked running
+    argmin (kernel analog: nearest_neighbor_search, :58-130)
+  * ``label_min_tiles`` -- neighbor-min label proposals for the screening
+    connected-components sweep (kernel analog: screening, :132-192)
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+  * Coordinates are stored transposed, (D, N): the frame axis maps onto the
+    128-wide lane dimension, D (typically 2..16 collective variables) onto
+    sublanes. A (row_block x col_block) distance tile is built on the VPU by
+    per-dimension broadcast-subtract-fma -- for small D this beats an MXU
+    matmul, whose contraction dim would be padded from D to 128.
+  * The grid iterates (row_block, col_block) tiles; outputs are indexed by
+    row block only, so Pallas keeps them resident in VMEM while the column
+    grid dimension sweeps (revisiting semantics) -- the running-min /
+    accumulate pattern of the CUDA kernels without any HBM round-trips.
+  * The valid-range scalars (n_valid, n_below) are dynamic operands in SMEM:
+    one compiled kernel serves every screening threshold.
+  * Every kernel takes a bit-packed per-tile skip matrix (scalar-prefetched
+    into SMEM, see clustering_tpu.ops.pruning): tiles whose bounding-box
+    distance exceeds the interaction radius skip all VPU work -- the
+    TPU equivalent of the reference's box-grid pruning
+    (src/density_clustering.cpp:41-105).
+  * All tiles stay in fp32 with ascending-d accumulation, preserving the
+    reference's distance semantics bit-for-bit.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_ROW_BLOCK = 256
+DEFAULT_COL_BLOCK = 2048
+
+# CPU backends run the kernels through the Pallas interpreter (tests)
+INTERPRET = jax.default_backend() == "cpu"
+
+_IMAX = np.int32(np.iinfo(np.int32).max)
+_INF = np.float32(np.inf)
+
+
+def _dist2_tile(x_ref, y_ref, row_block, col_block, n_dim):
+    """(row_block, col_block) squared-distance tile from (D, R) and (D, C)
+    coordinate tiles; ascending-d fp32 accumulation."""
+    acc = jnp.zeros((row_block, col_block), dtype=jnp.float32)
+    for k in range(n_dim):
+        diff = x_ref[k, :].reshape(row_block, 1) - \
+            y_ref[k, :].reshape(1, col_block)
+        # diff*diff + acc lowers to a single VPU fma (matches the CUDA
+        # kernel's fma accumulation, _cuda_kernels.cu:46)
+        acc = diff * diff + acc
+    return acc
+
+
+def _tile_active(skip_ref, words_per_row):
+    """True when the current (i, j) tile is not pruned."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    word = skip_ref[i * words_per_row + j // 32]
+    bit = jax.lax.shift_right_logical(word, jnp.int32(j % 32)) & 1
+    return bit == 0
+
+
+# ---------------------------------------------------------------------------
+# populations
+# ---------------------------------------------------------------------------
+
+def _pops_kernel(n_valid_ref, skip_ref, xt_ref, yt_ref, radii2_ref, out_ref,
+                 *, row_block, col_block, n_dim, n_radii, words_per_row):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    @pl.when(_tile_active(skip_ref, words_per_row))
+    def _():
+        d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
+        col0 = j * col_block
+        col_ids = col0 + jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, col_block), 1)
+        valid = col_ids < n_valid_ref[0]
+        for r in range(n_radii):
+            within = jnp.where(valid & (d2 <= radii2_ref[r]), 1, 0)
+            out_ref[r, :] += jnp.sum(within, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("row_block", "col_block"))
+def pops_tiles(coords_t, radii2, n_valid, skip_words,
+               row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK):
+    """Multi-radius population counts.
+
+    Args:
+      coords_t: (D, N_pad) fp32 transposed coordinates, N_pad divisible by
+        both blocks.
+      radii2: (n_radii,) fp32 squared radii.
+      n_valid: dynamic int32 count of real columns.
+      skip_words: bit-packed per-tile skip matrix
+        (clustering_tpu.ops.pruning).
+    Returns:
+      (n_radii, N_pad) int32 counts (self-inclusive, d2 <= r^2).
+    """
+    n_dim, n_pad = coords_t.shape
+    n_radii = radii2.shape[0]
+    grid = (n_pad // row_block, n_pad // col_block)
+    words_per_row = -(-grid[1] // 32)
+    kernel = functools.partial(_pops_kernel, row_block=row_block,
+                               col_block=col_block, n_dim=n_dim,
+                               n_radii=n_radii, words_per_row=words_per_row)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_dim, row_block), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((n_dim, col_block), lambda i, j, *_: (0, j)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((n_radii, row_block),
+                               lambda i, j, *_: (0, i)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_radii, n_pad), jnp.int32),
+        interpret=INTERPRET,
+    )(jnp.asarray([n_valid], dtype=jnp.int32),
+      jnp.asarray(skip_words, dtype=jnp.int32),
+      coords_t, coords_t,
+      jnp.asarray(radii2, dtype=jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# nearest neighbors
+# ---------------------------------------------------------------------------
+
+def _nn_kernel(n_valid_ref, skip_ref, xt_ref, yt_ref, fe_x_ref, fe_y_ref,
+               nh_d_ref, nh_j_ref, hd_d_ref, hd_j_ref,
+               *, row_block, col_block, n_dim, words_per_row):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        nh_d_ref[:, :] = jnp.full_like(nh_d_ref, _INF)
+        nh_j_ref[:, :] = jnp.zeros_like(nh_j_ref)
+        hd_d_ref[:, :] = jnp.full_like(hd_d_ref, _INF)
+        hd_j_ref[:, :] = jnp.zeros_like(hd_j_ref)
+
+    @pl.when(_tile_active(skip_ref, words_per_row))
+    def _():
+        d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
+        col0 = j * col_block
+        col_ids = col0 + jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, col_block), 1)
+        valid = (col_ids < n_valid_ref[0]) & (d2 > 0.0)
+        d2_nh = jnp.where(valid, d2, _INF)
+        # blockwise first-min (argmin returns first occurrence = smallest j)
+        bj = jnp.argmin(d2_nh, axis=1).astype(jnp.int32)
+        bd = jnp.min(d2_nh, axis=1)
+        upd = bd < nh_d_ref[0, :]
+        nh_d_ref[0, :] = jnp.where(upd, bd, nh_d_ref[0, :])
+        nh_j_ref[0, :] = jnp.where(upd, bj + col0, nh_j_ref[0, :])
+
+        fe_x = fe_x_ref[0, :].reshape(row_block, 1)
+        fe_y = fe_y_ref[0, :].reshape(1, col_block)
+        d2_hd = jnp.where(fe_y < fe_x, d2_nh, _INF)
+        hj = jnp.argmin(d2_hd, axis=1).astype(jnp.int32)
+        hd = jnp.min(d2_hd, axis=1)
+        updh = hd < hd_d_ref[0, :]
+        hd_d_ref[0, :] = jnp.where(updh, hd, hd_d_ref[0, :])
+        hd_j_ref[0, :] = jnp.where(updh, hj + col0, hd_j_ref[0, :])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("row_block", "col_block"))
+def nn_tiles(coords_t, fe, n_valid, skip_words,
+             row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK):
+    """Joint NN / NN-higher-density search.
+
+    Args:
+      coords_t: (D, N_pad) fp32 transposed coordinates.
+      fe: (1, N_pad) fp32 free energies (+inf on padded columns).
+      n_valid: dynamic int32 count of real columns.
+      skip_words: bit-packed per-tile skip matrix.
+    Returns:
+      (nh_d, nh_j, hd_d, hd_j), each (1, N_pad); distances +inf where no
+      admissible neighbor exists (or where pruning removed all tiles --
+      callers must combine passes accordingly).
+    """
+    n_dim, n_pad = coords_t.shape
+    grid = (n_pad // row_block, n_pad // col_block)
+    words_per_row = -(-grid[1] // 32)
+    kernel = functools.partial(_nn_kernel, row_block=row_block,
+                               col_block=col_block, n_dim=n_dim,
+                               words_per_row=words_per_row)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_dim, row_block), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((n_dim, col_block), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((1, row_block), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((1, col_block), lambda i, j, *_: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, row_block), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((1, row_block), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((1, row_block), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((1, row_block), lambda i, j, *_: (0, i)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        interpret=INTERPRET,
+    )(jnp.asarray([n_valid], dtype=jnp.int32),
+      jnp.asarray(skip_words, dtype=jnp.int32),
+      coords_t, coords_t, fe, fe)
+
+
+# ---------------------------------------------------------------------------
+# screening neighbor-min sweep
+# ---------------------------------------------------------------------------
+
+def _label_min_kernel(n_below_ref, max_d2_ref, skip_ref, xt_ref, yt_ref,
+                      lab_y_ref, out_ref,
+                      *, row_block, col_block, n_dim, words_per_row):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    n_below = n_below_ref[0]
+    max_dist2 = max_d2_ref[0]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.full_like(out_ref, _IMAX)
+
+    # skip pruned tiles and tiles entirely above the threshold boundary
+    @pl.when(_tile_active(skip_ref, words_per_row)
+             & (i * row_block < n_below) & (j * col_block < n_below))
+    def _():
+        d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
+        col_ids = j * col_block + jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, col_block), 1)
+        row_ids = i * row_block + jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, col_block), 0)
+        adj = (d2 < max_dist2) & (col_ids < n_below) & (row_ids < n_below)
+        cand = jnp.where(adj, lab_y_ref[0, :].reshape(1, col_block), _IMAX)
+        out_ref[0, :] = jnp.minimum(out_ref[0, :], jnp.min(cand, axis=1))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("row_block", "col_block"))
+def label_min_tiles(coords_t_sorted, labels, n_below, max_dist2, skip_words,
+                    row_block=DEFAULT_ROW_BLOCK,
+                    col_block=DEFAULT_COL_BLOCK):
+    """Neighbor-min label proposals m_i = min{ labels[j] : d2(i,j) <
+    max_dist2, j < n_below } over FE-sorted frames (IMAX where none).
+
+    Jacobi-style sweep: proposals are combined with the current labels by
+    the caller's union/rebase step. Args: coords_t_sorted (D, N_pad) fp32,
+    labels (1, N_pad) int32.
+    """
+    n_dim, n_pad = coords_t_sorted.shape
+    grid = (n_pad // row_block, n_pad // col_block)
+    words_per_row = -(-grid[1] // 32)
+    kernel = functools.partial(_label_min_kernel, row_block=row_block,
+                               col_block=col_block, n_dim=n_dim,
+                               words_per_row=words_per_row)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_dim, row_block), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((n_dim, col_block), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((1, col_block), lambda i, j, *_: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, row_block), lambda i, j, *_: (0, i)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        interpret=INTERPRET,
+    )(jnp.asarray([n_below], dtype=jnp.int32),
+      jnp.asarray([max_dist2], dtype=jnp.float32),
+      jnp.asarray(skip_words, dtype=jnp.int32),
+      coords_t_sorted, coords_t_sorted, labels)

@@ -1,0 +1,125 @@
+"""Block-level spatial pruning for the O(N^2) pair kernels.
+
+TPU-native generalization of the reference's box-grid neighbor search
+(src/density_clustering.cpp:41-105, applied there only to the CPU pops path)
+and of the 1-D sort-pruning helpers it sketches but never uses
+(src/tools.hxx:120-204): the frame matrix is processed in
+(row_block x col_block) tiles, each tile pair gets a lower bound on its
+pairwise distances from per-block coordinate bounding boxes, and tiles that
+cannot contain any pair within the interaction radius are skipped inside the
+Pallas kernels via a bit-packed skip matrix held in SMEM.
+
+Pruning is *exact*: a tile is skipped only when its bounding-box distance
+strictly exceeds the threshold, so every admissible pair is still visited.
+
+Orders used by the callers:
+  * populations: frames sorted by the first coordinate (highest-variance PC)
+    -- counts are permutation-invariant, so sorting is free and makes the
+    skip structure banded.
+  * NN search: original frame order (MD trajectories are temporally
+    correlated, hence spatially local) so the reference's smallest-index
+    tie-breaking is preserved; a first banded pass produces per-row-block
+    distance upper bounds that prune the full pass.
+  * screening: FE-sorted order (fixed by the algorithm); the skip matrix is
+    reusable across all thresholds since sigma is threshold-independent.
+"""
+
+import numpy as np
+
+WORD_BITS = 32
+
+
+def morton_order(coords):
+    """Frame order along a Morton (Z-order) space-filling curve.
+
+    Groups spatially-close frames into the same tile so per-block bounding
+    boxes stay tight in every dimension (dim-0 sorting only bounds one).
+    Used where results are permutation-invariant (population counts).
+    """
+    c = np.asarray(coords, dtype=np.float64)
+    n, d = c.shape
+    bits = max(1, 62 // d)
+    lo = c.min(axis=0)
+    span = c.max(axis=0) - lo
+    span[span == 0] = 1.0
+    q = ((c - lo) / span * ((1 << bits) - 1)).astype(np.uint64)
+    key = np.zeros(n, dtype=np.uint64)
+    for b in range(bits):
+        for k in range(d):
+            key |= ((q[:, k] >> np.uint64(b)) & np.uint64(1)) \
+                << np.uint64(b * d + k)
+    return np.argsort(key, kind="stable")
+
+
+def block_bboxes(coords, block):
+    """Per-block per-dimension (mins, maxs); coords (N_pad, D) with N_pad a
+    multiple of block."""
+    c = np.asarray(coords)
+    n, d = c.shape
+    blocks = c.reshape(n // block, block, d)
+    return blocks.min(axis=1), blocks.max(axis=1)
+
+
+def bbox_dist2(row_mins, row_maxs, col_mins, col_maxs):
+    """(n_row_blocks, n_col_blocks) lower bounds on the squared distance
+    between any row-block frame and any col-block frame."""
+    gap_lo = row_mins[:, None, :] - col_maxs[None, :, :]
+    gap_hi = col_mins[None, :, :] - row_maxs[:, None, :]
+    gap = np.maximum(np.maximum(gap_lo, gap_hi), 0.0)
+    return np.sum(gap.astype(np.float64) * gap, axis=2).astype(np.float32)
+
+
+def pack_skip_words(skip_bool):
+    """Pack a (n_row_blocks, n_col_blocks) boolean skip matrix into
+    int32 words, row-major, ``words_per_row`` words per row block.
+
+    Bit layout: word w of row i holds col blocks [w*32, (w+1)*32), col j at
+    bit (j % 32)."""
+    nrb, ncb = skip_bool.shape
+    words_per_row = -(-ncb // WORD_BITS)
+    padded = np.zeros((nrb, words_per_row * WORD_BITS), dtype=bool)
+    padded[:, :ncb] = skip_bool
+    bits = padded.reshape(nrb, words_per_row, WORD_BITS)
+    weights = (1 << np.arange(WORD_BITS, dtype=np.uint64))
+    words = (bits.astype(np.uint64) * weights).sum(axis=2)
+    return words.astype(np.uint32).view(np.int32).reshape(-1), words_per_row
+
+
+def no_skip_words(n_row_blocks, n_col_blocks):
+    words_per_row = -(-n_col_blocks // WORD_BITS)
+    return (np.zeros(n_row_blocks * words_per_row, dtype=np.int32),
+            words_per_row)
+
+
+def radius_skip_words(coords_padded, row_block, col_block, thresh2,
+                      strict=True):
+    """Skip matrix: tile (i, j) skipped iff bbox_dist2 > thresh2 (or >=
+    with strict=False, for the screening kernel's strict '<' adjacency)."""
+    rmin, rmax = block_bboxes(coords_padded, row_block)
+    cmin, cmax = block_bboxes(coords_padded, col_block)
+    d2 = bbox_dist2(rmin, rmax, cmin, cmax)
+    skip = d2 > thresh2 if strict else d2 >= thresh2
+    return pack_skip_words(skip)
+
+
+def band_skip_words(n_row_blocks, n_col_blocks, row_block, col_block,
+                    half_width):
+    """Skip everything except a diagonal band of +-half_width frames
+    (used for the NN bounding pass)."""
+    row_centers = (np.arange(n_row_blocks) + 0.5) * row_block
+    col_lo = (np.arange(n_col_blocks)) * col_block
+    col_hi = col_lo + col_block
+    keep = ((col_hi[None, :] >= row_centers[:, None] - half_width)
+            & (col_lo[None, :] <= row_centers[:, None] + half_width))
+    return pack_skip_words(~keep)
+
+
+def ub_skip_words(coords_padded, row_block, col_block, row_ub):
+    """Skip tile (i, j) iff its bbox distance strictly exceeds the row
+    block's current upper bound ``row_ub[i]`` (+inf disables pruning for
+    that row block)."""
+    rmin, rmax = block_bboxes(coords_padded, row_block)
+    cmin, cmax = block_bboxes(coords_padded, col_block)
+    d2 = bbox_dist2(rmin, rmax, cmin, cmax)
+    skip = d2 > np.asarray(row_ub, dtype=np.float32)[:, None]
+    return pack_skip_words(skip)

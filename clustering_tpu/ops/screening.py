@@ -147,24 +147,97 @@ def _screening_fixpoint(coords_sorted, labels0, n_below, max_dist2,
     return labels
 
 
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+def _screening_fixpoint_pallas(coords_t, labels0, n_below, max_dist2,
+                               skip_words, row_block, col_block):
+    """Fixpoint with the Pallas neighbor-min sweep (Jacobi proposals +
+    scatter-min union); the bbox skip matrix is threshold-independent."""
+    from .pallas_kernels import label_min_tiles
+
+    def outer_cond(state):
+        _, changed = state
+        return changed
+
+    def outer_body(state):
+        labels_in, _ = state
+        m = label_min_tiles(coords_t, labels_in.reshape(1, -1), n_below,
+                            max_dist2, skip_words, row_block=row_block,
+                            col_block=col_block)[0]
+        labels_cur = jnp.minimum(labels_in, m)
+        labels_out = union_rebase(labels_in, labels_cur)
+        return (labels_out, jnp.any(labels_out != labels_in))
+
+    labels, _ = jax.lax.while_loop(outer_cond, outer_body,
+                                   (labels0, jnp.bool_(True)))
+    return labels
+
+
+class ScreeningEngine:
+    """Re-usable screening runner for a threshold series: pads and uploads
+    the FE-sorted coordinates once and caches the (threshold-independent)
+    bbox skip matrix. Backend 'pallas' uses the fused tile kernel,
+    'xla' the blockwise jnp sweep, 'auto' picks by platform."""
+
+    def __init__(self, coords_sorted, row_block=DEFAULT_ROW_BLOCK,
+                 col_block=DEFAULT_COL_BLOCK, backend="auto"):
+        if backend == "auto":
+            backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+        self.backend = backend
+        self.row_block = row_block
+        self.col_block = col_block
+        coords_sorted = np.asarray(coords_sorted, dtype=np.float32)
+        self.n = coords_sorted.shape[0]
+        block = int(np.lcm(row_block, col_block))
+        self.n_pad = -(-self.n // block) * block
+        padded = np.zeros((self.n_pad, coords_sorted.shape[1]),
+                          dtype=np.float32)
+        padded[:self.n] = coords_sorted
+        padded[self.n:] = np.float32(3e38)
+        self._padded_host = padded
+        if backend == "pallas":
+            self._coords_dev = jnp.asarray(padded.T)
+        else:
+            self._coords_dev = jnp.asarray(padded)
+        self._skip_cache = {}
+
+    def _skip_words(self, max_dist2):
+        key = float(max_dist2)
+        if key not in self._skip_cache:
+            from . import pruning
+            # adjacency is strict '<', so tiles at exactly max_dist2 can
+            # be skipped too (strict=False)
+            self._skip_cache[key], _ = pruning.radius_skip_words(
+                self._padded_host, self.row_block, self.col_block,
+                np.float32(max_dist2), strict=False)
+        return self._skip_cache[key]
+
+    def run(self, initial_labels, n_below, max_dist2):
+        labels = np.asarray(initial_labels, dtype=np.int32)
+        if self.n_pad != self.n:
+            labels = np.concatenate(
+                [labels, np.arange(self.n, self.n_pad, dtype=np.int32)])
+        labels = jnp.asarray(labels)
+        if self.backend == "pallas":
+            out = _screening_fixpoint_pallas(
+                self._coords_dev, labels, jnp.int32(n_below),
+                jnp.float32(max_dist2), self._skip_words(max_dist2),
+                row_block=self.row_block, col_block=self.col_block)
+        else:
+            out = _screening_fixpoint(
+                self._coords_dev, labels, jnp.int32(n_below),
+                jnp.float32(max_dist2),
+                row_block=self.row_block, col_block=self.col_block)
+        return np.asarray(jax.device_get(out))[:self.n]
+
+
 def screening_labels(coords_sorted, initial_labels, n_below, max_dist2,
                      row_block=DEFAULT_ROW_BLOCK,
-                     col_block=DEFAULT_COL_BLOCK):
+                     col_block=DEFAULT_COL_BLOCK, backend="auto"):
     """Host wrapper: pad, run the fixpoint, unpad.
 
     ``coords_sorted`` (N, D) must already be in FE-ascending order and
     ``initial_labels`` (N,) int32 frame pointers with labels[i] <= i.
     """
-    coords_sorted = jnp.asarray(coords_sorted, dtype=jnp.float32)
-    labels = jnp.asarray(initial_labels, dtype=jnp.int32)
-    n = coords_sorted.shape[0]
-    block = int(np.lcm(row_block, col_block))
-    n_pad = -(-n // block) * block
-    coords_padded = pad_rows(coords_sorted, block)
-    if n_pad != n:
-        pad_lab = jnp.arange(n, n_pad, dtype=jnp.int32)
-        labels = jnp.concatenate([labels, pad_lab])
-    out = _screening_fixpoint(coords_padded, labels, jnp.int32(n_below),
-                              jnp.float32(max_dist2),
-                              row_block=row_block, col_block=col_block)
-    return np.asarray(jax.device_get(out))[:n]
+    engine = ScreeningEngine(coords_sorted, row_block=row_block,
+                             col_block=col_block, backend=backend)
+    return engine.run(initial_labels, n_below, max_dist2)

@@ -1,0 +1,65 @@
+"""Pallas kernels in interpreter mode (CPU) must agree with the XLA path
+on tiny fixtures — the same kernels run compiled on TPU."""
+
+import numpy as np
+import pytest
+
+from clustering_tpu import ops
+from clustering_tpu.models import density as density_model
+
+
+@pytest.fixture(scope="module")
+def blobs():
+    rng = np.random.default_rng(21)
+    a = rng.normal((0.0, 0.0), 0.15, size=(40, 2))
+    b = rng.normal((2.0, 1.0), 0.2, size=(30, 2))
+    return np.concatenate([a, b]).astype(np.float32)
+
+
+def test_pallas_populations(blobs):
+    radii = [0.3, 0.6]
+    want = ops.populations(blobs, radii, backend="xla",
+                           row_block=8, col_block=16)
+    got = ops.populations(blobs, radii, backend="pallas",
+                          row_block=8, col_block=16)
+    for r in radii:
+        np.testing.assert_array_equal(want[r], got[r])
+
+
+def test_pallas_populations_unpruned(blobs):
+    radii = [0.4]
+    want = ops.populations(blobs, radii, backend="xla",
+                           row_block=8, col_block=16)
+    got = ops.populations(blobs, radii, backend="pallas", prune=False,
+                          row_block=8, col_block=16)
+    np.testing.assert_array_equal(want[0.4], got[0.4])
+
+
+def test_pallas_nearest_neighbors(blobs):
+    pops = ops.populations(blobs, [0.4], backend="xla",
+                           row_block=8, col_block=16)[0.4]
+    fe = ops.free_energies(pops)
+    want = ops.nearest_neighbors(blobs, fe, backend="xla",
+                                 row_block=8, col_block=16)
+    got = ops.nearest_neighbors(blobs, fe, backend="pallas",
+                                row_block=8, col_block=16)
+    # indices must match exactly; distances may differ by fma rounding
+    # (the Pallas kernel fuses mul+add like the reference CUDA kernel)
+    np.testing.assert_array_equal(want[0], got[0])
+    np.testing.assert_array_equal(want[2], got[2])
+    np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
+    np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
+
+
+def test_pallas_screening(blobs):
+    pops = ops.populations(blobs, [0.4], backend="xla",
+                           row_block=8, col_block=16)[0.4]
+    fe = ops.free_energies(pops)
+    order = density_model.sorted_fe_order(fe)
+    cs = blobs[order]
+    labels0 = np.arange(len(blobs), dtype=np.int32)
+    want = ops.screening_labels(cs, labels0, 50, 0.1, backend="xla",
+                                row_block=8, col_block=16)
+    got = ops.screening_labels(cs, labels0, 50, 0.1, backend="pallas",
+                               row_block=8, col_block=16)
+    np.testing.assert_array_equal(want, got)
