@@ -131,3 +131,23 @@ def test_lumping_radius_default(workdir):
     text = open("pop").read()
     assert "#@   lumping_radius" in text
     assert "#@   clustering_radius" in text
+
+
+def test_filter_xtc(workdir):
+    from clustering_tpu.utils import xtc
+    rng = np.random.default_rng(3)
+    states = rng.integers(1, 4, size=30)
+    np.savetxt("states.dat", states, fmt="%d")
+    w = xtc.XtcWriter("traj.xtc")
+    base = rng.uniform(-1, 1, (5, 3)).astype(np.float32)
+    for f in range(30):
+        w.write_frame(base + 0.01 * f, step=f, time=0.1 * f)
+    w.close()
+    run(["filter", "-s", "states.dat", "-c", "traj.xtc", "-o", "sel",
+         "-S", "2"])
+    r = xtc.XtcReader("sel.state2.xtc")
+    count = 0
+    while r.read_frame() is not None:
+        count += 1
+    r.close()
+    assert count == int((states == 2).sum())
