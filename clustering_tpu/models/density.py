@@ -86,13 +86,17 @@ def normalized_cluster_names(n_below, clustering, order):
 
 
 def screening_step(free_energy, nh_dist, threshold, coords, prev_clustering,
-                   order=None, coords_sorted=None, engine=None):
+                   order=None, coords_sorted=None, engine=None,
+                   incremental=False):
     """One screening threshold: returns the normalized clustered trajectory.
 
     Reference: CUDA screening driver src/density_clustering_cuda.cu:396-594.
 
     ``order`` / ``coords_sorted`` may be passed to re-use the FE sort across
-    thresholds of a screening series.
+    thresholds of a screening series. ``incremental=True`` asserts that
+    ``prev_clustering`` is the previous threshold's fixpoint at the same
+    linking distance (true inside a -T series), enabling new-edges-only
+    sweeps.
     """
     fe = np.asarray(free_energy, dtype=np.float32)
     n = len(fe)
@@ -134,7 +138,9 @@ def screening_step(free_energy, nh_dist, threshold, coords, prev_clustering,
             np.searchsorted(vals, prefix[seeded])]
     if engine is None:
         engine = ops.screening.ScreeningEngine(coords_sorted)
-    final = engine.run(labels0.astype(np.int32), n_below, max_dist2)
+    row_lo = prev_last if incremental else 0
+    final = engine.run(labels0.astype(np.int32), n_below, max_dist2,
+                       row_lo=row_lo)
     clustering = np.zeros(n, dtype=np.int64)
     clustering[order[:n_below]] = final[:n_below].astype(np.int64) + 1
     return normalized_cluster_names(n_below, clustering, order)
@@ -284,20 +290,23 @@ def main(args, header_comment, comments_map):
             # (density_clustering.cpp:801-817)
             t_to_low = np.float32(t_to - t_step / np.float32(10.0) + t_step)
             t_to_high = np.float32(t_to + t_step / np.float32(10.0) + t_step)
-            order = sorted_fe_order(free_energy)
-            coords_sorted = coords[order]
-            engine = ops.screening.ScreeningEngine(coords_sorted)
-            clustering = None
+            thresholds = []
             t = t_from
             while (t < t_to_low) and not (t_to_high < t):
-                clustering = screening_step(free_energy, nh[1], t, coords,
-                                            clustering, order=order,
-                                            coords_sorted=coords_sorted,
-                                            engine=engine)
-                io.write_clustered_trajectory(
-                    io.stringprintf(args.output + ".%0.2f", float(t)),
-                    clustering, header_comment, comments_map)
+                thresholds.append(np.float32(t))
                 t = np.float32(t + t_step)
+            sigma2 = ops.neighbors.compute_sigma2(nh[1])
+            max_dist2 = np.float32(4.0 * sigma2)
+            series = ops.screening.ThresholdSeriesScreener(
+                coords, free_energy, thresholds)
+            clustering = None
+            for k, tk in enumerate(thresholds):
+                logger("    %6s %9i" % ("%.2f" % tk,
+                                        int(series.n_below_per_band[k])))
+                clustering = series.step(clustering, k, max_dist2)
+                io.write_clustered_trajectory(
+                    io.stringprintf(args.output + ".%0.2f", float(tk)),
+                    clustering, header_comment, comments_map)
         else:
             _die("error: one of -T/-i is needed to generate output.")
     logger("~~~ freeing memory")

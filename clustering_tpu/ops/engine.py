@@ -123,7 +123,19 @@ class DensityEngine:
             counts = unsorted
         return {r: counts[i].astype(np.int64) for i, r in enumerate(radii)}
 
-    def nearest_neighbors(self, free_energy, prune=True, band_blocks=4):
+    def nearest_neighbors(self, free_energy, prune=True, band_blocks=4,
+                          order_name="morton"):
+        """Joint NN / NN-higher-density search with two-phase exact
+        pruning in Morton (spatially local) frame order:
+
+          1. a banded pass over neighboring sort positions gives every
+             frame an upper bound on both neighbor distances;
+          2. the full pass skips tiles whose bbox distance exceeds the row
+             block's bound -- tiles holding the true minima always survive.
+
+        The kernel breaks distance ties by smallest *original* index, so
+        results are identical to the reference's original-order scan.
+        """
         fe = np.asarray(free_energy, dtype=np.float32)
         if self.backend != "pallas":
             return nops.nearest_neighbors(self.coords, fe,
@@ -132,34 +144,67 @@ class DensityEngine:
                                           backend="xla")
         from . import pallas_kernels as pk
         n, n_pad = self.n, self.n_pad
-        fe_padded = np.full(n_pad, np.inf, dtype=np.float32)
-        fe_padded[:n] = fe
-        fe_dev = jnp.asarray(fe_padded).reshape(1, n_pad)
-        coords_t = self._device("orig")
-        _, padded = self._padded("orig")
+
+        def layout(name):
+            order, padded = self._padded(name)
+            fe_padded = np.full(n_pad, np.inf, dtype=np.float32)
+            fe_padded[:n] = fe if order is None else fe[order]
+            oid = np.full(n_pad, np.iinfo(np.int32).max, dtype=np.int32)
+            oid[:n] = (np.arange(n, dtype=np.int32) if order is None
+                       else order)
+            return (order, padded, jnp.asarray(fe_padded).reshape(1, n_pad),
+                    jnp.asarray(oid).reshape(1, n_pad))
+
         nrb, ncb = n_pad // self.row_block, n_pad // self.col_block
+        order, padded, fe_dev, oid_dev = layout(order_name)
         if prune and ncb > 2 * band_blocks:
+            # phase 1: banded pass over sort-neighbors -> per-frame upper
+            # bounds (order-independent values)
             band_words, _ = pruning.band_skip_words(
                 nrb, ncb, self.row_block, self.col_block,
                 band_blocks * self.col_block)
-            out1 = pk.nn_tiles(coords_t, fe_dev, np.int32(n), band_words,
+            out1 = pk.nn_tiles(self._device(order_name), fe_dev, oid_dev,
+                               np.int32(n), band_words,
                                row_block=self.row_block,
                                col_block=self.col_block)
-            nh_d1 = np.asarray(out1[0])[0]
-            hd_d1 = np.asarray(out1[2])[0]
-            row_ub = np.maximum(nh_d1, hd_d1).reshape(
-                nrb, self.row_block).max(axis=1)
-            skip_words, _ = pruning.ub_skip_words(
-                padded, self.row_block, self.col_block, row_ub)
+            ub_sorted = np.maximum(np.asarray(out1[0])[0],
+                                   np.asarray(out1[2])[0])[:n]
+            ub_frame = np.empty(n, dtype=np.float32)
+            if order is None:
+                ub_frame[:] = ub_sorted
+            else:
+                ub_frame[order] = ub_sorted
+            # pick the phase-2 ordering with the best measured skip rate
+            best = None
+            for name in ("dim0", "morton"):
+                o2, p2 = self._padded(name)
+                ubp = np.full(n_pad, np.inf, dtype=np.float32)
+                ubp[:n] = ub_frame if o2 is None else ub_frame[o2]
+                row_ub = ubp.reshape(nrb, self.row_block).max(axis=1)
+                rmin, rmax = pruning.block_bboxes(p2, self.row_block)
+                cmin, cmax = pruning.block_bboxes(p2, self.col_block)
+                d2b = pruning.bbox_dist2(rmin, rmax, cmin, cmax)
+                frac = float((d2b > row_ub[:, None]).mean())
+                if best is None or frac > best[0]:
+                    best = (frac, name, d2b > row_ub[:, None])
+            _, order_name, skip = best
+            order, padded, fe_dev, oid_dev = layout(order_name)
+            skip_words, _ = pruning.pack_skip_words(skip)
         else:
             skip_words, _ = pruning.no_skip_words(nrb, ncb)
-        out = pk.nn_tiles(coords_t, fe_dev, np.int32(n), skip_words,
+        out = pk.nn_tiles(self._device(order_name), fe_dev, oid_dev,
+                          np.int32(n), skip_words,
                           row_block=self.row_block,
                           col_block=self.col_block)
         nh_d = np.array(jax.device_get(out[0]))[0, :n]
         nh_j = np.array(jax.device_get(out[1]))[0, :n].astype(np.int64)
         hd_d = np.array(jax.device_get(out[2]))[0, :n]
         hd_j = np.array(jax.device_get(out[3]))[0, :n].astype(np.int64)
+        if order is not None:
+            inv = np.empty_like(order)
+            inv[order] = np.arange(n)
+            nh_d, nh_j = nh_d[inv], nh_j[inv]
+            hd_d, hd_j = hd_d[inv], hd_j[inv]
         no_nh = ~np.isfinite(nh_d)
         nh_d[no_nh] = 0.0
         nh_j[no_nh] = 0

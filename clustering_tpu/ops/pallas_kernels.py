@@ -145,16 +145,16 @@ def pops_tiles(coords_t, radii2, n_valid, skip_words,
 # ---------------------------------------------------------------------------
 
 def _nn_kernel(n_valid_ref, skip_ref, xt_ref, yt_ref, fe_x_ref, fe_y_ref,
-               nh_d_ref, nh_j_ref, hd_d_ref, hd_j_ref,
+               oid_y_ref, nh_d_ref, nh_j_ref, hd_d_ref, hd_j_ref,
                *, row_block, col_block, n_dim, words_per_row):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         nh_d_ref[:, :] = jnp.full_like(nh_d_ref, _INF)
-        nh_j_ref[:, :] = jnp.zeros_like(nh_j_ref)
+        nh_j_ref[:, :] = jnp.full_like(nh_j_ref, _IMAX)
         hd_d_ref[:, :] = jnp.full_like(hd_d_ref, _INF)
-        hd_j_ref[:, :] = jnp.zeros_like(hd_j_ref)
+        hd_j_ref[:, :] = jnp.full_like(hd_j_ref, _IMAX)
 
     @pl.when(_tile_active(skip_ref, words_per_row))
     def _():
@@ -163,39 +163,48 @@ def _nn_kernel(n_valid_ref, skip_ref, xt_ref, yt_ref, fe_x_ref, fe_y_ref,
         col_ids = col0 + jax.lax.broadcasted_iota(
             jnp.int32, (row_block, col_block), 1)
         valid = (col_ids < n_valid_ref[0]) & (d2 > 0.0)
+        oid_y = oid_y_ref[0, :].reshape(1, col_block)
         d2_nh = jnp.where(valid, d2, _INF)
-        # blockwise first-min (argmin returns first occurrence = smallest j)
-        bj = jnp.argmin(d2_nh, axis=1).astype(jnp.int32)
+        # lexicographic (distance, original index) running minimum: matches
+        # the reference's ascending-j strict-'<' scan exactly regardless of
+        # the processing order used here
         bd = jnp.min(d2_nh, axis=1)
-        upd = bd < nh_d_ref[0, :]
+        bo = jnp.min(jnp.where(d2_nh == bd[:, None], oid_y, _IMAX), axis=1)
+        upd = (bd < nh_d_ref[0, :]) | ((bd == nh_d_ref[0, :])
+                                       & (bo < nh_j_ref[0, :]))
         nh_d_ref[0, :] = jnp.where(upd, bd, nh_d_ref[0, :])
-        nh_j_ref[0, :] = jnp.where(upd, bj + col0, nh_j_ref[0, :])
+        nh_j_ref[0, :] = jnp.where(upd, bo, nh_j_ref[0, :])
 
         fe_x = fe_x_ref[0, :].reshape(row_block, 1)
         fe_y = fe_y_ref[0, :].reshape(1, col_block)
         d2_hd = jnp.where(fe_y < fe_x, d2_nh, _INF)
-        hj = jnp.argmin(d2_hd, axis=1).astype(jnp.int32)
         hd = jnp.min(d2_hd, axis=1)
-        updh = hd < hd_d_ref[0, :]
+        ho = jnp.min(jnp.where(d2_hd == hd[:, None], oid_y, _IMAX), axis=1)
+        updh = (hd < hd_d_ref[0, :]) | ((hd == hd_d_ref[0, :])
+                                        & (ho < hd_j_ref[0, :]))
         hd_d_ref[0, :] = jnp.where(updh, hd, hd_d_ref[0, :])
-        hd_j_ref[0, :] = jnp.where(updh, hj + col0, hd_j_ref[0, :])
+        hd_j_ref[0, :] = jnp.where(updh, ho, hd_j_ref[0, :])
 
 
 @functools.partial(jax.jit,
                    static_argnames=("row_block", "col_block"))
-def nn_tiles(coords_t, fe, n_valid, skip_words,
+def nn_tiles(coords_t, fe, orig_ids, n_valid, skip_words,
              row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK):
     """Joint NN / NN-higher-density search.
 
     Args:
-      coords_t: (D, N_pad) fp32 transposed coordinates.
+      coords_t: (D, N_pad) fp32 transposed coordinates (any frame order).
       fe: (1, N_pad) fp32 free energies (+inf on padded columns).
+      orig_ids: (1, N_pad) int32 original frame index of each column
+        (drives exact smallest-original-index tie-breaking and is what the
+        index outputs report).
       n_valid: dynamic int32 count of real columns.
       skip_words: bit-packed per-tile skip matrix.
     Returns:
-      (nh_d, nh_j, hd_d, hd_j), each (1, N_pad); distances +inf where no
-      admissible neighbor exists (or where pruning removed all tiles --
-      callers must combine passes accordingly).
+      (nh_d, nh_j, hd_d, hd_j), each (1, N_pad) in the row order of
+      ``coords_t``; distances +inf (index IMAX) where no admissible
+      neighbor exists (or where pruning removed all tiles -- callers must
+      combine passes accordingly).
     """
     n_dim, n_pad = coords_t.shape
     grid = (n_pad // row_block, n_pad // col_block)
@@ -210,6 +219,7 @@ def nn_tiles(coords_t, fe, n_valid, skip_words,
             pl.BlockSpec((n_dim, row_block), lambda i, j, *_: (0, i)),
             pl.BlockSpec((n_dim, col_block), lambda i, j, *_: (0, j)),
             pl.BlockSpec((1, row_block), lambda i, j, *_: (0, i)),
+            pl.BlockSpec((1, col_block), lambda i, j, *_: (0, j)),
             pl.BlockSpec((1, col_block), lambda i, j, *_: (0, j)),
         ],
         out_specs=[
@@ -231,73 +241,87 @@ def nn_tiles(coords_t, fe, n_valid, skip_words,
         interpret=INTERPRET,
     )(jnp.asarray([n_valid], dtype=jnp.int32),
       jnp.asarray(skip_words, dtype=jnp.int32),
-      coords_t, coords_t, fe, fe)
+      coords_t, coords_t, fe, fe, orig_ids)
 
 
 # ---------------------------------------------------------------------------
 # screening neighbor-min sweep
 # ---------------------------------------------------------------------------
 
-def _label_min_kernel(n_below_ref, max_d2_ref, skip_ref, xt_ref, yt_ref,
-                      lab_y_ref, out_ref,
-                      *, row_block, col_block, n_dim, words_per_row):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+# ---------------------------------------------------------------------------
+# sparse-tile screening sweep (tile list driven)
+# ---------------------------------------------------------------------------
+
+def _label_min_sparse_kernel(n_below_ref, max_d2_ref, ti_ref, tj_ref,
+                             xt_ref, yt_ref, lab_y_ref, init_ref, out_ref,
+                             *, row_block, col_block, n_dim):
+    del init_ref  # aliased into the output in HBM (covers unvisited rows)
+    k = pl.program_id(0)
     n_below = n_below_ref[0]
     max_dist2 = max_d2_ref[0]
+    i = ti_ref[k]
+    j = tj_ref[k]
 
-    @pl.when(j == 0)
+    # out VMEM is write-back only: initialize on the first visit of each
+    # row block (the tile list is sorted by row block)
+    @pl.when((k == 0) | (i != ti_ref[jnp.maximum(k - 1, 0)]))
     def _():
         out_ref[:, :] = jnp.full_like(out_ref, _IMAX)
 
-    # skip pruned tiles and tiles entirely above the threshold boundary
-    @pl.when(_tile_active(skip_ref, words_per_row)
-             & (i * row_block < n_below) & (j * col_block < n_below))
-    def _():
-        d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
-        col_ids = j * col_block + jax.lax.broadcasted_iota(
-            jnp.int32, (row_block, col_block), 1)
-        row_ids = i * row_block + jax.lax.broadcasted_iota(
-            jnp.int32, (row_block, col_block), 0)
-        adj = (d2 < max_dist2) & (col_ids < n_below) & (row_ids < n_below)
-        cand = jnp.where(adj, lab_y_ref[0, :].reshape(1, col_block), _IMAX)
-        out_ref[0, :] = jnp.minimum(out_ref[0, :], jnp.min(cand, axis=1))
+    d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
+    col_ids = j * col_block + jax.lax.broadcasted_iota(
+        jnp.int32, (row_block, col_block), 1)
+    row_ids = i * row_block + jax.lax.broadcasted_iota(
+        jnp.int32, (row_block, col_block), 0)
+    adj = (d2 < max_dist2) & (col_ids < n_below) & (row_ids < n_below)
+    cand = jnp.where(adj, lab_y_ref[0, :].reshape(1, col_block), _IMAX)
+    out_ref[0, :] = jnp.minimum(out_ref[0, :], jnp.min(cand, axis=1))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("row_block", "col_block"))
-def label_min_tiles(coords_t_sorted, labels, n_below, max_dist2, skip_words,
-                    row_block=DEFAULT_ROW_BLOCK,
-                    col_block=DEFAULT_COL_BLOCK):
-    """Neighbor-min label proposals m_i = min{ labels[j] : d2(i,j) <
-    max_dist2, j < n_below } over FE-sorted frames (IMAX where none).
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+def label_min_sparse(coords_t_sorted, labels, n_below, max_dist2,
+                     tile_i, tile_j,
+                     row_block=DEFAULT_ROW_BLOCK,
+                     col_block=DEFAULT_COL_BLOCK):
+    """Neighbor-min proposals over an explicit active-tile list.
 
-    Jacobi-style sweep: proposals are combined with the current labels by
-    the caller's union/rebase step. Args: coords_t_sorted (D, N_pad) fp32,
-    labels (1, N_pad) int32.
+    The host enumerates the (row-major sorted) tiles that can contain
+    admissible pairs (bbox pruning + incremental window); the grid iterates
+    only those -- skipped tiles cost nothing, unlike the dense kernel's
+    masked grid. ``tile_i/tile_j`` may be padded by repeating their last
+    entry (the min-reduction is idempotent). Proposals default to IMAX via
+    an aliased init buffer for rows whose tiles were all pruned.
     """
     n_dim, n_pad = coords_t_sorted.shape
-    grid = (n_pad // row_block, n_pad // col_block)
-    words_per_row = -(-grid[1] // 32)
-    kernel = functools.partial(_label_min_kernel, row_block=row_block,
-                               col_block=col_block, n_dim=n_dim,
-                               words_per_row=words_per_row)
+    n_tiles = tile_i.shape[0]
+    kernel = functools.partial(_label_min_sparse_kernel,
+                               row_block=row_block, col_block=col_block,
+                               n_dim=n_dim)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=grid,
+        num_scalar_prefetch=4,
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((n_dim, row_block), lambda i, j, *_: (0, i)),
-            pl.BlockSpec((n_dim, col_block), lambda i, j, *_: (0, j)),
-            pl.BlockSpec((1, col_block), lambda i, j, *_: (0, j)),
+            pl.BlockSpec((n_dim, row_block),
+                         lambda k, nb, md, ti, tj: (0, ti[k])),
+            pl.BlockSpec((n_dim, col_block),
+                         lambda k, nb, md, ti, tj: (0, tj[k])),
+            pl.BlockSpec((1, col_block),
+                         lambda k, nb, md, ti, tj: (0, tj[k])),
+            pl.BlockSpec((1, row_block),
+                         lambda k, nb, md, ti, tj: (0, ti[k])),
         ],
-        out_specs=pl.BlockSpec((1, row_block), lambda i, j, *_: (0, i)),
+        out_specs=pl.BlockSpec((1, row_block),
+                               lambda k, nb, md, ti, tj: (0, ti[k])),
     )
+    init = jnp.full((1, n_pad), _IMAX, dtype=jnp.int32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        input_output_aliases={7: 0},  # init buffer -> output
         interpret=INTERPRET,
     )(jnp.asarray([n_below], dtype=jnp.int32),
       jnp.asarray([max_dist2], dtype=jnp.float32),
-      jnp.asarray(skip_words, dtype=jnp.int32),
-      coords_t_sorted, coords_t_sorted, labels)
+      jnp.asarray(tile_i, dtype=jnp.int32),
+      jnp.asarray(tile_j, dtype=jnp.int32),
+      coords_t_sorted, coords_t_sorted, labels, init)

@@ -148,35 +148,35 @@ def _screening_fixpoint(coords_sorted, labels0, n_below, max_dist2,
 
 
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
-def _screening_fixpoint_pallas(coords_t, labels0, n_below, max_dist2,
-                               skip_words, row_block, col_block):
-    """Fixpoint with the Pallas neighbor-min sweep (Jacobi proposals +
-    scatter-min union); the bbox skip matrix is threshold-independent."""
-    from .pallas_kernels import label_min_tiles
+def _sparse_fixpoint(coords_t, labels0, n_below, max_dist2, tile_i, tile_j,
+                     row_block, col_block):
+    """On-device fixpoint over sparse-tile sweeps. Compiles once per
+    tile-bucket size; the whole iteration (sweep + scatter-min union +
+    pointer jumping + convergence test) stays on the chip."""
+    from .pallas_kernels import label_min_sparse
 
-    def outer_cond(state):
-        _, changed = state
-        return changed
+    def cond(state):
+        return state[1]
 
-    def outer_body(state):
+    def body(state):
         labels_in, _ = state
-        m = label_min_tiles(coords_t, labels_in.reshape(1, -1), n_below,
-                            max_dist2, skip_words, row_block=row_block,
-                            col_block=col_block)[0]
+        m = label_min_sparse(coords_t, labels_in.reshape(1, -1), n_below,
+                             max_dist2, tile_i, tile_j,
+                             row_block=row_block, col_block=col_block)[0]
         labels_cur = jnp.minimum(labels_in, m)
         labels_out = union_rebase(labels_in, labels_cur)
         return (labels_out, jnp.any(labels_out != labels_in))
 
-    labels, _ = jax.lax.while_loop(outer_cond, outer_body,
-                                   (labels0, jnp.bool_(True)))
+    labels, _ = jax.lax.while_loop(cond, body, (labels0, jnp.bool_(True)))
     return labels
 
 
 class ScreeningEngine:
     """Re-usable screening runner for a threshold series: pads and uploads
     the FE-sorted coordinates once and caches the (threshold-independent)
-    bbox skip matrix. Backend 'pallas' uses the fused tile kernel,
-    'xla' the blockwise jnp sweep, 'auto' picks by platform."""
+    block bounding boxes. Backend 'pallas' runs a host-driven fixpoint
+    over sparse active-tile sweeps; 'xla' uses the blockwise jnp
+    while_loop; 'auto' picks by platform."""
 
     def __init__(self, coords_sorted, row_block=DEFAULT_ROW_BLOCK,
                  col_block=DEFAULT_COL_BLOCK, backend="auto"):
@@ -198,36 +198,140 @@ class ScreeningEngine:
             self._coords_dev = jnp.asarray(padded.T)
         else:
             self._coords_dev = jnp.asarray(padded)
-        self._skip_cache = {}
+        self._bbox_d2 = None
 
-    def _skip_words(self, max_dist2):
-        key = float(max_dist2)
-        if key not in self._skip_cache:
-            from . import pruning
-            # adjacency is strict '<', so tiles at exactly max_dist2 can
-            # be skipped too (strict=False)
-            self._skip_cache[key], _ = pruning.radius_skip_words(
-                self._padded_host, self.row_block, self.col_block,
-                np.float32(max_dist2), strict=False)
-        return self._skip_cache[key]
+    def _tile_list(self, row_lo, n_below, max_dist2):
+        """Active tiles: bbox distance below the linking distance, at least
+        partly below the FE threshold, and touching the new-frame cross
+        when ``row_lo`` > 0. Row-major sorted; padded by repetition to the
+        next power of two so a handful of compiled grid sizes serve the
+        whole series (the min-reduction is idempotent under repeats)."""
+        from . import pruning
+        rb, cb = self.row_block, self.col_block
+        if self._bbox_d2 is None:
+            rmin, rmax = pruning.block_bboxes(self._padded_host, rb)
+            cmin, cmax = pruning.block_bboxes(self._padded_host, cb)
+            self._bbox_d2 = pruning.bbox_dist2(rmin, rmax, cmin, cmax)
+        nrb, ncb = self._bbox_d2.shape
+        ri = np.arange(nrb)[:, None]
+        cj = np.arange(ncb)[None, :]
+        active = (self._bbox_d2 < np.float32(max_dist2)) \
+            & (ri * rb < n_below) & (cj * cb < n_below)
+        if row_lo > 0:
+            active &= ((ri + 1) * rb > row_lo) | ((cj + 1) * cb > row_lo)
+        ti, tj = np.nonzero(active)
+        if len(ti) == 0:
+            return None
+        bucket = 1 << int(np.ceil(np.log2(len(ti))))
+        pad = bucket - len(ti)
+        ti = np.concatenate([ti, np.full(pad, ti[-1])]).astype(np.int32)
+        tj = np.concatenate([tj, np.full(pad, tj[-1])]).astype(np.int32)
+        return ti, tj
 
-    def run(self, initial_labels, n_below, max_dist2):
+    def run(self, initial_labels, n_below, max_dist2, row_lo=0):
+        """``row_lo`` > 0 marks a threshold-series continuation: the first
+        row_lo FE-sorted frames are known to carry a completed fixpoint at
+        the same max_dist2, so sweeps can restrict to edges incident to
+        the new frames."""
         labels = np.asarray(initial_labels, dtype=np.int32)
         if self.n_pad != self.n:
             labels = np.concatenate(
                 [labels, np.arange(self.n, self.n_pad, dtype=np.int32)])
-        labels = jnp.asarray(labels)
         if self.backend == "pallas":
-            out = _screening_fixpoint_pallas(
-                self._coords_dev, labels, jnp.int32(n_below),
-                jnp.float32(max_dist2), self._skip_words(max_dist2),
-                row_block=self.row_block, col_block=self.col_block)
+            tiles = self._tile_list(row_lo, n_below, max_dist2)
+            out = jnp.asarray(labels)
+            if tiles is not None:
+                ti, tj = tiles
+                out = _sparse_fixpoint(self._coords_dev, out,
+                                       jnp.int32(n_below),
+                                       jnp.float32(max_dist2),
+                                       jnp.asarray(ti), jnp.asarray(tj),
+                                       row_block=self.row_block,
+                                       col_block=self.col_block)
         else:
             out = _screening_fixpoint(
-                self._coords_dev, labels, jnp.int32(n_below),
+                self._coords_dev, jnp.asarray(labels), jnp.int32(n_below),
                 jnp.float32(max_dist2),
                 row_block=self.row_block, col_block=self.col_block)
         return np.asarray(jax.device_get(out))[:self.n]
+
+
+class ThresholdSeriesScreener:
+    """Screening runner specialized for a known -T threshold series.
+
+    Frames are laid out in (threshold-band, Morton) order: the prefix below
+    every series threshold stays contiguous (band k == frames first
+    admitted at threshold t_k, bit-exact with the fe <= t comparison), while
+    Morton ordering inside each band keeps tile bounding boxes spatially
+    tight -- so the bbox pruning that makes the pops kernel fast applies to
+    the screening sweeps as well (FE order scatters frames across basins
+    and defeats it). Cluster naming still follows the reference exactly:
+    components are ranked by their minimal FE-sorted frame rank
+    (reference: density_clustering.cpp:437-456 over FE order).
+    """
+
+    def __init__(self, coords, free_energy, thresholds,
+                 row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK,
+                 backend="auto"):
+        from . import pruning
+        coords = np.asarray(coords, dtype=np.float32)
+        fe = np.asarray(free_energy, dtype=np.float32)
+        self.thresholds = [np.float32(t) for t in thresholds]
+        n = len(fe)
+        # band k = first series threshold at or above this frame's fe
+        band = np.searchsorted(self.thresholds, fe, side="left")
+        morton = np.argsort(pruning.morton_order(coords), kind="stable")
+        # order: by band, then morton rank (stable)
+        self.order = np.lexsort((morton, band))
+        self.n_below_per_band = np.cumsum(
+            np.bincount(band, minlength=len(self.thresholds) + 1)
+        )[:len(self.thresholds)]
+        # FE-sorted rank of every frame (for reference-order naming)
+        fe_order = np.argsort(fe, kind="stable")
+        self.fe_rank = np.empty(n, dtype=np.int64)
+        self.fe_rank[fe_order] = np.arange(n)
+        self.engine = ScreeningEngine(coords[self.order],
+                                      row_block=row_block,
+                                      col_block=col_block, backend=backend)
+        self.n = n
+        self._prev_nb = 0
+
+    def step(self, prev_clustering, k, max_dist2):
+        """Run series threshold index ``k``; returns the normalized
+        clustered trajectory in original frame order."""
+        n = self.n
+        nb = int(self.n_below_per_band[k])
+        prev = (np.zeros(n, dtype=np.int64) if prev_clustering is None
+                else np.asarray(prev_clustering, dtype=np.int64))
+        ps = prev[self.order]
+        ps[nb:] = 0
+        zeros = np.flatnonzero(ps == 0)
+        prev_last = int(zeros[0]) if len(zeros) else n
+        if prev_last >= nb:
+            return prev.copy()
+        labels0 = np.arange(n, dtype=np.int64)
+        prefix = ps[:nb]
+        seeded = prefix != 0
+        if seeded.any():
+            vals, first_idx = np.unique(prefix[seeded], return_index=True)
+            seeded_pos = np.flatnonzero(seeded)
+            first_occ = seeded_pos[first_idx]
+            labels0[seeded_pos] = first_occ[
+                np.searchsorted(vals, prefix[seeded])]
+        final = self.engine.run(labels0.astype(np.int32), nb, max_dist2,
+                                row_lo=prev_last)
+        # normalize names by each component's minimal FE-sorted rank
+        comp = final[:nb].astype(np.int64)
+        comp_vals, comp_idx = np.unique(comp, return_inverse=True)
+        comp_min_rank = np.full(len(comp_vals), np.iinfo(np.int64).max)
+        np.minimum.at(comp_min_rank, comp_idx,
+                      self.fe_rank[self.order[:nb]])
+        names = np.empty(len(comp_vals), dtype=np.int64)
+        names[np.argsort(comp_min_rank, kind="stable")] = \
+            np.arange(1, len(comp_vals) + 1)
+        clustering = np.zeros(n, dtype=np.int64)
+        clustering[self.order[:nb]] = names[comp_idx]
+        return clustering
 
 
 def screening_labels(coords_sorted, initial_labels, n_below, max_dist2,

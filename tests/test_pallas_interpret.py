@@ -63,3 +63,55 @@ def test_pallas_screening(blobs):
     got = ops.screening_labels(cs, labels0, 50, 0.1, backend="pallas",
                                row_block=8, col_block=16)
     np.testing.assert_array_equal(want, got)
+
+
+def test_pallas_incremental_screening(blobs):
+    """A threshold series with incremental (new-edges-only) sweeps must
+    produce the same partitions as full sweeps."""
+    from clustering_tpu.models.density import screening_step
+    pops = ops.populations(blobs, [0.4], backend="xla",
+                           row_block=8, col_block=16)[0.4]
+    fe = ops.free_energies(pops)
+    order = density_model.sorted_fe_order(fe)
+    cs = blobs[order]
+    eng_p = ops.screening.ScreeningEngine(cs, row_block=8, col_block=16,
+                                          backend="pallas")
+    eng_x = ops.screening.ScreeningEngine(cs, row_block=8, col_block=16,
+                                          backend="xla")
+    prev_p = prev_x = None
+    for t in (0.5, 1.0, 1.5, 2.5):
+        prev_p = screening_step(fe, np.full(len(blobs), 0.02, np.float32),
+                                t, blobs, prev_p, order=order,
+                                coords_sorted=cs, engine=eng_p,
+                                incremental=prev_p is not None)
+        prev_x = screening_step(fe, np.full(len(blobs), 0.02, np.float32),
+                                t, blobs, prev_x, order=order,
+                                coords_sorted=cs, engine=eng_x)
+        np.testing.assert_array_equal(prev_p, prev_x)
+
+
+def test_threshold_series_screener_matches_fe_order_path(blobs):
+    """The (band, morton)-ordered series screener must reproduce the
+    FE-ordered screening exactly, names included."""
+    from clustering_tpu.models.density import screening_step
+    pops = ops.populations(blobs, [0.4], backend="xla",
+                           row_block=8, col_block=16)[0.4]
+    fe = ops.free_energies(pops)
+    nh_dist = np.full(len(blobs), 0.02, np.float32)
+    thresholds = [np.float32(t) for t in (0.5, 1.0, 1.5, 2.5)]
+    md2 = np.float32(4.0 * ops.neighbors.compute_sigma2(nh_dist))
+    for backend in ("pallas", "xla"):
+        series = ops.screening.ThresholdSeriesScreener(
+            blobs, fe, thresholds, row_block=8, col_block=16,
+            backend=backend)
+        order = density_model.sorted_fe_order(fe)
+        cs = blobs[order]
+        eng = ops.screening.ScreeningEngine(cs, row_block=8, col_block=16,
+                                            backend="xla")
+        prev_s = prev_r = None
+        for k, t in enumerate(thresholds):
+            prev_s = series.step(prev_s, k, md2)
+            prev_r = screening_step(fe, nh_dist, float(t), blobs, prev_r,
+                                    order=order, coords_sorted=cs,
+                                    engine=eng)
+            np.testing.assert_array_equal(prev_s, prev_r)
