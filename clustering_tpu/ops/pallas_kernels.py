@@ -97,23 +97,28 @@ def _pops_kernel(n_valid_ref, skip_ref, xt_ref, yt_ref, radii2_ref, out_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("row_block", "col_block"))
-def pops_tiles(coords_t, radii2, n_valid, skip_words,
-               row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK):
-    """Multi-radius population counts.
+def pops_tiles_cross(rows_t, cols_t, radii2, n_valid, skip_words,
+                     row_block=DEFAULT_ROW_BLOCK,
+                     col_block=DEFAULT_COL_BLOCK):
+    """Multi-radius population counts of ``rows_t`` frames against the
+    ``cols_t`` frame set (separated so a mesh shard can count its row range
+    against the full replicated matrix).
 
     Args:
-      coords_t: (D, N_pad) fp32 transposed coordinates, N_pad divisible by
-        both blocks.
+      rows_t: (D, R_pad) fp32 transposed query frames.
+      cols_t: (D, N_pad) fp32 transposed reference frames.
       radii2: (n_radii,) fp32 squared radii.
       n_valid: dynamic int32 count of real columns.
-      skip_words: bit-packed per-tile skip matrix
+      skip_words: bit-packed per-tile skip matrix for the
+        (R_pad/row_block, N_pad/col_block) grid
         (clustering_tpu.ops.pruning).
     Returns:
-      (n_radii, N_pad) int32 counts (self-inclusive, d2 <= r^2).
+      (n_radii, R_pad) int32 counts (self-inclusive, d2 <= r^2).
     """
-    n_dim, n_pad = coords_t.shape
+    n_dim, r_pad = rows_t.shape
+    n_pad = cols_t.shape[1]
     n_radii = radii2.shape[0]
-    grid = (n_pad // row_block, n_pad // col_block)
+    grid = (r_pad // row_block, n_pad // col_block)
     words_per_row = -(-grid[1] // 32)
     kernel = functools.partial(_pops_kernel, row_block=row_block,
                                col_block=col_block, n_dim=n_dim,
@@ -132,12 +137,19 @@ def pops_tiles(coords_t, radii2, n_valid, skip_words,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_radii, n_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_radii, r_pad), jnp.int32),
         interpret=INTERPRET,
     )(jnp.asarray([n_valid], dtype=jnp.int32),
       jnp.asarray(skip_words, dtype=jnp.int32),
-      coords_t, coords_t,
+      rows_t, cols_t,
       jnp.asarray(radii2, dtype=jnp.float32))
+
+
+def pops_tiles(coords_t, radii2, n_valid, skip_words,
+               row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK):
+    """Single-device all-pairs population counts; see pops_tiles_cross."""
+    return pops_tiles_cross(coords_t, coords_t, radii2, n_valid, skip_words,
+                            row_block=row_block, col_block=col_block)
 
 
 # ---------------------------------------------------------------------------
@@ -188,26 +200,32 @@ def _nn_kernel(n_valid_ref, skip_ref, xt_ref, yt_ref, fe_x_ref, fe_y_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("row_block", "col_block"))
-def nn_tiles(coords_t, fe, orig_ids, n_valid, skip_words,
-             row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK):
-    """Joint NN / NN-higher-density search.
+def nn_tiles_cross(rows_t, fe_rows, cols_t, fe_cols, orig_ids, n_valid,
+                   skip_words, row_block=DEFAULT_ROW_BLOCK,
+                   col_block=DEFAULT_COL_BLOCK):
+    """Joint NN / NN-higher-density search of ``rows_t`` frames against the
+    ``cols_t`` frame set (separated so a mesh shard can search its row
+    range against the full replicated matrix).
 
     Args:
-      coords_t: (D, N_pad) fp32 transposed coordinates (any frame order).
-      fe: (1, N_pad) fp32 free energies (+inf on padded columns).
+      rows_t: (D, R_pad) fp32 transposed query frames (any frame order).
+      fe_rows: (1, R_pad) fp32 free energies of the query frames.
+      cols_t: (D, N_pad) fp32 transposed reference frames.
+      fe_cols: (1, N_pad) fp32 free energies (+inf on padded columns).
       orig_ids: (1, N_pad) int32 original frame index of each column
         (drives exact smallest-original-index tie-breaking and is what the
         index outputs report).
       n_valid: dynamic int32 count of real columns.
       skip_words: bit-packed per-tile skip matrix.
     Returns:
-      (nh_d, nh_j, hd_d, hd_j), each (1, N_pad) in the row order of
-      ``coords_t``; distances +inf (index IMAX) where no admissible
+      (nh_d, nh_j, hd_d, hd_j), each (1, R_pad) in the row order of
+      ``rows_t``; distances +inf (index IMAX) where no admissible
       neighbor exists (or where pruning removed all tiles -- callers must
       combine passes accordingly).
     """
-    n_dim, n_pad = coords_t.shape
-    grid = (n_pad // row_block, n_pad // col_block)
+    n_dim, r_pad = rows_t.shape
+    n_pad = cols_t.shape[1]
+    grid = (r_pad // row_block, n_pad // col_block)
     words_per_row = -(-grid[1] // 32)
     kernel = functools.partial(_nn_kernel, row_block=row_block,
                                col_block=col_block, n_dim=n_dim,
@@ -233,15 +251,23 @@ def nn_tiles(coords_t, fe, orig_ids, n_valid, skip_words,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
         ],
         interpret=INTERPRET,
     )(jnp.asarray([n_valid], dtype=jnp.int32),
       jnp.asarray(skip_words, dtype=jnp.int32),
-      coords_t, coords_t, fe, fe, orig_ids)
+      rows_t, cols_t, fe_rows, fe_cols, orig_ids)
+
+
+def nn_tiles(coords_t, fe, orig_ids, n_valid, skip_words,
+             row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK):
+    """Single-device all-pairs NN search; see nn_tiles_cross."""
+    return nn_tiles_cross(coords_t, fe, coords_t, fe, orig_ids, n_valid,
+                          skip_words, row_block=row_block,
+                          col_block=col_block)
 
 
 # ---------------------------------------------------------------------------
@@ -252,12 +278,13 @@ def nn_tiles(coords_t, fe, orig_ids, n_valid, skip_words,
 # sparse-tile screening sweep (tile list driven)
 # ---------------------------------------------------------------------------
 
-def _label_min_sparse_kernel(n_below_ref, max_d2_ref, ti_ref, tj_ref,
+def _label_min_sparse_kernel(win_ref, max_d2_ref, ti_ref, tj_ref,
                              xt_ref, yt_ref, lab_y_ref, init_ref, out_ref,
                              *, row_block, col_block, n_dim):
     del init_ref  # aliased into the output in HBM (covers unvisited rows)
     k = pl.program_id(0)
-    n_below = n_below_ref[0]
+    n_below = win_ref[0]
+    row_block_offset = win_ref[1]
     max_dist2 = max_d2_ref[0]
     i = ti_ref[k]
     j = tj_ref[k]
@@ -271,7 +298,7 @@ def _label_min_sparse_kernel(n_below_ref, max_d2_ref, ti_ref, tj_ref,
     d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
     col_ids = j * col_block + jax.lax.broadcasted_iota(
         jnp.int32, (row_block, col_block), 1)
-    row_ids = i * row_block + jax.lax.broadcasted_iota(
+    row_ids = (row_block_offset + i) * row_block + jax.lax.broadcasted_iota(
         jnp.int32, (row_block, col_block), 0)
     adj = (d2 < max_dist2) & (col_ids < n_below) & (row_ids < n_below)
     cand = jnp.where(adj, lab_y_ref[0, :].reshape(1, col_block), _IMAX)
@@ -279,20 +306,23 @@ def _label_min_sparse_kernel(n_below_ref, max_d2_ref, ti_ref, tj_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
-def label_min_sparse(coords_t_sorted, labels, n_below, max_dist2,
-                     tile_i, tile_j,
-                     row_block=DEFAULT_ROW_BLOCK,
-                     col_block=DEFAULT_COL_BLOCK):
-    """Neighbor-min proposals over an explicit active-tile list.
+def label_min_sparse_cross(rows_t, cols_t, labels, n_below, max_dist2,
+                           tile_i, tile_j, row_block_offset,
+                           row_block=DEFAULT_ROW_BLOCK,
+                           col_block=DEFAULT_COL_BLOCK):
+    """Neighbor-min proposals over an explicit active-tile list, for a
+    (possibly sharded) row range against the full column set.
 
     The host enumerates the (row-major sorted) tiles that can contain
     admissible pairs (bbox pruning + incremental window); the grid iterates
-    only those -- skipped tiles cost nothing, unlike the dense kernel's
-    masked grid. ``tile_i/tile_j`` may be padded by repeating their last
-    entry (the min-reduction is idempotent). Proposals default to IMAX via
-    an aliased init buffer for rows whose tiles were all pruned.
+    only those -- skipped tiles cost nothing, unlike a masked dense grid.
+    ``tile_i`` holds row-block indices local to ``rows_t`` (global offset
+    ``row_block_offset`` blocks), ``tile_j`` global col-block indices; both
+    may be padded by repeating their last entry (the min-reduction is
+    idempotent). Proposals default to IMAX via an aliased init buffer for
+    rows whose tiles were all pruned.
     """
-    n_dim, n_pad = coords_t_sorted.shape
+    n_dim, r_pad = rows_t.shape
     n_tiles = tile_i.shape[0]
     kernel = functools.partial(_label_min_sparse_kernel,
                                row_block=row_block, col_block=col_block,
@@ -313,15 +343,28 @@ def label_min_sparse(coords_t_sorted, labels, n_below, max_dist2,
         out_specs=pl.BlockSpec((1, row_block),
                                lambda k, nb, md, ti, tj: (0, ti[k])),
     )
-    init = jnp.full((1, n_pad), _IMAX, dtype=jnp.int32)
+    init = jnp.full((1, r_pad), _IMAX, dtype=jnp.int32)
+    window = jnp.stack([jnp.asarray(n_below, dtype=jnp.int32),
+                        jnp.asarray(row_block_offset, dtype=jnp.int32)])
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
         input_output_aliases={7: 0},  # init buffer -> output
         interpret=INTERPRET,
-    )(jnp.asarray([n_below], dtype=jnp.int32),
+    )(window,
       jnp.asarray([max_dist2], dtype=jnp.float32),
       jnp.asarray(tile_i, dtype=jnp.int32),
       jnp.asarray(tile_j, dtype=jnp.int32),
-      coords_t_sorted, coords_t_sorted, labels, init)
+      rows_t, cols_t, labels, init)
+
+
+def label_min_sparse(coords_t_sorted, labels, n_below, max_dist2,
+                     tile_i, tile_j,
+                     row_block=DEFAULT_ROW_BLOCK,
+                     col_block=DEFAULT_COL_BLOCK):
+    """Single-device all-pairs sparse sweep; see label_min_sparse_cross."""
+    return label_min_sparse_cross(coords_t_sorted, coords_t_sorted, labels,
+                                  n_below, max_dist2, tile_i, tile_j,
+                                  jnp.int32(0), row_block=row_block,
+                                  col_block=col_block)

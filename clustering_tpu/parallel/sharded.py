@@ -54,20 +54,165 @@ def _pops_sharded(coords_padded, radii2, n_valid, mesh,
     return run(coords_padded, coords_padded, radii2, n_valid)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "row_block", "col_block"))
+def _pops_sharded_pallas(coords_t_padded, radii2, n_valid, skip_words, mesh,
+                         row_block=DEFAULT_ROW_BLOCK,
+                         col_block=DEFAULT_COL_BLOCK):
+    """Row-sharded fused Pallas pops: every chip runs the tile kernel over
+    its row range against the replicated (D, N_pad) frame matrix; the skip
+    matrix rows shard along with them."""
+    from ..ops import pallas_kernels as pk
+
+    n_pad = coords_t_padded.shape[1]
+    n_dev = mesh_size(mesh)
+    rows_local = n_pad // n_dev
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, None), P(None), P(), P(FRAME_AXIS)),
+        out_specs=P(None, FRAME_AXIS), check_vma=False)
+    def run(coords_t_all, radii2, n_valid, skip_shard):
+        # each chip slices its row range out of the replicated matrix;
+        # column ids inside the kernel stay global
+        idx = jax.lax.axis_index(FRAME_AXIS)
+        local_t = jax.lax.dynamic_slice_in_dim(
+            coords_t_all, idx * rows_local, rows_local, axis=1)
+        return pk.pops_tiles_cross(local_t, coords_t_all, radii2, n_valid,
+                                   skip_shard, row_block=row_block,
+                                   col_block=col_block)
+
+    return run(coords_t_padded, radii2, n_valid, skip_words)
+
+
 def populations(coords, radii, mesh,
-                row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK):
+                row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK,
+                backend="xla", prune=True):
     """Mesh-sharded multi-radius populations; same semantics as
-    clustering_tpu.ops.populations."""
-    coords = jnp.asarray(coords, dtype=jnp.float32)
+    clustering_tpu.ops.populations.
+
+    backend='pallas' runs the fused pruned tile kernel per shard (TPU
+    meshes); 'xla' the blockwise jnp kernel (also used for CPU-mesh
+    testing).
+    """
+    coords = np.asarray(coords, dtype=np.float32)
     n = coords.shape[0]
-    block = _pad_block(n, mesh_size(mesh), row_block, col_block)
-    padded = pad_rows(coords, block)
+    n_dev = mesh_size(mesh)
+    block = _pad_block(n, n_dev, row_block, col_block)
     radii = list(radii)
-    radii2 = jnp.asarray([r * r for r in radii], dtype=jnp.float32)
+    radii2 = jnp.asarray([np.float32(r) * np.float32(r) for r in radii],
+                         dtype=jnp.float32)
+    if backend == "pallas":
+        from ..ops import pruning
+        order = pruning.morton_order(coords)
+        n_pad = -(-n // block) * block
+        padded = np.zeros((n_pad, coords.shape[1]), dtype=np.float32)
+        padded[:n] = coords[order]
+        padded[n:] = np.float32(3e38)
+        r_max2 = np.float32(max(radii)) * np.float32(max(radii))
+        if prune:
+            skip_words, _ = pruning.radius_skip_words(
+                padded, row_block, col_block, r_max2)
+        else:
+            skip_words, _ = pruning.no_skip_words(n_pad // row_block,
+                                                  n_pad // col_block)
+        counts = _pops_sharded_pallas(
+            jnp.asarray(padded.T), radii2, jnp.int32(n),
+            jnp.asarray(skip_words), mesh,
+            row_block=row_block, col_block=col_block)
+        counts = np.asarray(jax.device_get(counts))[:, :n]
+        unsorted = np.empty_like(counts)
+        unsorted[:, order] = counts
+        return {r: unsorted[i].astype(np.int64)
+                for i, r in enumerate(radii)}
+    padded = pad_rows(jnp.asarray(coords), block)
     counts = _pops_sharded(padded, radii2, jnp.int32(n), mesh,
                            row_block=row_block, col_block=col_block)
     counts = np.asarray(jax.device_get(counts))[:, :n].astype(np.int64)
     return {r: counts[i] for i, r in enumerate(radii)}
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "row_block", "col_block"))
+def _nn_sharded_pallas(coords_t_padded, fe_padded, oid_padded, n_valid,
+                       skip_words, mesh,
+                       row_block=DEFAULT_ROW_BLOCK,
+                       col_block=DEFAULT_COL_BLOCK):
+    """Row-sharded fused Pallas NN: every chip searches its row range
+    against the replicated frame matrix."""
+    from ..ops import pallas_kernels as pk
+
+    n_pad = coords_t_padded.shape[1]
+    n_dev = mesh_size(mesh)
+    rows_local = n_pad // n_dev
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, None), P(None, None), P(None, None), P(),
+                  P(FRAME_AXIS)),
+        out_specs=(P(None, FRAME_AXIS),) * 4, check_vma=False)
+    def run(ct, fe_all, oid_all, n_valid, skip_shard):
+        idx = jax.lax.axis_index(FRAME_AXIS)
+        rows_t = jax.lax.dynamic_slice_in_dim(ct, idx * rows_local,
+                                              rows_local, axis=1)
+        fe_rows = jax.lax.dynamic_slice_in_dim(fe_all, idx * rows_local,
+                                               rows_local, axis=1)
+        return tuple(pk.nn_tiles_cross(rows_t, fe_rows, ct, fe_all,
+                                       oid_all, n_valid, skip_shard,
+                                       row_block=row_block,
+                                       col_block=col_block))
+
+    return run(coords_t_padded, fe_padded, oid_padded, n_valid, skip_words)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "row_block", "col_block"))
+def _screening_sharded_pallas(coords_t, labels0, n_below, max_dist2,
+                              ti_dev, tj_dev, mesh,
+                              row_block=DEFAULT_ROW_BLOCK,
+                              col_block=DEFAULT_COL_BLOCK):
+    """Mesh-sharded sparse-tile screening fixpoint: each chip sweeps its
+    own active tiles, proposals are exchanged with an all_gather over ICI
+    and the scatter-min union runs replicated."""
+    from ..ops import pallas_kernels as pk
+    from ..ops.screening import union_rebase
+
+    n_pad = coords_t.shape[1]
+    n_dev = mesh_size(mesh)
+    rows_local = n_pad // n_dev
+    blocks_local = rows_local // row_block
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, None), P(None), P(), P(),
+                  P(FRAME_AXIS, None), P(FRAME_AXIS, None)),
+        out_specs=P(None), check_vma=False)
+    def run(ct, labels0, nb, md2, ti_l, tj_l):
+        idx = jax.lax.axis_index(FRAME_AXIS)
+        rows_t = jax.lax.dynamic_slice_in_dim(ct, idx * rows_local,
+                                              rows_local, axis=1)
+        ti = ti_l[0]
+        tj = tj_l[0]
+        off_blocks = idx.astype(jnp.int32) * blocks_local
+
+        def cond(state):
+            return state[1]
+
+        def body(state):
+            labels_in, _ = state
+            m_loc = pk.label_min_sparse_cross(
+                rows_t, ct, labels_in.reshape(1, -1), nb, md2, ti, tj,
+                off_blocks, row_block=row_block, col_block=col_block)[0]
+            m_full = jax.lax.all_gather(m_loc, FRAME_AXIS, tiled=True)
+            labels_cur = jnp.minimum(labels_in, m_full)
+            labels_out = union_rebase(labels_in, labels_cur)
+            return (labels_out, jnp.any(labels_out != labels_in))
+
+        labels, _ = jax.lax.while_loop(cond, body,
+                                       (labels0, jnp.bool_(True)))
+        return labels
+
+    return run(coords_t, labels0, n_below, max_dist2, ti_dev, tj_dev)
 
 
 @functools.partial(jax.jit,
@@ -89,9 +234,15 @@ def _nn_sharded(coords_padded, fe_padded, n_valid, mesh,
 
 def nearest_neighbors(coords, free_energy, mesh,
                       row_block=DEFAULT_ROW_BLOCK,
-                      col_block=DEFAULT_COL_BLOCK):
+                      col_block=DEFAULT_COL_BLOCK,
+                      backend="xla", prune=True, band_blocks=4):
     """Mesh-sharded joint NN / NN-higher-density search; same semantics as
-    clustering_tpu.ops.nearest_neighbors."""
+    clustering_tpu.ops.nearest_neighbors. backend='pallas' uses the fused
+    pruned tile kernel per shard (Morton layout, banded bounding pass)."""
+    if backend == "pallas":
+        return _nearest_neighbors_pallas_mesh(coords, free_energy, mesh,
+                                              row_block, col_block,
+                                              prune, band_blocks)
     coords = jnp.asarray(coords, dtype=jnp.float32)
     fe = jnp.asarray(free_energy, dtype=jnp.float32)
     n = coords.shape[0]
@@ -105,6 +256,64 @@ def nearest_neighbors(coords, free_energy, mesh,
     nh_j = np.array(jax.device_get(nh_j))[:n].astype(np.int64)
     hd_d = np.array(jax.device_get(hd_d))[:n]
     hd_j = np.array(jax.device_get(hd_j))[:n].astype(np.int64)
+    no_nh = ~np.isfinite(nh_d)
+    nh_d[no_nh] = 0.0
+    nh_j[no_nh] = 0
+    no_hd = ~np.isfinite(hd_d)
+    hd_d[no_hd] = 0.0
+    hd_j[no_hd] = 0
+    return nh_j, nh_d.astype(np.float32), hd_j, hd_d.astype(np.float32)
+
+
+def _nearest_neighbors_pallas_mesh(coords, free_energy, mesh, row_block,
+                                   col_block, prune, band_blocks):
+    from ..ops import pruning
+
+    coords = np.asarray(coords, dtype=np.float32)
+    fe = np.asarray(free_energy, dtype=np.float32)
+    n = coords.shape[0]
+    n_dev = mesh_size(mesh)
+    block = _pad_block(n, n_dev, row_block, col_block)
+    n_pad = -(-n // block) * block
+    order = pruning.morton_order(coords)
+    padded = np.zeros((n_pad, coords.shape[1]), dtype=np.float32)
+    padded[:n] = coords[order]
+    padded[n:] = np.float32(3e38)
+    fe_padded = np.full(n_pad, np.inf, dtype=np.float32)
+    fe_padded[:n] = fe[order]
+    oid = np.full(n_pad, np.iinfo(np.int32).max, dtype=np.int32)
+    oid[:n] = order
+    ct = jnp.asarray(padded.T)
+    fe_dev = jnp.asarray(fe_padded).reshape(1, n_pad)
+    oid_dev = jnp.asarray(oid).reshape(1, n_pad)
+    nrb, ncb = n_pad // row_block, n_pad // col_block
+
+    def run(skip_words):
+        return _nn_sharded_pallas(ct, fe_dev, oid_dev, jnp.int32(n),
+                                  jnp.asarray(skip_words), mesh,
+                                  row_block=row_block, col_block=col_block)
+
+    if prune and ncb > 2 * band_blocks:
+        band_words, _ = pruning.band_skip_words(nrb, ncb, row_block,
+                                                col_block,
+                                                band_blocks * col_block)
+        out1 = run(band_words)
+        row_ub = np.maximum(np.asarray(out1[0])[0],
+                            np.asarray(out1[2])[0]).reshape(
+                                nrb, row_block).max(axis=1)
+        skip_words, _ = pruning.ub_skip_words(padded, row_block, col_block,
+                                              row_ub)
+    else:
+        skip_words, _ = pruning.no_skip_words(nrb, ncb)
+    out = run(skip_words)
+    nh_d = np.array(jax.device_get(out[0]))[0, :n]
+    nh_j = np.array(jax.device_get(out[1]))[0, :n].astype(np.int64)
+    hd_d = np.array(jax.device_get(out[2]))[0, :n]
+    hd_j = np.array(jax.device_get(out[3]))[0, :n].astype(np.int64)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(n)
+    nh_d, nh_j = nh_d[inv], nh_j[inv]
+    hd_d, hd_j = hd_d[inv], hd_j[inv]
     no_nh = ~np.isfinite(nh_d)
     nh_d[no_nh] = 0.0
     nh_j[no_nh] = 0
@@ -154,19 +363,59 @@ def _screening_sharded(coords_sorted, labels0, n_below, max_dist2, mesh,
 
 def screening_labels(coords_sorted, initial_labels, n_below, max_dist2,
                      mesh, row_block=DEFAULT_ROW_BLOCK,
-                     col_block=DEFAULT_COL_BLOCK):
+                     col_block=DEFAULT_COL_BLOCK, backend="xla"):
     """Mesh-sharded screening fixpoint; same semantics as
-    clustering_tpu.ops.screening_labels."""
-    coords_sorted = jnp.asarray(coords_sorted, dtype=jnp.float32)
-    labels = jnp.asarray(initial_labels, dtype=jnp.int32)
+    clustering_tpu.ops.screening_labels. backend='pallas' distributes
+    sparse active-tile sweeps over the mesh."""
+    coords_sorted = np.asarray(coords_sorted, dtype=np.float32)
     n = coords_sorted.shape[0]
-    block = _pad_block(n, mesh_size(mesh), row_block, col_block)
+    n_dev = mesh_size(mesh)
+    block = _pad_block(n, n_dev, row_block, col_block)
     n_pad = -(-n // block) * block
-    coords_padded = pad_rows(coords_sorted, block)
+    labels = np.asarray(initial_labels, dtype=np.int32)
     if n_pad != n:
-        labels = jnp.concatenate(
-            [labels, jnp.arange(n, n_pad, dtype=jnp.int32)])
-    out = _screening_sharded(coords_padded, labels, jnp.int32(n_below),
+        labels = np.concatenate(
+            [labels, np.arange(n, n_pad, dtype=np.int32)])
+    if backend == "pallas":
+        from ..ops import pruning
+        padded = np.zeros((n_pad, coords_sorted.shape[1]),
+                          dtype=np.float32)
+        padded[:n] = coords_sorted
+        padded[n:] = np.float32(3e38)
+        rmin, rmax = pruning.block_bboxes(padded, row_block)
+        cmin, cmax = pruning.block_bboxes(padded, col_block)
+        d2b = pruning.bbox_dist2(rmin, rmax, cmin, cmax)
+        nrb, ncb = d2b.shape
+        ri = np.arange(nrb)[:, None]
+        cj = np.arange(ncb)[None, :]
+        active = (d2b < np.float32(max_dist2)) \
+            & (ri * row_block < n_below) & (cj * col_block < n_below)
+        ti, tj = np.nonzero(active)
+        blocks_local = nrb // n_dev
+        dev_of = ti // blocks_local
+        per_dev = [(ti[dev_of == d] - d * blocks_local, tj[dev_of == d])
+                   for d in range(n_dev)]
+        longest = max(max((len(a) for a, _ in per_dev), default=1), 1)
+        bucket = 1 << int(np.ceil(np.log2(longest)))
+        ti_dev = np.zeros((n_dev, bucket), dtype=np.int32)
+        tj_dev = np.zeros((n_dev, bucket), dtype=np.int32)
+        for d, (a, b) in enumerate(per_dev):
+            if len(a):
+                ti_dev[d, :len(a)] = a
+                tj_dev[d, :len(a)] = b
+                ti_dev[d, len(a):] = a[-1]
+                tj_dev[d, len(a):] = b[-1]
+            # devices with no active tiles redundantly re-sweep their
+            # first tile -- harmless under the idempotent min
+        out = _screening_sharded_pallas(
+            jnp.asarray(padded.T), jnp.asarray(labels), jnp.int32(n_below),
+            jnp.float32(max_dist2), jnp.asarray(ti_dev),
+            jnp.asarray(tj_dev), mesh,
+            row_block=row_block, col_block=col_block)
+        return np.asarray(jax.device_get(out))[:n]
+    coords_padded = pad_rows(jnp.asarray(coords_sorted), block)
+    out = _screening_sharded(coords_padded, jnp.asarray(labels),
+                             jnp.int32(n_below),
                              jnp.float32(max_dist2), mesh,
                              row_block=row_block, col_block=col_block)
     return np.asarray(jax.device_get(out))[:n]

@@ -71,3 +71,45 @@ def test_sharded_screening_seeded(mesh8, blobs):
     sharded = parallel.sharded.screening_labels(
         coords_sorted, seeded, 200, 0.1, mesh8, row_block=32, col_block=64)
     np.testing.assert_array_equal(single, sharded)
+
+
+def test_sharded_pallas_populations(mesh8, blobs):
+    """The shard_map'd Pallas tile kernel (interpret mode on the CPU mesh)
+    must agree with the sharded XLA path."""
+    radii = [0.3, 0.7]
+    want = parallel.sharded.populations(blobs, radii, mesh8,
+                                        row_block=8, col_block=16)
+    got = parallel.sharded.populations(blobs, radii, mesh8,
+                                       row_block=8, col_block=16,
+                                       backend="pallas")
+    for r in radii:
+        np.testing.assert_array_equal(want[r], got[r])
+
+
+def test_sharded_pallas_nearest_neighbors(mesh8, blobs):
+    pops = ops.populations(blobs, [0.4], row_block=32, col_block=64)[0.4]
+    fe = ops.free_energies(pops)
+    want = parallel.sharded.nearest_neighbors(blobs, fe, mesh8,
+                                              row_block=8, col_block=16)
+    got = parallel.sharded.nearest_neighbors(blobs, fe, mesh8,
+                                             row_block=8, col_block=16,
+                                             backend="pallas")
+    np.testing.assert_array_equal(want[0], got[0])
+    np.testing.assert_array_equal(want[2], got[2])
+    np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
+    np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
+
+
+def test_sharded_pallas_screening(mesh8, blobs):
+    pops = ops.populations(blobs, [0.4], row_block=32, col_block=64)[0.4]
+    fe = ops.free_energies(pops)
+    order = density_model.sorted_fe_order(fe)
+    cs = blobs[order]
+    labels0 = np.arange(len(blobs), dtype=np.int32)
+    for nb, t in ((150, 0.08), (230, 0.2)):
+        want = parallel.sharded.screening_labels(
+            cs, labels0, nb, t, mesh8, row_block=8, col_block=16)
+        got = parallel.sharded.screening_labels(
+            cs, labels0, nb, t, mesh8, row_block=8, col_block=16,
+            backend="pallas")
+        np.testing.assert_array_equal(want, got)
