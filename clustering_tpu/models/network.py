@@ -211,8 +211,11 @@ def save_network_to_html(fname, network, free_energies, pops):
         i_to = network[i_from]
         parent_to = fake_root.find_parent_of(i_to)
         if parent_to is None:
-            fake_root.children[i_to] = _Node(i_to, free_energies[i_to],
-                                             pops[i_to])
+            # top-level nodes have no own fe/pop entry; the reference's
+            # std::map operator[] defaults them to zero
+            fake_root.children[i_to] = _Node(i_to,
+                                             free_energies.get(i_to, 0.0),
+                                             pops.get(i_to, 0))
             parent_to = fake_root
         parent_from = fake_root.find_parent_of(i_from)
         if parent_from is not None:

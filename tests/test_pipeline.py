@@ -151,3 +151,56 @@ def test_filter_xtc(workdir):
         count += 1
     r.close()
     assert count == int((states == 2).sum())
+
+
+def test_network_html(workdir):
+    run(["density", "-f", "coords.dat", "-r", "0.2", "-d", "fe",
+         "-o", "clust", "-T", "0.2", "0.2", "1.0"])
+    run(["network", "-p", "1", "-b", "clust", "-o", "net",
+         "--min", "0.2", "--step", "0.2", "--network-html"])
+    html = open("net_visualization.html").read()
+    assert "cytoscape" in html
+    assert "group:'nodes'" in html
+    assert "group:'edges'" in html
+
+
+def test_density_default_screening_params(workdir):
+    # -T -1 means FROM=0.1 STEP=0.1 TO=max(FE)
+    run(["density", "-f", "coords.dat", "-r", "0.25", "-d", "fe",
+         "-o", "cl", "-T", "-1"])
+    files = sorted(f for f in os.listdir(".") if f.startswith("cl.0."))
+    assert "cl.0.10" in files
+    assert "cl.0.20" in files
+
+
+def test_coring_windows_file(workdir):
+    states = np.array([1] * 10 + [2] * 10 + [1, 2] * 5)
+    np.savetxt("states.dat", states, fmt="%d")
+    with open("win.dat", "w") as fh:
+        fh.write("# comment line\n* 2\n1 3\n")
+    run(["coring", "-s", "states.dat", "-w", "win.dat", "-o", "cored"])
+    cored = np.loadtxt("cored", dtype=int)
+    assert len(cored) == 30
+    text = open("cored").read()
+    assert "1 state-specific coring windows were read" in text
+
+
+def test_mpp_tprob_input(workdir):
+    states = np.array(([1] * 6 + [2] * 6) * 10)
+    np.savetxt("states.dat", states, fmt="%d")
+    np.savetxt("fe.dat", np.linspace(0, 1, len(states)))
+    with open("tprob.dat", "w") as fh:
+        fh.write("1 1 0.9\n1 2 0.1\n2 1 0.2\n2 2 0.8\n")
+    run(["mpp", "-s", "states.dat", "-D", "fe.dat", "-l", "1",
+         "--tprob", "tprob.dat", "--qmin-from", "0.5", "--qmin-to", "0.5",
+         "--qmin-step", "0.1", "-o", "m"])
+    assert os.path.exists("m_traj_0.500.dat")
+
+
+def test_stats_with_concat(workdir, capsys):
+    states = np.array([1, 1, 2, 2, 1, 1, 2, 2])
+    np.savetxt("states.dat", states, fmt="%d")
+    run(["stats", "-s", "states.dat", "--concat-nframes", "4"])
+    out = capsys.readouterr().out
+    assert "state stats" in out
+    assert "total number of microstates" in out
