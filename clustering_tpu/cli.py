@@ -112,6 +112,11 @@ def build_parser():
     d.add_argument("-B", "--nearest-neighbors-input",
                    dest="nearest_neighbors_input",
                    help="input (optional): reuse nearest neighbor info.")
+    d.add_argument("--check", action="store_true",
+                   help="validation mode: run every device kernel on both"
+                        " the Pallas and XLA backends and report any"
+                        " disagreement (the functional-purity analog of the"
+                        " reference's sanitizer builds).")
     _add_common(d)
 
     # mpp

@@ -12,7 +12,7 @@ import sys
 import numpy as np
 
 from ..utils import io
-from ..utils.logger import logger
+from ..utils.logger import logger, stage_timer
 from .. import ops
 
 
@@ -146,11 +146,32 @@ def screening_step(free_energy, nh_dist, threshold, coords, prev_clustering,
     return normalized_cluster_names(n_below, clustering, order)
 
 
+def _check_backends(engine, coords, kind, got, radii=None, fe=None):
+    """--check mode: recompute on the XLA backend and report disagreement
+    (tolerating the documented 1-ulp fma boundary ties)."""
+    n = len(coords)
+    if kind == "pops":
+        other = ops.populations(coords, radii, backend="xla")
+        bad = sum(int((got[r] != other[r]).sum()) for r in radii)
+        total = n * len(radii)
+    else:
+        other = ops.nearest_neighbors(coords, fe, backend="xla")
+        bad = int((got[0] != other[0]).sum() + (got[2] != other[2]).sum())
+        total = 2 * n
+    frac = bad / max(total, 1)
+    logger(f"    [check] {kind}: {bad}/{total} entries differ between"
+           " backends")
+    if frac > 0.01:
+        _die(f"error: --check failed for {kind}:"
+             f" {frac:.2%} of entries disagree between backends")
+
+
 def main(args, header_comment, comments_map):
     """density mode (reference: src/density_clustering.cpp:559-825)."""
     coords = io.read_coords(args.file)
     n_rows = coords.shape[0]
     engine = ops.engine.DensityEngine(coords)
+    check = getattr(args, "check", False)
     free_energy = None
 
     if args.input and (args.free_energy or args.nearest_neighbors):
@@ -176,7 +197,11 @@ def main(args, header_comment, comments_map):
                      " energies.\n       why did you define -R ?")
             radii = list(args.radii)
             logger("    using radii: " + ", ".join(str(r) for r in radii))
-            pops_map = engine.populations(radii)
+            with stage_timer("populations"):
+                pops_map = engine.populations(radii)
+            if check:
+                _check_backends(engine, coords, "pops", pops_map,
+                                radii=radii)
             logger("    storing results")
             for radius in sorted(pops_map):
                 pops = pops_map[radius]
@@ -206,7 +231,11 @@ def main(args, header_comment, comments_map):
             logger("    calculating free energy and population")
             logger("    using radius: " + io.fmt_float(radius))
             comments_map["clustering_radius"] = radius
-            pops = engine.populations([radius])[radius]
+            with stage_timer("populations"):
+                pops = engine.populations([radius])[radius]
+            if check:
+                _check_backends(engine, coords, "pops",
+                                {radius: pops}, radii=[radius])
             if args.population:
                 logger("    storing population in: " + args.population)
                 io.write_pops(args.population, pops, header_comment,
@@ -230,7 +259,10 @@ def main(args, header_comment, comments_map):
             _die("error: nearest neighbor calculation cannot be done with\n"
                  "       several radii (-R is set).")
         logger("    calculating nearest neighbors")
-        nh = engine.nearest_neighbors(free_energy)
+        with stage_timer("nearest neighbors"):
+            nh = engine.nearest_neighbors(free_energy)
+        if check:
+            _check_backends(engine, coords, "nn", nh, fe=free_energy)
         if comments_map["lumping_radius"] == 0.0:
             sigma2 = ops.neighbors.compute_sigma2(nh[1])
             radius_lump = float(np.sqrt(np.float32(4.0 * sigma2)))

@@ -35,6 +35,7 @@ class DensityEngine:
         self._orders = {}       # name -> (order, padded_host)
         self._dev = {}          # name -> device array ((D, N_pad) or (N_pad, D))
         self._skips = {}        # (name, thresh2, strict) -> skip words
+        self._bboxes = {}       # name -> bbox distance matrix
 
     # -- cached layouts ----------------------------------------------------
 
@@ -66,13 +67,21 @@ class DensityEngine:
                 self._dev[name] = jnp.asarray(padded)
         return self._dev[name]
 
+    def _bbox(self, name):
+        if name not in self._bboxes:
+            _, padded = self._padded(name)
+            rmin, rmax = pruning.block_bboxes(padded, self.row_block)
+            cmin, cmax = pruning.block_bboxes(padded, self.col_block)
+            self._bboxes[name] = pruning.bbox_dist2(rmin, rmax, cmin, cmax)
+        return self._bboxes[name]
+
     def _skip_words(self, name, thresh2, strict=True):
         key = (name, float(thresh2), strict)
         if key not in self._skips:
-            _, padded = self._padded(name)
-            self._skips[key], _ = pruning.radius_skip_words(
-                padded, self.row_block, self.col_block,
-                np.float32(thresh2), strict=strict)
+            d2 = self._bbox(name)
+            skip = d2 > np.float32(thresh2) if strict \
+                else d2 >= np.float32(thresh2)
+            self._skips[key], _ = pruning.pack_skip_words(skip)
         return self._skips[key]
 
     def _best_sort(self, thresh2):
@@ -80,12 +89,7 @@ class DensityEngine:
         skip fraction at this radius."""
         best, best_frac = None, -1.0
         for name in ("dim0", "morton"):
-            _, padded = self._padded(name)
-            rmin, rmax = pruning.block_bboxes(padded, self.row_block)
-            cmin, cmax = pruning.block_bboxes(padded, self.col_block)
-            frac = float(
-                (pruning.bbox_dist2(rmin, rmax, cmin, cmax)
-                 > np.float32(thresh2)).mean())
+            frac = float((self._bbox(name) > np.float32(thresh2)).mean())
             if frac > best_frac:
                 best, best_frac = name, frac
         return best
@@ -177,13 +181,11 @@ class DensityEngine:
             # pick the phase-2 ordering with the best measured skip rate
             best = None
             for name in ("dim0", "morton"):
-                o2, p2 = self._padded(name)
+                o2, _ = self._padded(name)
                 ubp = np.full(n_pad, np.inf, dtype=np.float32)
                 ubp[:n] = ub_frame if o2 is None else ub_frame[o2]
                 row_ub = ubp.reshape(nrb, self.row_block).max(axis=1)
-                rmin, rmax = pruning.block_bboxes(p2, self.row_block)
-                cmin, cmax = pruning.block_bboxes(p2, self.col_block)
-                d2b = pruning.bbox_dist2(rmin, rmax, cmin, cmax)
+                d2b = self._bbox(name)
                 frac = float((d2b > row_ub[:, None]).mean())
                 if best is None or frac > best[0]:
                     best = (frac, name, d2b > row_ub[:, None])

@@ -71,8 +71,12 @@ def read_single_column(path, dtype=float):
     """Read one value per whitespace-token; on a parse failure skip the rest
     of that line (comment lines start with ``#``).
 
+    ``.npy`` paths load the binary cache directly (fast restart path for
+    large artifacts; the ASCII files remain the canonical format).
     Reference: tools.hxx:228-253 (``read_single_column``).
     """
+    if path.endswith(".npy"):
+        return [dtype(v) for v in np.load(path).tolist()]
     out = []
     with open(path) as fh:
         for line in fh:
@@ -131,7 +135,14 @@ def resolve_concat_limits(args_limits_file, args_nframes, n_frames):
 
 
 def write_single_column(path, data, header_comment="", scientific=False):
-    """Reference: tools.hxx:256-272."""
+    """Reference: tools.hxx:256-272. ``.npy`` paths store the binary cache
+    plus a ``<path>.meta`` sidecar holding the header/metadata lines."""
+    if path.endswith(".npy"):
+        np.save(path, np.asarray(data))
+        if header_comment:
+            with open(path + ".meta", "w") as fh:
+                fh.write(header_comment)
+        return
     with open(path, "w") as fh:
         fh.write(header_comment)
         if scientific:
@@ -168,7 +179,11 @@ def read_coords(path, usecols=None, dtype=np.float32) -> np.ndarray:
     Reference: tools.hxx:39-111 (two-pass aligned reader); here a single
     numpy pass suffices. Returns a C-contiguous float32 array.
     """
-    arr = np.loadtxt(path, dtype=dtype, ndmin=2, comments="#")
+    if path.endswith(".npy"):
+        arr = np.load(path).astype(dtype)
+        arr = arr.reshape(len(arr), -1)
+    else:
+        arr = np.loadtxt(path, dtype=dtype, ndmin=2, comments="#")
     if usecols is not None:
         arr = arr[:, list(usecols)]
     return np.ascontiguousarray(arr, dtype=dtype)
@@ -221,8 +236,15 @@ def read_neighborhood(path):
 
 def read_comments(path, comments_map: dict) -> None:
     """Scan ``#@ key = value`` lines; update registered keys in-place; warn
-    when a previously-set value disagrees (reference: tools.cpp:229-265)."""
+    when a previously-set value disagrees (reference: tools.cpp:229-265).
+
+    For ``.npy`` caches the metadata lives in the ``<path>.meta`` sidecar.
+    """
     from .logger import logger
+    if path.endswith(".npy"):
+        path = path + ".meta"
+        if not os.path.exists(path):
+            return
     with open(path) as fh:
         for line in fh:
             toks = line.split()

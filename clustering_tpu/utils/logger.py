@@ -24,3 +24,32 @@ def logger(*parts, sep="", end="\n", file=None) -> None:
     if _VERBOSE:
         print(*parts, sep=sep, end=end, file=file or sys.stdout)
         (file or sys.stdout).flush()
+
+
+class stage_timer:
+    """Verbose-gated wall-clock scope for pipeline stages; optionally wraps
+    a jax.profiler trace annotation when JAX is profiling (the rebuild's
+    answer to the reference's commented-out chrono timing points,
+    density_clustering_cuda.cu:422, 585-590)."""
+
+    def __init__(self, label):
+        self.label = label
+
+    def __enter__(self):
+        import time
+        self._t0 = time.perf_counter()
+        try:
+            import jax.profiler
+            self._trace = jax.profiler.TraceAnnotation(self.label)
+            self._trace.__enter__()
+        except Exception:
+            self._trace = None
+        return self
+
+    def __exit__(self, *exc):
+        import time
+        if self._trace is not None:
+            self._trace.__exit__(*exc)
+        logger("    [%s: %.3fs]" % (self.label,
+                                    time.perf_counter() - self._t0))
+        return False

@@ -79,3 +79,23 @@ def test_fmt_float_matches_cpp_default():
     assert io.fmt_float(0.1) == "0.1"
     assert io.fmt_float(1234567.0) == "1.23457e+06"
     assert io.fmt_float(np.float32(1.0 / 3.0)) == "0.333333"
+
+
+def test_npy_cache_roundtrip(tmp_path):
+    p = str(tmp_path / "fe.npy")
+    cm = io.default_comments_map()
+    cm["clustering_radius"] = 0.5
+    io.write_fes(p, [0.5, 1.25], "# hdr\n", cm)
+    assert io.read_single_column(p, float) == [0.5, 1.25]
+    cm2 = io.default_comments_map()
+    io.read_comments(p, cm2)
+    assert cm2["clustering_radius"] == 0.5
+
+
+def test_npy_coords(tmp_path):
+    import numpy as np
+    p = str(tmp_path / "c.npy")
+    arr = np.random.default_rng(0).random((5, 3)).astype(np.float32)
+    np.save(p, arr)
+    got = io.read_coords(p)
+    np.testing.assert_allclose(got, arr)

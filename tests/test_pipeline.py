@@ -204,3 +204,17 @@ def test_stats_with_concat(workdir, capsys):
     out = capsys.readouterr().out
     assert "state stats" in out
     assert "total number of microstates" in out
+
+
+def test_density_check_mode(workdir):
+    run(["density", "-f", "coords.dat", "-r", "0.2", "-p", "pop",
+         "-d", "fe", "-b", "nn", "--check", "-v"])
+    assert os.path.exists("pop")
+
+
+def test_density_npy_artifacts(workdir):
+    run(["density", "-f", "coords.dat", "-r", "0.2",
+         "-p", "pop.npy", "-d", "fe.npy", "-b", "nn"])
+    run(["density", "-f", "coords.dat", "-D", "fe.npy", "-B", "nn",
+         "-o", "cl", "-T", "0.3", "0.3", "0.9"])
+    assert os.path.exists("cl.0.30")
