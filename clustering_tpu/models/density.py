@@ -62,14 +62,13 @@ def sorted_cluster_names(clustering):
     toward the smaller original id getting the larger new name (the
     reference leaves tie order unspecified)."""
     c = np.asarray(clustering, dtype=np.int64)
-    vals, counts = np.unique(c, return_counts=True)
+    vals, inverse, counts = np.unique(c, return_inverse=True,
+                                      return_counts=True)
     order = np.argsort(counts, kind="stable")  # ascending population
-    new_name = np.empty_like(vals)
     k = len(vals)
-    for rank, idx in enumerate(order):
-        new_name[idx] = k - rank
-    lookup = dict(zip(vals.tolist(), new_name.tolist()))
-    return np.asarray([lookup[s] for s in c.tolist()], dtype=np.int64)
+    new_name = np.empty(k, dtype=np.int64)
+    new_name[order] = k - np.arange(k)
+    return new_name[inverse]
 
 
 def normalized_cluster_names(n_below, clustering, order):

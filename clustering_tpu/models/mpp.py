@@ -137,16 +137,21 @@ def microstate_min_free_energy(trajectory, free_energy):
 def single_step_future_state(tmat, cluster_names, q_min, min_free_energy):
     """Immediate-future state per microstate (reference: mpp.cpp:234-286)."""
     future = {}
+    name_set = set(cluster_names)
     for i in cluster_names:
         if _t(tmat, i, i) >= q_min:
             candidates = [i]
         else:
+            # only nonzero row entries can win the strict '>' maximum, so
+            # iterating the sparse row (ascending j, like the reference's
+            # dense scan) is exact
             candidates = []
             max_p = 0.0
-            for j in cluster_names:
-                if i == j:
+            row = tmat.get(i, {})
+            for j in sorted(row):
+                if i == j or j not in name_set:
                     continue
-                p = _t(tmat, i, j)
+                p = row[j]
                 if p > max_p:
                     max_p = p
                     candidates = [j]

@@ -145,11 +145,16 @@ def write_single_column(path, data, header_comment="", scientific=False):
         return
     with open(path, "w") as fh:
         fh.write(header_comment)
+        arr = np.asarray(data)
         if scientific:
-            fh.write("\n".join(fmt_scientific(v) for v in data))
+            body = "\n".join(fmt_scientific(v) for v in arr.tolist())
+        elif np.issubdtype(arr.dtype, np.integer):
+            # fast path for the large state-trajectory files
+            body = "\n".join(map(str, arr.tolist()))
         else:
-            fh.write("\n".join(_fmt_any(v) for v in data))
-        if len(data):
+            body = "\n".join(_fmt_any(v) for v in data)
+        fh.write(body)
+        if len(arr):
             fh.write("\n")
 
 
