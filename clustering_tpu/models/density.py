@@ -169,7 +169,11 @@ def main(args, header_comment, comments_map):
     """density mode (reference: src/density_clustering.cpp:559-825)."""
     coords = io.read_coords(args.file)
     n_rows = coords.shape[0]
-    engine = ops.engine.DensityEngine(coords)
+    # shard the frame axis over all available chips automatically
+    import jax
+    from .. import parallel
+    mesh = parallel.make_mesh() if len(jax.devices()) > 1 else None
+    engine = ops.engine.DensityEngine(coords, mesh=mesh)
     check = getattr(args, "check", False)
     free_energy = None
 
@@ -329,7 +333,7 @@ def main(args, header_comment, comments_map):
             sigma2 = ops.neighbors.compute_sigma2(nh[1])
             max_dist2 = np.float32(4.0 * sigma2)
             series = ops.screening.ThresholdSeriesScreener(
-                coords, free_energy, thresholds)
+                coords, free_energy, thresholds, mesh=mesh)
             clustering = None
             for k, tk in enumerate(thresholds):
                 logger("    %6s %9i" % ("%.2f" % tk,

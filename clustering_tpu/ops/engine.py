@@ -22,10 +22,13 @@ DEFAULT_COL_BLOCK = 2048
 
 class DensityEngine:
     def __init__(self, coords, row_block=DEFAULT_ROW_BLOCK,
-                 col_block=DEFAULT_COL_BLOCK, backend="auto"):
+                 col_block=DEFAULT_COL_BLOCK, backend="auto", mesh=None):
+        """``mesh``: a 1-D jax.sharding.Mesh to shard the row axis over
+        (multi-chip); None = single device."""
         if backend == "auto":
             backend = "xla" if jax.default_backend() == "cpu" else "pallas"
         self.backend = backend
+        self.mesh = mesh
         self.row_block = row_block
         self.col_block = col_block
         self.coords = np.ascontiguousarray(coords, dtype=np.float32)
@@ -97,6 +100,12 @@ class DensityEngine:
     # -- ops ---------------------------------------------------------------
 
     def populations(self, radii, prune=True):
+        if self.mesh is not None:
+            from ..parallel import sharded
+            return sharded.populations(self.coords, list(radii), self.mesh,
+                                       row_block=self.row_block,
+                                       col_block=self.col_block,
+                                       backend=self.backend, prune=prune)
         radii = list(radii)
         radii2 = jnp.asarray([np.float32(r) * np.float32(r) for r in radii],
                              dtype=jnp.float32)
@@ -141,6 +150,14 @@ class DensityEngine:
         results are identical to the reference's original-order scan.
         """
         fe = np.asarray(free_energy, dtype=np.float32)
+        if self.mesh is not None:
+            from ..parallel import sharded
+            return sharded.nearest_neighbors(self.coords, fe, self.mesh,
+                                             row_block=self.row_block,
+                                             col_block=self.col_block,
+                                             backend=self.backend,
+                                             prune=prune,
+                                             band_blocks=band_blocks)
         if self.backend != "pallas":
             return nops.nearest_neighbors(self.coords, fe,
                                           row_block=self.row_block,

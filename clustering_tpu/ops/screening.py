@@ -179,15 +179,22 @@ class ScreeningEngine:
     while_loop; 'auto' picks by platform."""
 
     def __init__(self, coords_sorted, row_block=DEFAULT_ROW_BLOCK,
-                 col_block=DEFAULT_COL_BLOCK, backend="auto"):
+                 col_block=DEFAULT_COL_BLOCK, backend="auto", mesh=None):
         if backend == "auto":
             backend = "xla" if jax.default_backend() == "cpu" else "pallas"
         self.backend = backend
+        self.mesh = mesh
         self.row_block = row_block
         self.col_block = col_block
         coords_sorted = np.asarray(coords_sorted, dtype=np.float32)
         self.n = coords_sorted.shape[0]
-        block = int(np.lcm(row_block, col_block))
+        if mesh is not None:
+            from ..parallel.mesh import mesh_size
+            self._n_dev = mesh_size(mesh)
+            block = int(np.lcm(self._n_dev * row_block, col_block))
+        else:
+            self._n_dev = 1
+            block = int(np.lcm(row_block, col_block))
         self.n_pad = -(-self.n // block) * block
         padded = np.zeros((self.n_pad, coords_sorted.shape[1]),
                           dtype=np.float32)
@@ -237,7 +244,18 @@ class ScreeningEngine:
         if self.n_pad != self.n:
             labels = np.concatenate(
                 [labels, np.arange(self.n, self.n_pad, dtype=np.int32)])
-        if self.backend == "pallas":
+        if self.backend == "pallas" and self.mesh is not None:
+            from ..parallel import sharded
+            tiles = self._tile_list(row_lo, n_below, max_dist2)
+            out = jnp.asarray(labels)
+            if tiles is not None:
+                ti_dev, tj_dev = self._split_tiles_per_device(*tiles)
+                out = sharded._screening_sharded_pallas(
+                    self._coords_dev, out, jnp.int32(n_below),
+                    jnp.float32(max_dist2), jnp.asarray(ti_dev),
+                    jnp.asarray(tj_dev), self.mesh,
+                    row_block=self.row_block, col_block=self.col_block)
+        elif self.backend == "pallas":
             tiles = self._tile_list(row_lo, n_below, max_dist2)
             out = jnp.asarray(labels)
             if tiles is not None:
@@ -248,12 +266,39 @@ class ScreeningEngine:
                                        jnp.asarray(ti), jnp.asarray(tj),
                                        row_block=self.row_block,
                                        col_block=self.col_block)
+        elif self.mesh is not None:
+            from ..parallel import sharded
+            out = sharded._screening_sharded(
+                jnp.asarray(self._padded_host), jnp.asarray(labels),
+                jnp.int32(n_below), jnp.float32(max_dist2), self.mesh,
+                row_block=self.row_block, col_block=self.col_block)
         else:
             out = _screening_fixpoint(
                 self._coords_dev, jnp.asarray(labels), jnp.int32(n_below),
                 jnp.float32(max_dist2),
                 row_block=self.row_block, col_block=self.col_block)
         return np.asarray(jax.device_get(out))[:self.n]
+
+    def _split_tiles_per_device(self, ti, tj):
+        """Group the (already bucket-padded) global tile list by owning
+        device, localize row-block indices, and pad every device's list to
+        a common power-of-two bucket (idempotent repeats)."""
+        nrb = self.n_pad // self.row_block
+        blocks_local = nrb // self._n_dev
+        dev_of = ti // blocks_local
+        per_dev = [(ti[dev_of == d] - d * blocks_local, tj[dev_of == d])
+                   for d in range(self._n_dev)]
+        longest = max(max((len(a) for a, _ in per_dev), default=1), 1)
+        bucket = 1 << int(np.ceil(np.log2(longest)))
+        ti_dev = np.zeros((self._n_dev, bucket), dtype=np.int32)
+        tj_dev = np.zeros((self._n_dev, bucket), dtype=np.int32)
+        for d, (a, b) in enumerate(per_dev):
+            if len(a):
+                ti_dev[d, :len(a)] = a
+                tj_dev[d, :len(a)] = b
+                ti_dev[d, len(a):] = a[-1]
+                tj_dev[d, len(a):] = b[-1]
+        return ti_dev, tj_dev
 
 
 class ThresholdSeriesScreener:
@@ -272,7 +317,7 @@ class ThresholdSeriesScreener:
 
     def __init__(self, coords, free_energy, thresholds,
                  row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK,
-                 backend="auto"):
+                 backend="auto", mesh=None):
         from . import pruning
         coords = np.asarray(coords, dtype=np.float32)
         fe = np.asarray(free_energy, dtype=np.float32)
@@ -292,7 +337,8 @@ class ThresholdSeriesScreener:
         self.fe_rank[fe_order] = np.arange(n)
         self.engine = ScreeningEngine(coords[self.order],
                                       row_block=row_block,
-                                      col_block=col_block, backend=backend)
+                                      col_block=col_block, backend=backend,
+                                      mesh=mesh)
         self.n = n
         self._prev_nb = 0
 
