@@ -120,21 +120,49 @@ class DensityEngine:
         r_max2 = np.float32(max(radii)) * np.float32(max(radii))
         if prune:
             name = self._best_sort(r_max2)
-            skip = self._skip_words(name, r_max2, strict=True)
+            active = self._bbox(name) <= r_max2
         else:
             name = "orig"
-            skip, _ = pruning.no_skip_words(self.n_pad // self.row_block,
-                                            self.n_pad // self.col_block)
+            active = np.ones((self.n_pad // self.row_block,
+                              self.n_pad // self.col_block), dtype=bool)
+        tiles = pruning.tile_list(active, pad_mode="noop")
         order, _ = self._padded(name)
-        counts = pk.pops_tiles(self._device(name), radii2, np.int32(self.n),
-                               skip, row_block=self.row_block,
-                               col_block=self.col_block)
-        counts = np.asarray(jax.device_get(counts))[:, :self.n]
+        acc = None
+        for c in range(tiles[0].shape[0]):
+            part = pk.pops_tiles_sparse(self._device(name), radii2,
+                                        np.int32(self.n),
+                                        tiles[0][c], tiles[1][c],
+                                        row_block=self.row_block,
+                                        col_block=self.col_block)
+            acc = part if acc is None else acc + part
+        counts = np.asarray(jax.device_get(acc))[:, :self.n]
         if order is not None:
             unsorted = np.empty_like(counts)
             unsorted[:, order] = counts
             counts = unsorted
         return {r: counts[i].astype(np.int64) for i, r in enumerate(radii)}
+
+    def _nn_sparse_chunks(self, order_name, fe_dev, oid_dev, active):
+        """Run the sparse NN kernel over the active tiles, merging the
+        stacked (2, N_pad) [nh; hd] outputs lexicographically across SMEM
+        chunks."""
+        from . import pallas_kernels as pk
+        tiles = pruning.tile_list(active)
+        acc = None
+        for c in range(tiles[0].shape[0]):
+            out = pk.nn_tiles_sparse(self._device(order_name), fe_dev,
+                                     oid_dev, np.int32(self.n),
+                                     tiles[0][c], tiles[1][c],
+                                     row_block=self.row_block,
+                                     col_block=self.col_block)
+            if acc is None:
+                acc = out
+            else:
+                d0, j0 = acc
+                d1, j1 = out
+                upd = (d1 < d0) | ((d1 == d0) & (j1 < j0))
+                acc = (jnp.where(upd, d1, d0), jnp.where(upd, j1, j0))
+        return acc
 
     def nearest_neighbors(self, free_energy, prune=True, band_blocks=4,
                           order_name="morton"):
@@ -181,15 +209,13 @@ class DensityEngine:
         if prune and ncb > 2 * band_blocks:
             # phase 1: banded pass over sort-neighbors -> per-frame upper
             # bounds (order-independent values)
-            band_words, _ = pruning.band_skip_words(
+            band_active = pruning.band_mask(
                 nrb, ncb, self.row_block, self.col_block,
                 band_blocks * self.col_block)
-            out1 = pk.nn_tiles(self._device(order_name), fe_dev, oid_dev,
-                               np.int32(n), band_words,
-                               row_block=self.row_block,
-                               col_block=self.col_block)
+            out1 = self._nn_sparse_chunks(order_name, fe_dev, oid_dev,
+                                          band_active)
             ub_sorted = np.maximum(np.asarray(out1[0])[0],
-                                   np.asarray(out1[2])[0])[:n]
+                                   np.asarray(out1[0])[1])[:n]
             ub_frame = np.empty(n, dtype=np.float32)
             if order is None:
                 ub_frame[:] = ub_sorted
@@ -205,20 +231,18 @@ class DensityEngine:
                 d2b = self._bbox(name)
                 frac = float((d2b > row_ub[:, None]).mean())
                 if best is None or frac > best[0]:
-                    best = (frac, name, d2b > row_ub[:, None])
-            _, order_name, skip = best
+                    best = (frac, name, d2b <= row_ub[:, None])
+            _, order_name, active = best
             order, padded, fe_dev, oid_dev = layout(order_name)
-            skip_words, _ = pruning.pack_skip_words(skip)
         else:
-            skip_words, _ = pruning.no_skip_words(nrb, ncb)
-        out = pk.nn_tiles(self._device(order_name), fe_dev, oid_dev,
-                          np.int32(n), skip_words,
-                          row_block=self.row_block,
-                          col_block=self.col_block)
-        nh_d = np.array(jax.device_get(out[0]))[0, :n]
-        nh_j = np.array(jax.device_get(out[1]))[0, :n].astype(np.int64)
-        hd_d = np.array(jax.device_get(out[2]))[0, :n]
-        hd_j = np.array(jax.device_get(out[3]))[0, :n].astype(np.int64)
+            active = np.ones((nrb, ncb), dtype=bool)
+        out = self._nn_sparse_chunks(order_name, fe_dev, oid_dev, active)
+        out_d = np.array(jax.device_get(out[0]))
+        out_j = np.array(jax.device_get(out[1]))
+        nh_d = out_d[0, :n]
+        nh_j = out_j[0, :n].astype(np.int64)
+        hd_d = out_d[1, :n]
+        hd_j = out_j[1, :n].astype(np.int64)
         if order is not None:
             inv = np.empty_like(order)
             inv[order] = np.arange(n)

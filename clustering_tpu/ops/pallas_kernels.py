@@ -152,6 +152,76 @@ def pops_tiles(coords_t, radii2, n_valid, skip_words,
                             row_block=row_block, col_block=col_block)
 
 
+def _pops_sparse_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
+                        radii2_ref, init_ref, out_ref,
+                        *, row_block, col_block, n_dim, n_radii):
+    del init_ref  # aliased into the output (defines unvisited row blocks)
+    k = pl.program_id(0)
+
+    @pl.when((k == 0) | (ti_ref[k] != ti_ref[jnp.maximum(k - 1, 0)]))
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    # padding entries carry tj = -1 and must contribute nothing (counts are
+    # not idempotent, unlike the min-reduction kernels)
+    jraw = tj_ref[k]
+    d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
+    col_ids = jnp.maximum(jraw, 0) * col_block + jax.lax.broadcasted_iota(
+        jnp.int32, (1, col_block), 1)
+    valid = (col_ids < n_valid_ref[0]) & (jraw >= 0)
+    for r in range(n_radii):
+        within = jnp.where(valid & (d2 <= radii2_ref[r]), 1, 0)
+        out_ref[r, :] += jnp.sum(within, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+def pops_tiles_sparse(coords_t, radii2, n_valid, tile_i, tile_j,
+                      row_block=DEFAULT_ROW_BLOCK,
+                      col_block=DEFAULT_COL_BLOCK):
+    """All-pairs population counts over an explicit active-tile list.
+
+    Counts are not idempotent under repeats, so (unlike the min-reduction
+    kernels) the list must contain each active tile exactly once; pad to
+    the bucket size with entries (ti=last row block, tj=-1), which the
+    kernel treats as no-ops. Diagonal tiles are always active (their bbox
+    distance is zero), so every real row block is visited and initialized;
+    fully-padded tail blocks are trimmed by the caller.
+    """
+    n_dim, n_pad = coords_t.shape
+    n_radii = radii2.shape[0]
+    n_tiles = tile_i.shape[0]
+    kernel = functools.partial(_pops_sparse_kernel, row_block=row_block,
+                               col_block=col_block, n_dim=n_dim,
+                               n_radii=n_radii)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n_dim, row_block),
+                         lambda k, nv, ti, tj: (0, ti[k])),
+            pl.BlockSpec((n_dim, col_block),
+                         lambda k, nv, ti, tj: (0, jnp.maximum(tj[k], 0))),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_radii, row_block),
+                         lambda k, nv, ti, tj: (0, ti[k])),
+        ],
+        out_specs=pl.BlockSpec((n_radii, row_block),
+                               lambda k, nv, ti, tj: (0, ti[k])),
+    )
+    init = jnp.zeros((n_radii, n_pad), dtype=jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_radii, n_pad), jnp.int32),
+        input_output_aliases={6: 0},
+        interpret=INTERPRET,
+    )(jnp.asarray([n_valid], dtype=jnp.int32),
+      jnp.asarray(tile_i, dtype=jnp.int32),
+      jnp.asarray(tile_j, dtype=jnp.int32),
+      coords_t, coords_t,
+      jnp.asarray(radii2, dtype=jnp.float32), init)
+
+
 # ---------------------------------------------------------------------------
 # nearest neighbors
 # ---------------------------------------------------------------------------
@@ -268,6 +338,94 @@ def nn_tiles(coords_t, fe, orig_ids, n_valid, skip_words,
     return nn_tiles_cross(coords_t, fe, coords_t, fe, orig_ids, n_valid,
                           skip_words, row_block=row_block,
                           col_block=col_block)
+
+
+def _nn_sparse_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
+                      fe_x_ref, fe_y_ref, oid_y_ref, init_d_ref, init_j_ref,
+                      out_d_ref, out_j_ref,
+                      *, row_block, col_block, n_dim):
+    del init_d_ref, init_j_ref  # aliased into the outputs
+    k = pl.program_id(0)
+
+    @pl.when((k == 0) | (ti_ref[k] != ti_ref[jnp.maximum(k - 1, 0)]))
+    def _():
+        out_d_ref[:, :] = jnp.full_like(out_d_ref, _INF)
+        out_j_ref[:, :] = jnp.full_like(out_j_ref, _IMAX)
+
+    j = tj_ref[k]
+    d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
+    col_ids = j * col_block + jax.lax.broadcasted_iota(
+        jnp.int32, (row_block, col_block), 1)
+    valid = (col_ids < n_valid_ref[0]) & (d2 > 0.0)
+    oid_y = oid_y_ref[0, :].reshape(1, col_block)
+    d2_nh = jnp.where(valid, d2, _INF)
+    bd = jnp.min(d2_nh, axis=1)
+    bo = jnp.min(jnp.where(d2_nh == bd[:, None], oid_y, _IMAX), axis=1)
+    upd = (bd < out_d_ref[0, :]) | ((bd == out_d_ref[0, :])
+                                    & (bo < out_j_ref[0, :]))
+    out_d_ref[0, :] = jnp.where(upd, bd, out_d_ref[0, :])
+    out_j_ref[0, :] = jnp.where(upd, bo, out_j_ref[0, :])
+
+    fe_x = fe_x_ref[0, :].reshape(row_block, 1)
+    fe_y = fe_y_ref[0, :].reshape(1, col_block)
+    d2_hd = jnp.where(fe_y < fe_x, d2_nh, _INF)
+    hd = jnp.min(d2_hd, axis=1)
+    ho = jnp.min(jnp.where(d2_hd == hd[:, None], oid_y, _IMAX), axis=1)
+    updh = (hd < out_d_ref[1, :]) | ((hd == out_d_ref[1, :])
+                                     & (ho < out_j_ref[1, :]))
+    out_d_ref[1, :] = jnp.where(updh, hd, out_d_ref[1, :])
+    out_j_ref[1, :] = jnp.where(updh, ho, out_j_ref[1, :])
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+def nn_tiles_sparse(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
+                    row_block=DEFAULT_ROW_BLOCK,
+                    col_block=DEFAULT_COL_BLOCK):
+    """All-pairs NN search over an explicit active-tile list (row-major
+    sorted; pad by repeating the last tile -- the lexicographic min is
+    idempotent). Unvisited row blocks report +inf/IMAX via the aliased
+    init buffers (required when the tile list is chunked across calls).
+
+    Returns (out_d, out_j): (2, N_pad) stacked [nh; hd] distance and
+    original-index arrays."""
+    n_dim, n_pad = coords_t.shape
+    n_tiles = tile_i.shape[0]
+    kernel = functools.partial(_nn_sparse_kernel, row_block=row_block,
+                               col_block=col_block, n_dim=n_dim)
+    row_spec = pl.BlockSpec((1, row_block),
+                            lambda k, nv, ti, tj: (0, ti[k]))
+    col_spec = pl.BlockSpec((1, col_block),
+                            lambda k, nv, ti, tj: (0, tj[k]))
+    out_spec = pl.BlockSpec((2, row_block),
+                            lambda k, nv, ti, tj: (0, ti[k]))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n_dim, row_block),
+                         lambda k, nv, ti, tj: (0, ti[k])),
+            pl.BlockSpec((n_dim, col_block),
+                         lambda k, nv, ti, tj: (0, tj[k])),
+            row_spec, col_spec, col_spec,
+            out_spec, out_spec,
+        ],
+        out_specs=[out_spec, out_spec],
+    )
+    init_d = jnp.full((2, n_pad), _INF, dtype=jnp.float32)
+    init_j = jnp.full((2, n_pad), _IMAX, dtype=jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((2, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((2, n_pad), jnp.int32),
+        ],
+        input_output_aliases={8: 0, 9: 1},
+        interpret=INTERPRET,
+    )(jnp.asarray([n_valid], dtype=jnp.int32),
+      jnp.asarray(tile_i, dtype=jnp.int32),
+      jnp.asarray(tile_j, dtype=jnp.int32),
+      coords_t, coords_t, fe, fe, orig_ids, init_d, init_j)
 
 
 # ---------------------------------------------------------------------------

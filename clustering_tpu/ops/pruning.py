@@ -85,6 +85,43 @@ def pack_skip_words(skip_bool):
     return words.astype(np.uint32).view(np.int32).reshape(-1), words_per_row
 
 
+# tile-index lists live in SMEM (1MB); cap each kernel call's list so two
+# int32 arrays stay well under it, and chunk longer lists across calls
+MAX_TILE_ENTRIES = 1 << 16
+
+
+def tile_list(active, pad_mode="repeat", max_entries=MAX_TILE_ENTRIES):
+    """Row-major active-tile index lists as stacked (n_chunks, bucket)
+    int32 arrays (ti, tj).
+
+    Each kernel call consumes one chunk (SMEM holds at most ``max_entries``
+    indices); callers merge per-chunk results (sum for counts, min for
+    reductions). The bucket is the per-chunk length rounded up to a power
+    of two so a handful of compiled grid sizes serve many calls.
+
+    pad_mode 'repeat' duplicates the last tile (valid only for idempotent
+    reductions); 'noop' pads with (last ti, -1) entries that the counting
+    kernels treat as no-ops. Returns None when nothing is active.
+    """
+    ti_all, tj_all = np.nonzero(active)
+    n = len(ti_all)
+    if n == 0:
+        return None
+    per_chunk = min(n, max_entries)
+    bucket = 1 << int(np.ceil(np.log2(per_chunk)))
+    n_chunks = -(-n // bucket)
+    ti = np.empty((n_chunks, bucket), dtype=np.int32)
+    tj = np.empty((n_chunks, bucket), dtype=np.int32)
+    for c in range(n_chunks):
+        lo, hi = c * bucket, min((c + 1) * bucket, n)
+        m = hi - lo
+        ti[c, :m] = ti_all[lo:hi]
+        tj[c, :m] = tj_all[lo:hi]
+        ti[c, m:] = ti_all[hi - 1]
+        tj[c, m:] = tj_all[hi - 1] if pad_mode == "repeat" else -1
+    return ti, tj
+
+
 def no_skip_words(n_row_blocks, n_col_blocks):
     words_per_row = -(-n_col_blocks // WORD_BITS)
     return (np.zeros(n_row_blocks * words_per_row, dtype=np.int32),
@@ -102,16 +139,21 @@ def radius_skip_words(coords_padded, row_block, col_block, thresh2,
     return pack_skip_words(skip)
 
 
-def band_skip_words(n_row_blocks, n_col_blocks, row_block, col_block,
-                    half_width):
-    """Skip everything except a diagonal band of +-half_width frames
-    (used for the NN bounding pass)."""
+def band_mask(n_row_blocks, n_col_blocks, row_block, col_block, half_width):
+    """Keep-matrix for a diagonal band of +-half_width frames (used for
+    the NN bounding pass)."""
     row_centers = (np.arange(n_row_blocks) + 0.5) * row_block
     col_lo = (np.arange(n_col_blocks)) * col_block
     col_hi = col_lo + col_block
-    keep = ((col_hi[None, :] >= row_centers[:, None] - half_width)
+    return ((col_hi[None, :] >= row_centers[:, None] - half_width)
             & (col_lo[None, :] <= row_centers[:, None] + half_width))
-    return pack_skip_words(~keep)
+
+
+def band_skip_words(n_row_blocks, n_col_blocks, row_block, col_block,
+                    half_width):
+    """Skip everything except the diagonal band."""
+    return pack_skip_words(~band_mask(n_row_blocks, n_col_blocks,
+                                      row_block, col_block, half_width))
 
 
 def ub_skip_words(coords_padded, row_block, col_block, row_ub):

@@ -150,19 +150,32 @@ def _screening_fixpoint(coords_sorted, labels0, n_below, max_dist2,
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
 def _sparse_fixpoint(coords_t, labels0, n_below, max_dist2, tile_i, tile_j,
                      row_block, col_block):
-    """On-device fixpoint over sparse-tile sweeps. Compiles once per
-    tile-bucket size; the whole iteration (sweep + scatter-min union +
-    pointer jumping + convergence test) stays on the chip."""
+    """On-device fixpoint over sparse-tile sweeps. ``tile_i/tile_j`` are
+    stacked (n_chunks, bucket) SMEM-sized chunks scanned per sweep.
+    Compiles once per (n_chunks, bucket); the whole iteration (sweep +
+    scatter-min union + pointer jumping + convergence test) stays on the
+    chip."""
     from .pallas_kernels import label_min_sparse
+
+    n_pad = coords_t.shape[1]
 
     def cond(state):
         return state[1]
 
     def body(state):
         labels_in, _ = state
-        m = label_min_sparse(coords_t, labels_in.reshape(1, -1), n_below,
-                             max_dist2, tile_i, tile_j,
-                             row_block=row_block, col_block=col_block)[0]
+
+        def chunk_body(m, tt):
+            ti_c, tj_c = tt
+            mi = label_min_sparse(coords_t, labels_in.reshape(1, -1),
+                                  n_below, max_dist2, ti_c, tj_c,
+                                  row_block=row_block,
+                                  col_block=col_block)[0]
+            return jnp.minimum(m, mi), None
+
+        m, _ = jax.lax.scan(chunk_body,
+                            jnp.full((n_pad,), _IMAX, dtype=jnp.int32),
+                            (tile_i, tile_j))
         labels_cur = jnp.minimum(labels_in, m)
         labels_out = union_rebase(labels_in, labels_cur)
         return (labels_out, jnp.any(labels_out != labels_in))
@@ -226,14 +239,7 @@ class ScreeningEngine:
             & (ri * rb < n_below) & (cj * cb < n_below)
         if row_lo > 0:
             active &= ((ri + 1) * rb > row_lo) | ((cj + 1) * cb > row_lo)
-        ti, tj = np.nonzero(active)
-        if len(ti) == 0:
-            return None
-        bucket = 1 << int(np.ceil(np.log2(len(ti))))
-        pad = bucket - len(ti)
-        ti = np.concatenate([ti, np.full(pad, ti[-1])]).astype(np.int32)
-        tj = np.concatenate([tj, np.full(pad, tj[-1])]).astype(np.int32)
-        return ti, tj
+        return pruning.tile_list(active, pad_mode="repeat")
 
     def run(self, initial_labels, n_below, max_dist2, row_lo=0):
         """``row_lo`` > 0 marks a threshold-series continuation: the first
@@ -280,24 +286,32 @@ class ScreeningEngine:
         return np.asarray(jax.device_get(out))[:self.n]
 
     def _split_tiles_per_device(self, ti, tj):
-        """Group the (already bucket-padded) global tile list by owning
-        device, localize row-block indices, and pad every device's list to
-        a common power-of-two bucket (idempotent repeats)."""
+        """Group the global tile chunks by owning device, localize
+        row-block indices, and re-chunk every device's list to a common
+        (n_chunks, bucket) shape (idempotent repeats pad)."""
+        from . import pruning as pr
         nrb = self.n_pad // self.row_block
         blocks_local = nrb // self._n_dev
+        ti = ti.reshape(-1)
+        tj = tj.reshape(-1)
         dev_of = ti // blocks_local
         per_dev = [(ti[dev_of == d] - d * blocks_local, tj[dev_of == d])
                    for d in range(self._n_dev)]
         longest = max(max((len(a) for a, _ in per_dev), default=1), 1)
-        bucket = 1 << int(np.ceil(np.log2(longest)))
-        ti_dev = np.zeros((self._n_dev, bucket), dtype=np.int32)
-        tj_dev = np.zeros((self._n_dev, bucket), dtype=np.int32)
+        per_chunk = min(longest, pr.MAX_TILE_ENTRIES)
+        bucket = 1 << int(np.ceil(np.log2(per_chunk)))
+        n_chunks = -(-longest // bucket)
+        ti_dev = np.zeros((self._n_dev, n_chunks, bucket), dtype=np.int32)
+        tj_dev = np.zeros((self._n_dev, n_chunks, bucket), dtype=np.int32)
         for d, (a, b) in enumerate(per_dev):
-            if len(a):
-                ti_dev[d, :len(a)] = a
-                tj_dev[d, :len(a)] = b
-                ti_dev[d, len(a):] = a[-1]
-                tj_dev[d, len(a):] = b[-1]
+            if not len(a):
+                continue
+            flat_i = np.concatenate(
+                [a, np.full(n_chunks * bucket - len(a), a[-1])])
+            flat_j = np.concatenate(
+                [b, np.full(n_chunks * bucket - len(b), b[-1])])
+            ti_dev[d] = flat_i.reshape(n_chunks, bucket)
+            tj_dev[d] = flat_j.reshape(n_chunks, bucket)
         return ti_dev, tj_dev
 
 

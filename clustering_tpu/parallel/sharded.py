@@ -185,13 +185,13 @@ def _screening_sharded_pallas(coords_t, labels0, n_below, max_dist2,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(None, None), P(None), P(), P(),
-                  P(FRAME_AXIS, None), P(FRAME_AXIS, None)),
+                  P(FRAME_AXIS, None, None), P(FRAME_AXIS, None, None)),
         out_specs=P(None), check_vma=False)
     def run(ct, labels0, nb, md2, ti_l, tj_l):
         idx = jax.lax.axis_index(FRAME_AXIS)
         rows_t = jax.lax.dynamic_slice_in_dim(ct, idx * rows_local,
                                               rows_local, axis=1)
-        ti = ti_l[0]
+        ti = ti_l[0]  # (n_chunks, bucket)
         tj = tj_l[0]
         off_blocks = idx.astype(jnp.int32) * blocks_local
 
@@ -200,9 +200,19 @@ def _screening_sharded_pallas(coords_t, labels0, n_below, max_dist2,
 
         def body(state):
             labels_in, _ = state
-            m_loc = pk.label_min_sparse_cross(
-                rows_t, ct, labels_in.reshape(1, -1), nb, md2, ti, tj,
-                off_blocks, row_block=row_block, col_block=col_block)[0]
+
+            def chunk_body(m, tt):
+                ti_c, tj_c = tt
+                mi = pk.label_min_sparse_cross(
+                    rows_t, ct, labels_in.reshape(1, -1), nb, md2,
+                    ti_c, tj_c, off_blocks,
+                    row_block=row_block, col_block=col_block)[0]
+                return jnp.minimum(m, mi), None
+
+            m_loc, _ = jax.lax.scan(
+                chunk_body,
+                jnp.full((rows_local,), jnp.int32(2**31 - 1),
+                         dtype=jnp.int32), (ti, tj))
             m_full = jax.lax.all_gather(m_loc, FRAME_AXIS, tiled=True)
             labels_cur = jnp.minimum(labels_in, m_full)
             labels_out = union_rebase(labels_in, labels_cur)
@@ -396,17 +406,21 @@ def screening_labels(coords_sorted, initial_labels, n_below, max_dist2,
         per_dev = [(ti[dev_of == d] - d * blocks_local, tj[dev_of == d])
                    for d in range(n_dev)]
         longest = max(max((len(a) for a, _ in per_dev), default=1), 1)
-        bucket = 1 << int(np.ceil(np.log2(longest)))
-        ti_dev = np.zeros((n_dev, bucket), dtype=np.int32)
-        tj_dev = np.zeros((n_dev, bucket), dtype=np.int32)
+        per_chunk = min(longest, pruning.MAX_TILE_ENTRIES)
+        bucket = 1 << int(np.ceil(np.log2(per_chunk)))
+        n_chunks = -(-longest // bucket)
+        ti_dev = np.zeros((n_dev, n_chunks, bucket), dtype=np.int32)
+        tj_dev = np.zeros((n_dev, n_chunks, bucket), dtype=np.int32)
         for d, (a, b) in enumerate(per_dev):
-            if len(a):
-                ti_dev[d, :len(a)] = a
-                tj_dev[d, :len(a)] = b
-                ti_dev[d, len(a):] = a[-1]
-                tj_dev[d, len(a):] = b[-1]
-            # devices with no active tiles redundantly re-sweep their
-            # first tile -- harmless under the idempotent min
+            if not len(a):
+                # devices with no active tiles redundantly re-sweep tile
+                # (0, 0) -- harmless under the idempotent min
+                continue
+            pad = n_chunks * bucket - len(a)
+            ti_dev[d] = np.concatenate(
+                [a, np.full(pad, a[-1])]).reshape(n_chunks, bucket)
+            tj_dev[d] = np.concatenate(
+                [b, np.full(pad, b[-1])]).reshape(n_chunks, bucket)
         out = _screening_sharded_pallas(
             jnp.asarray(padded.T), jnp.asarray(labels), jnp.int32(n_below),
             jnp.float32(max_dist2), jnp.asarray(ti_dev),
