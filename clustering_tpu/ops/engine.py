@@ -16,7 +16,7 @@ from . import density as dops
 from . import neighbors as nops
 from . import pruning
 
-DEFAULT_ROW_BLOCK = 512
+DEFAULT_ROW_BLOCK = 256
 DEFAULT_COL_BLOCK = 2048
 
 
