@@ -239,7 +239,59 @@ class ScreeningEngine:
             & (ri * rb < n_below) & (cj * cb < n_below)
         if row_lo > 0:
             active &= ((ri + 1) * rb > row_lo) | ((cj + 1) * cb > row_lo)
-        return pruning.tile_list(active, pad_mode="repeat")
+        tiles = pruning.tile_list(active, pad_mode="repeat")
+        if tiles is None:
+            return None
+        ti, tj = tiles
+        # the fixpoint jit is keyed on (n_chunks, bucket): quantize the
+        # chunk count to powers of two as well, padding by re-sweeping the
+        # last chunk (idempotent min)
+        n_chunks = ti.shape[0]
+        if n_chunks > 1:
+            q = 1 << int(np.ceil(np.log2(n_chunks)))
+            if q != n_chunks:
+                reps = np.repeat(ti[-1:], q - n_chunks, axis=0)
+                ti = np.concatenate([ti, reps], axis=0)
+                tj = np.concatenate(
+                    [tj, np.repeat(tj[-1:], q - n_chunks, axis=0)], axis=0)
+        return ti, tj
+
+    def run_device(self, labels_dev, n_below, max_dist2, row_lo=0):
+        """Like :meth:`run` but with device-resident (N_pad,) int32 labels
+        in and out -- a threshold series seeds each step directly from the
+        previous fixpoint without host round-trips."""
+        if self.backend == "pallas" and self.mesh is not None:
+            from ..parallel import sharded
+            tiles = self._tile_list(row_lo, n_below, max_dist2)
+            if tiles is None:
+                return labels_dev
+            ti_dev, tj_dev = self._split_tiles_per_device(*tiles)
+            return sharded._screening_sharded_pallas(
+                self._coords_dev, labels_dev, jnp.int32(n_below),
+                jnp.float32(max_dist2), jnp.asarray(ti_dev),
+                jnp.asarray(tj_dev), self.mesh,
+                row_block=self.row_block, col_block=self.col_block)
+        if self.backend == "pallas":
+            tiles = self._tile_list(row_lo, n_below, max_dist2)
+            if tiles is None:
+                return labels_dev
+            ti, tj = tiles
+            return _sparse_fixpoint(self._coords_dev, labels_dev,
+                                    jnp.int32(n_below),
+                                    jnp.float32(max_dist2),
+                                    jnp.asarray(ti), jnp.asarray(tj),
+                                    row_block=self.row_block,
+                                    col_block=self.col_block)
+        if self.mesh is not None:
+            from ..parallel import sharded
+            return sharded._screening_sharded(
+                jnp.asarray(self._padded_host), labels_dev,
+                jnp.int32(n_below), jnp.float32(max_dist2), self.mesh,
+                row_block=self.row_block, col_block=self.col_block)
+        return _screening_fixpoint(
+            self._coords_dev, labels_dev, jnp.int32(n_below),
+            jnp.float32(max_dist2),
+            row_block=self.row_block, col_block=self.col_block)
 
     def run(self, initial_labels, n_below, max_dist2, row_lo=0):
         """``row_lo`` > 0 marks a threshold-series continuation: the first
@@ -250,39 +302,8 @@ class ScreeningEngine:
         if self.n_pad != self.n:
             labels = np.concatenate(
                 [labels, np.arange(self.n, self.n_pad, dtype=np.int32)])
-        if self.backend == "pallas" and self.mesh is not None:
-            from ..parallel import sharded
-            tiles = self._tile_list(row_lo, n_below, max_dist2)
-            out = jnp.asarray(labels)
-            if tiles is not None:
-                ti_dev, tj_dev = self._split_tiles_per_device(*tiles)
-                out = sharded._screening_sharded_pallas(
-                    self._coords_dev, out, jnp.int32(n_below),
-                    jnp.float32(max_dist2), jnp.asarray(ti_dev),
-                    jnp.asarray(tj_dev), self.mesh,
-                    row_block=self.row_block, col_block=self.col_block)
-        elif self.backend == "pallas":
-            tiles = self._tile_list(row_lo, n_below, max_dist2)
-            out = jnp.asarray(labels)
-            if tiles is not None:
-                ti, tj = tiles
-                out = _sparse_fixpoint(self._coords_dev, out,
-                                       jnp.int32(n_below),
-                                       jnp.float32(max_dist2),
-                                       jnp.asarray(ti), jnp.asarray(tj),
-                                       row_block=self.row_block,
-                                       col_block=self.col_block)
-        elif self.mesh is not None:
-            from ..parallel import sharded
-            out = sharded._screening_sharded(
-                jnp.asarray(self._padded_host), jnp.asarray(labels),
-                jnp.int32(n_below), jnp.float32(max_dist2), self.mesh,
-                row_block=self.row_block, col_block=self.col_block)
-        else:
-            out = _screening_fixpoint(
-                self._coords_dev, jnp.asarray(labels), jnp.int32(n_below),
-                jnp.float32(max_dist2),
-                row_block=self.row_block, col_block=self.col_block)
+        out = self.run_device(jnp.asarray(labels), n_below, max_dist2,
+                              row_lo=row_lo)
         return np.asarray(jax.device_get(out))[:self.n]
 
     def _split_tiles_per_device(self, ti, tj):
@@ -355,31 +376,61 @@ class ThresholdSeriesScreener:
                                       mesh=mesh)
         self.n = n
         self._prev_nb = 0
+        self._labels_dev = None
+        self._last_out = None
 
     def step(self, prev_clustering, k, max_dist2):
         """Run series threshold index ``k``; returns the normalized
-        clustered trajectory in original frame order."""
+        clustered trajectory in original frame order.
+
+        When ``prev_clustering`` is the array returned by the previous
+        ``step`` call, the seed labels are taken directly from the
+        device-resident fixpoint (no host round-trip); any other seed goes
+        through the generic host path.
+        """
         n = self.n
         nb = int(self.n_below_per_band[k])
-        prev = (np.zeros(n, dtype=np.int64) if prev_clustering is None
-                else np.asarray(prev_clustering, dtype=np.int64))
-        ps = prev[self.order]
-        ps[nb:] = 0
-        zeros = np.flatnonzero(ps == 0)
-        prev_last = int(zeros[0]) if len(zeros) else n
-        if prev_last >= nb:
-            return prev.copy()
-        labels0 = np.arange(n, dtype=np.int64)
-        prefix = ps[:nb]
-        seeded = prefix != 0
-        if seeded.any():
-            vals, first_idx = np.unique(prefix[seeded], return_index=True)
-            seeded_pos = np.flatnonzero(seeded)
-            first_occ = seeded_pos[first_idx]
-            labels0[seeded_pos] = first_occ[
-                np.searchsorted(vals, prefix[seeded])]
-        final = self.engine.run(labels0.astype(np.int32), nb, max_dist2,
-                                row_lo=prev_last)
+        continuing = (prev_clustering is not None
+                      and prev_clustering is self._last_out
+                      and self._labels_dev is not None)
+        if prev_clustering is None:
+            prev_last = 0
+        else:
+            prev_last = int(self._prev_nb) if continuing else None
+        if not continuing and prev_clustering is not None:
+            # generic host seed path (arbitrary previous clustering)
+            prev = np.asarray(prev_clustering, dtype=np.int64)
+            ps = prev[self.order]
+            ps[nb:] = 0
+            zeros = np.flatnonzero(ps == 0)
+            prev_last = int(zeros[0]) if len(zeros) else n
+        if prev_last is not None and prev_last >= nb:
+            out = (np.zeros(n, dtype=np.int64) if prev_clustering is None
+                   else np.asarray(prev_clustering, dtype=np.int64).copy())
+            if prev_clustering is None and nb > 0:
+                pass  # nb frames exist but nothing seeded: fall through
+            else:
+                self._last_out = out
+                return out
+        if continuing:
+            labels_dev = self._labels_dev
+        else:
+            labels0 = np.arange(self.engine.n_pad, dtype=np.int64)
+            if prev_clustering is not None:
+                prefix = ps[:nb]
+                seeded = prefix != 0
+                if seeded.any():
+                    vals, first_idx = np.unique(prefix[seeded],
+                                                return_index=True)
+                    seeded_pos = np.flatnonzero(seeded)
+                    first_occ = seeded_pos[first_idx]
+                    labels0[seeded_pos] = first_occ[
+                        np.searchsorted(vals, prefix[seeded])]
+            labels_dev = jnp.asarray(labels0.astype(np.int32))
+        labels_dev = self.engine.run_device(
+            labels_dev, nb, max_dist2,
+            row_lo=prev_last if prev_last is not None else 0)
+        final = np.asarray(jax.device_get(labels_dev))[:n]
         # normalize names by each component's minimal FE-sorted rank
         comp = final[:nb].astype(np.int64)
         comp_vals, comp_idx = np.unique(comp, return_inverse=True)
@@ -391,6 +442,9 @@ class ThresholdSeriesScreener:
             np.arange(1, len(comp_vals) + 1)
         clustering = np.zeros(n, dtype=np.int64)
         clustering[self.order[:nb]] = names[comp_idx]
+        self._labels_dev = labels_dev
+        self._prev_nb = nb
+        self._last_out = clustering
         return clustering
 
 
