@@ -267,6 +267,32 @@ def build_parser():
     return parser
 
 
+def _setup_jax_runtime():
+    """Persistent XLA compilation cache (kernel compiles cost seconds on
+    TPU; repeated CLI invocations reuse them) and optional multi-host
+    initialization via the standard JAX cluster env vars."""
+    import os
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "CLUSTERING_TPU_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "clustering_tpu_xla"))
+        if cache_dir and cache_dir != "0":
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              0)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.5)
+        if os.environ.get("CLUSTERING_TPU_DISTRIBUTED"):
+            # multi-host pods: coordinator/process env handled by
+            # jax.distributed (DCN between hosts, ICI within)
+            jax.distributed.initialize()
+    except Exception as exc:  # pragma: no cover - best effort
+        print(f"warning: jax runtime setup failed: {exc}", file=sys.stderr)
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else list(argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -274,6 +300,7 @@ def main(argv=None):
         return 1
     parser = build_parser()
     args = parser.parse_args(argv)
+    _setup_jax_runtime()
     if args.mode is None:
         sys.stderr.write(GENERAL_HELP)
         return 1

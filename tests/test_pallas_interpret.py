@@ -115,3 +115,22 @@ def test_threshold_series_screener_matches_fe_order_path(blobs):
                                     order=order, coords_sorted=cs,
                                     engine=eng)
             np.testing.assert_array_equal(prev_s, prev_r)
+
+
+def test_series_screener_generic_seed_path(blobs):
+    """Passing a copy of the previous clustering (identity check fails)
+    must produce the same results as the device-resident continuation."""
+    pops = ops.populations(blobs, [0.4], backend="xla",
+                           row_block=8, col_block=16)[0.4]
+    fe = ops.free_energies(pops)
+    thresholds = [np.float32(t) for t in (0.5, 1.0, 2.0)]
+    md2 = np.float32(0.08)
+    s1 = ops.screening.ThresholdSeriesScreener(
+        blobs, fe, thresholds, row_block=8, col_block=16)
+    s2 = ops.screening.ThresholdSeriesScreener(
+        blobs, fe, thresholds, row_block=8, col_block=16)
+    a = b = None
+    for k in range(len(thresholds)):
+        a = s1.step(a, k, md2)
+        b = s2.step(b.copy() if b is not None else None, k, md2)
+        np.testing.assert_array_equal(a, b)
