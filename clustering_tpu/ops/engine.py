@@ -37,7 +37,6 @@ class DensityEngine:
         self.n_pad = -(-self.n // block) * block
         self._orders = {}       # name -> (order, padded_host)
         self._dev = {}          # name -> device array ((D, N_pad) or (N_pad, D))
-        self._skips = {}        # (name, thresh2, strict) -> skip words
         self._bboxes = {}       # name -> bbox distance matrix
 
     # -- cached layouts ----------------------------------------------------
@@ -77,15 +76,6 @@ class DensityEngine:
             cmin, cmax = pruning.block_bboxes(padded, self.col_block)
             self._bboxes[name] = pruning.bbox_dist2(rmin, rmax, cmin, cmax)
         return self._bboxes[name]
-
-    def _skip_words(self, name, thresh2, strict=True):
-        key = (name, float(thresh2), strict)
-        if key not in self._skips:
-            d2 = self._bbox(name)
-            skip = d2 > np.float32(thresh2) if strict \
-                else d2 >= np.float32(thresh2)
-            self._skips[key], _ = pruning.pack_skip_words(skip)
-        return self._skips[key]
 
     def _best_sort(self, thresh2):
         """Pick the ordering (dim0 vs morton) with the higher measured tile

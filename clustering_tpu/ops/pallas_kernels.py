@@ -3,12 +3,14 @@
 TPU-native re-design of the reference CUDA kernels
 (src/density_clustering_cuda_kernels.cu):
 
-  * ``pops_tiles``      -- multi-radius population counts (kernel analog:
-    population_count, :9-56)
-  * ``nn_tiles``        -- joint NN + NN-higher-density masked running
-    argmin (kernel analog: nearest_neighbor_search, :58-130)
-  * ``label_min_tiles`` -- neighbor-min label proposals for the screening
-    connected-components sweep (kernel analog: screening, :132-192)
+  * ``pops_tiles[_sparse/_cross]`` -- multi-radius population counts
+    (kernel analog: population_count, :9-56)
+  * ``nn_tiles[_sparse/_cross]``   -- joint NN + NN-higher-density
+    lexicographic running minima (kernel analog:
+    nearest_neighbor_search, :58-130)
+  * ``label_min_sparse[_cross]``   -- neighbor-min label proposals for the
+    screening connected-components sweep (kernel analog: screening,
+    :132-192)
 
 Design notes (see /opt/skills/guides/pallas_guide.md):
   * Coordinates are stored transposed, (D, N): the frame axis maps onto the
@@ -22,11 +24,14 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
     accumulate pattern of the CUDA kernels without any HBM round-trips.
   * The valid-range scalars (n_valid, n_below) are dynamic operands in SMEM:
     one compiled kernel serves every screening threshold.
-  * Every kernel takes a bit-packed per-tile skip matrix (scalar-prefetched
-    into SMEM, see clustering_tpu.ops.pruning): tiles whose bounding-box
-    distance exceeds the interaction radius skip all VPU work -- the
-    TPU equivalent of the reference's box-grid pruning
-    (src/density_clustering.cpp:41-105).
+  * Spatial pruning comes in two forms (see clustering_tpu.ops.pruning,
+    the TPU generalization of the reference's box-grid trick,
+    src/density_clustering.cpp:41-105): the ``_cross`` kernels take a
+    bit-packed per-tile skip matrix in SMEM (dense masked grids, used by
+    the mesh shards), while the default ``_sparse`` kernels iterate an
+    explicit active-tile list through scalar-prefetched index maps --
+    pruned tiles cost nothing at all. Tile lists are chunked to the 1MB
+    SMEM budget and merged across calls.
   * All tiles stay in fp32 with ascending-d accumulation, preserving the
     reference's distance semantics bit-for-bit.
 """
