@@ -18,3 +18,8 @@ Layer map (mirrors reference layering, see SURVEY.md):
 __version__ = "0.1.0"
 
 VERSION_STRING = "v" + __version__
+
+from .api import (  # noqa: F401,E402
+    populations, free_energies, nearest_neighbors, screening_series,
+    fill_landscape, mpp_lump, core_trajectory, assign_noise,
+    waiting_time_distribution, Neighborhoods, MppResult)

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .pairwise import sq_dists, pad_rows
+from .pairwise import sq_dists
 
 DEFAULT_ROW_BLOCK = 1024
 DEFAULT_COL_BLOCK = 4096
