@@ -217,22 +217,13 @@ def write_neighborhood(path, nh_idx, nh_dist, nhhd_idx, nhhd_dist,
 def read_neighborhood(path):
     """Returns (nh_idx, nh_dist, nhhd_idx, nhhd_dist) arrays
     (reference: tools.cpp:101-131)."""
-    rows = []
-    with open(path) as fh:
-        for line in fh:
-            toks = line.split()
-            if len(toks) < 4:
-                continue
-            try:
-                rows.append((int(toks[0]), float(toks[1]),
-                             int(toks[2]), float(toks[3])))
-            except ValueError:
-                continue  # comment line
-    nh_idx = np.asarray([r[0] for r in rows], dtype=np.int64)
-    nh_dist = np.asarray([r[1] for r in rows], dtype=np.float32)
-    nhhd_idx = np.asarray([r[2] for r in rows], dtype=np.int64)
-    nhhd_dist = np.asarray([r[3] for r in rows], dtype=np.float32)
-    return nh_idx, nh_dist, nhhd_idx, nhhd_dist
+    data = np.loadtxt(path, comments="#", ndmin=2)
+    if data.shape[1] < 4:
+        print(f"error: malformed neighborhood file '{path}'",
+              file=sys.stderr)
+        sys.exit(1)
+    return (data[:, 0].astype(np.int64), data[:, 1].astype(np.float32),
+            data[:, 2].astype(np.int64), data[:, 3].astype(np.float32))
 
 
 # ----------------------------------------------------------------------------
