@@ -274,10 +274,9 @@ def _setup_jax_runtime():
     import os
     try:
         import jax
-        cache_dir = os.environ.get(
-            "CLUSTERING_TPU_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache",
-                         "clustering_tpu_xla"))
+        # opt-in: some TPU runtimes (remote-compile tunnels) serialize
+        # executables so slowly that the cache costs more than it saves
+        cache_dir = os.environ.get("CLUSTERING_TPU_CACHE")
         if cache_dir and cache_dir != "0":
             os.makedirs(cache_dir, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
