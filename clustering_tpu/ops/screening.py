@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .pairwise import sq_dists
+from ..utils.logger import logger, is_verbose
 
 DEFAULT_ROW_BLOCK = 1024
 DEFAULT_COL_BLOCK = 4096
@@ -131,20 +132,19 @@ def _screening_fixpoint(coords_sorted, labels0, n_below, max_dist2,
     n_pad = coords_sorted.shape[0]
 
     def outer_cond(state):
-        _, changed = state
-        return changed
+        return state[1]
 
     def outer_body(state):
-        labels_in, _ = state
+        labels_in, _, it = state
         labels_cur = sweep_row_range(coords_sorted, labels_in, 0, n_pad,
                                      n_below, max_dist2,
                                      row_block, col_block)
         labels_out = union_rebase(labels_in, labels_cur)
-        return (labels_out, jnp.any(labels_out != labels_in))
+        return (labels_out, jnp.any(labels_out != labels_in), it + 1)
 
-    labels, _ = jax.lax.while_loop(outer_cond, outer_body,
-                                   (labels0, jnp.bool_(True)))
-    return labels
+    labels, _, iters = jax.lax.while_loop(
+        outer_cond, outer_body, (labels0, jnp.bool_(True), jnp.int32(0)))
+    return labels, iters
 
 
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
@@ -163,7 +163,7 @@ def _sparse_fixpoint(coords_t, labels0, n_below, max_dist2, tile_i, tile_j,
         return state[1]
 
     def body(state):
-        labels_in, _ = state
+        labels_in, _, it = state
 
         def chunk_body(m, tt):
             ti_c, tj_c = tt
@@ -178,10 +178,11 @@ def _sparse_fixpoint(coords_t, labels0, n_below, max_dist2, tile_i, tile_j,
                             (tile_i, tile_j))
         labels_cur = jnp.minimum(labels_in, m)
         labels_out = union_rebase(labels_in, labels_cur)
-        return (labels_out, jnp.any(labels_out != labels_in))
+        return (labels_out, jnp.any(labels_out != labels_in), it + 1)
 
-    labels, _ = jax.lax.while_loop(cond, body, (labels0, jnp.bool_(True)))
-    return labels
+    labels, _, iters = jax.lax.while_loop(
+        cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
+    return labels, iters
 
 
 class ScreeningEngine:
@@ -276,22 +277,27 @@ class ScreeningEngine:
             if tiles is None:
                 return labels_dev
             ti, tj = tiles
-            return _sparse_fixpoint(self._coords_dev, labels_dev,
-                                    jnp.int32(n_below),
-                                    jnp.float32(max_dist2),
-                                    jnp.asarray(ti), jnp.asarray(tj),
-                                    row_block=self.row_block,
-                                    col_block=self.col_block)
+            out, iters = _sparse_fixpoint(self._coords_dev, labels_dev,
+                                          jnp.int32(n_below),
+                                          jnp.float32(max_dist2),
+                                          jnp.asarray(ti), jnp.asarray(tj),
+                                          row_block=self.row_block,
+                                          col_block=self.col_block)
+            if is_verbose():
+                logger(f"    [screening fixpoint: {int(iters)} sweeps,"
+                       f" {ti.shape[0] * ti.shape[1]} tiles/sweep]")
+            return out
         if self.mesh is not None:
             from ..parallel import sharded
             return sharded._screening_sharded(
                 jnp.asarray(self._padded_host), labels_dev,
                 jnp.int32(n_below), jnp.float32(max_dist2), self.mesh,
                 row_block=self.row_block, col_block=self.col_block)
-        return _screening_fixpoint(
+        out, _ = _screening_fixpoint(
             self._coords_dev, labels_dev, jnp.int32(n_below),
             jnp.float32(max_dist2),
             row_block=self.row_block, col_block=self.col_block)
+        return out
 
     def run(self, initial_labels, n_below, max_dist2, row_lo=0):
         """``row_lo`` > 0 marks a threshold-series continuation: the first
