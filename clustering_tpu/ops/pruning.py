@@ -108,10 +108,9 @@ def tile_list(active, pad_mode="repeat", max_entries=MAX_TILE_ENTRIES):
     if n == 0:
         return None
     per_chunk = min(n, max_entries)
-    # power-of-4 buckets: at most ~4 distinct compiled grid sizes per
-    # process (each remote kernel compile costs seconds), at most 4x
-    # padding waste on the smallest lists
-    bucket = 1 << (2 * int(np.ceil(np.log2(max(per_chunk, 256)) / 2)))
+    # power-of-2 buckets with a floor: bounded compile variety (each grid
+    # size compiles once per process) and at most 2x padding waste
+    bucket = 1 << int(np.ceil(np.log2(max(per_chunk, 1024))))
     bucket = min(bucket, max_entries)
     n_chunks = -(-n // bucket)
     ti = np.empty((n_chunks, bucket), dtype=np.int32)
