@@ -117,14 +117,12 @@ class DensityEngine:
                               self.n_pad // self.col_block), dtype=bool)
         tiles = pruning.tile_list(active, pad_mode="noop")
         order, _ = self._padded(name)
-        acc = None
-        for c in range(tiles[0].shape[0]):
-            part = pk.pops_tiles_sparse(self._device(name), radii2,
-                                        np.int32(self.n),
-                                        tiles[0][c], tiles[1][c],
-                                        row_block=self.row_block,
-                                        col_block=self.col_block)
-            acc = part if acc is None else acc + part
+        acc = pk.pops_tiles_sparse_all(self._device(name), radii2,
+                                       np.int32(self.n),
+                                       jnp.asarray(tiles[0]),
+                                       jnp.asarray(tiles[1]),
+                                       row_block=self.row_block,
+                                       col_block=self.col_block)
         counts = np.asarray(jax.device_get(acc))[:, :self.n]
         if order is not None:
             unsorted = np.empty_like(counts)
@@ -138,21 +136,12 @@ class DensityEngine:
         chunks."""
         from . import pallas_kernels as pk
         tiles = pruning.tile_list(active)
-        acc = None
-        for c in range(tiles[0].shape[0]):
-            out = pk.nn_tiles_sparse(self._device(order_name), fe_dev,
-                                     oid_dev, np.int32(self.n),
-                                     tiles[0][c], tiles[1][c],
-                                     row_block=self.row_block,
-                                     col_block=self.col_block)
-            if acc is None:
-                acc = out
-            else:
-                d0, j0 = acc
-                d1, j1 = out
-                upd = (d1 < d0) | ((d1 == d0) & (j1 < j0))
-                acc = (jnp.where(upd, d1, d0), jnp.where(upd, j1, j0))
-        return acc
+        return pk.nn_tiles_sparse_all(self._device(order_name), fe_dev,
+                                      oid_dev, np.int32(self.n),
+                                      jnp.asarray(tiles[0]),
+                                      jnp.asarray(tiles[1]),
+                                      row_block=self.row_block,
+                                      col_block=self.col_block)
 
     def nearest_neighbors(self, free_energy, prune=True, band_blocks=4,
                           order_name="morton"):

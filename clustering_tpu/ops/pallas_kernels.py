@@ -345,6 +345,47 @@ def nn_tiles(coords_t, fe, orig_ids, n_valid, skip_words,
                           col_block=col_block)
 
 
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+def pops_tiles_sparse_all(coords_t, radii2, n_valid, tile_i, tile_j,
+                          row_block=DEFAULT_ROW_BLOCK,
+                          col_block=DEFAULT_COL_BLOCK):
+    """Sum of pops_tiles_sparse over stacked (n_chunks, bucket) tile
+    chunks in one dispatch (each chunk holds each active tile at most
+    once, padded with no-op entries)."""
+    def body(acc, tt):
+        ti_c, tj_c = tt
+        part = pops_tiles_sparse(coords_t, radii2, n_valid, ti_c, tj_c,
+                                 row_block=row_block, col_block=col_block)
+        return acc + part, None
+
+    n_radii = radii2.shape[0]
+    init = jnp.zeros((n_radii, coords_t.shape[1]), dtype=jnp.int32)
+    acc, _ = jax.lax.scan(body, init, (tile_i, tile_j))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+def nn_tiles_sparse_all(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
+                        row_block=DEFAULT_ROW_BLOCK,
+                        col_block=DEFAULT_COL_BLOCK):
+    """Lexicographic merge of nn_tiles_sparse over stacked tile chunks in
+    one dispatch."""
+    def body(acc, tt):
+        ti_c, tj_c = tt
+        d1, j1 = nn_tiles_sparse(coords_t, fe, orig_ids, n_valid,
+                                 ti_c, tj_c, row_block=row_block,
+                                 col_block=col_block)
+        d0, j0 = acc
+        upd = (d1 < d0) | ((d1 == d0) & (j1 < j0))
+        return (jnp.where(upd, d1, d0), jnp.where(upd, j1, j0)), None
+
+    n_pad = coords_t.shape[1]
+    init = (jnp.full((2, n_pad), _INF, dtype=jnp.float32),
+            jnp.full((2, n_pad), _IMAX, dtype=jnp.int32))
+    acc, _ = jax.lax.scan(body, init, (tile_i, tile_j))
+    return acc
+
+
 def _nn_sparse_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
                       fe_x_ref, fe_y_ref, oid_y_ref, init_d_ref, init_j_ref,
                       out_d_ref, out_j_ref,

@@ -62,11 +62,19 @@ def block_bboxes(coords, block):
 
 def bbox_dist2(row_mins, row_maxs, col_mins, col_maxs):
     """(n_row_blocks, n_col_blocks) lower bounds on the squared distance
-    between any row-block frame and any col-block frame."""
-    gap_lo = row_mins[:, None, :] - col_maxs[None, :, :]
-    gap_hi = col_mins[None, :, :] - row_maxs[:, None, :]
-    gap = np.maximum(np.maximum(gap_lo, gap_hi), 0.0)
-    return np.sum(gap.astype(np.float64) * gap, axis=2).astype(np.float32)
+    between any row-block frame and any col-block frame.
+
+    Accumulated per dimension so peak memory stays at one
+    (n_row_blocks, n_col_blocks) matrix (the 3-D broadcast is gigabytes at
+    millions of frames)."""
+    nrb, ncb = row_mins.shape[0], col_mins.shape[0]
+    acc = np.zeros((nrb, ncb), dtype=np.float64)
+    for k in range(row_mins.shape[1]):
+        gap = np.maximum(row_mins[:, None, k] - col_maxs[None, :, k],
+                         col_mins[None, :, k] - row_maxs[:, None, k])
+        np.maximum(gap, 0.0, out=gap)
+        acc += gap.astype(np.float64) ** 2
+    return acc.astype(np.float32)
 
 
 def pack_skip_words(skip_bool):
