@@ -399,43 +399,41 @@ class ThresholdSeriesScreener:
         continuing = (prev_clustering is not None
                       and prev_clustering is self._last_out
                       and self._labels_dev is not None)
-        if prev_clustering is None:
+        if continuing:
+            prev_last = int(self._prev_nb)
+            labels_dev = self._labels_dev
+        elif prev_clustering is None:
             prev_last = 0
+            labels_dev = jnp.asarray(
+                np.arange(self.engine.n_pad, dtype=np.int32))
         else:
-            prev_last = int(self._prev_nb) if continuing else None
-        if not continuing and prev_clustering is not None:
-            # generic host seed path (arbitrary previous clustering)
+            # generic host seed path (arbitrary previous clustering):
+            # rebuild first-occurrence pointers from the state names
             prev = np.asarray(prev_clustering, dtype=np.int64)
             ps = prev[self.order]
             ps[nb:] = 0
             zeros = np.flatnonzero(ps == 0)
             prev_last = int(zeros[0]) if len(zeros) else n
-        if prev_last is not None and prev_last >= nb:
+            labels0 = np.arange(self.engine.n_pad, dtype=np.int64)
+            prefix = ps[:nb]
+            seeded = prefix != 0
+            if seeded.any():
+                vals, first_idx = np.unique(prefix[seeded],
+                                            return_index=True)
+                seeded_pos = np.flatnonzero(seeded)
+                first_occ = seeded_pos[first_idx]
+                labels0[seeded_pos] = first_occ[
+                    np.searchsorted(vals, prefix[seeded])]
+            labels_dev = jnp.asarray(labels0.astype(np.int32))
+        if prev_last >= nb:
+            # nothing new below this threshold: keep the previous result
+            # (reference early-out, density_clustering_cuda.cu:459-463)
             out = (np.zeros(n, dtype=np.int64) if prev_clustering is None
                    else np.asarray(prev_clustering, dtype=np.int64).copy())
-            if prev_clustering is None and nb > 0:
-                pass  # nb frames exist but nothing seeded: fall through
-            else:
-                self._last_out = out
-                return out
-        if continuing:
-            labels_dev = self._labels_dev
-        else:
-            labels0 = np.arange(self.engine.n_pad, dtype=np.int64)
-            if prev_clustering is not None:
-                prefix = ps[:nb]
-                seeded = prefix != 0
-                if seeded.any():
-                    vals, first_idx = np.unique(prefix[seeded],
-                                                return_index=True)
-                    seeded_pos = np.flatnonzero(seeded)
-                    first_occ = seeded_pos[first_idx]
-                    labels0[seeded_pos] = first_occ[
-                        np.searchsorted(vals, prefix[seeded])]
-            labels_dev = jnp.asarray(labels0.astype(np.int32))
-        labels_dev = self.engine.run_device(
-            labels_dev, nb, max_dist2,
-            row_lo=prev_last if prev_last is not None else 0)
+            self._last_out = out
+            return out
+        labels_dev = self.engine.run_device(labels_dev, nb, max_dist2,
+                                            row_lo=prev_last)
         final = np.asarray(jax.device_get(labels_dev))[:n]
         # normalize names by each component's minimal FE-sorted rank
         comp = final[:nb].astype(np.int64)
