@@ -261,6 +261,11 @@ def main(args, header_comment, comments_map):
         if args.radii:
             _die("error: nearest neighbor calculation cannot be done with\n"
                  "       several radii (-R is set).")
+        if free_energy is None:
+            # the reference reads from an empty vector here (UB); fail
+            # cleanly instead
+            _die("error: nearest-neighbor search requires free energies"
+                 " (-d/-p/-o or -D).")
         logger("    calculating nearest neighbors")
         with stage_timer("nearest neighbors"):
             nh = engine.nearest_neighbors(free_energy)

@@ -143,7 +143,7 @@ class DensityEngine:
                                       row_block=self.row_block,
                                       col_block=self.col_block)
 
-    def nearest_neighbors(self, free_energy, prune=True, band_blocks=4,
+    def nearest_neighbors(self, free_energy, prune=True, band_blocks=8,
                           order_name="morton"):
         """Joint NN / NN-higher-density search with two-phase exact
         pruning in Morton (spatially local) frame order:
