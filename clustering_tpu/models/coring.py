@@ -170,8 +170,9 @@ def main(args, header_comment, comments_map):
                         print("error: file not correctly formated.",
                               file=sys.stderr)
     n_explicit = sum(1 for s in state_names if s in windows)
-    if not windows and size_for_all:
-        comments_map["single_coring_time"] = float(size_for_all)
+    # note: the reference's "single_coring_time" metadata write is dead
+    # code (coring.cpp:154-157 tests a map that was just filled for every
+    # state), so no #@ line is emitted here either
     header_comment += (
         "#\n# coring specific parameters: \n"
         "#    %i state-specific coring windows were read\n"

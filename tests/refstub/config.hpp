@@ -8,3 +8,6 @@
 #include <cmath>
 using std::log;
 using std::sqrt;
+#include <set>
+#include <list>
+#include <sstream>
