@@ -35,16 +35,22 @@ class AsciiHandler(CoordsHandler):
 
     def next(self):
         if self._mode == "r":
+            import numpy as np
             for line in self._fh:
                 if line.strip() == "":
                     continue  # skip empty lines
-                return [float(t) for t in line.split()]
+                # the reference streams into float (fp32); precision at
+                # write-out depends on it
+                return [np.float32(t) for t in line.split()]
         self._eof = True
         return []
 
     def write(self, row):
+        import numpy as np
         # reference writes " <v1> <v2> ..." with default ostream formatting
-        self._fh.write("".join(" %g" % float(v) for v in row) + "\n")
+        # of float values
+        self._fh.write("".join(" %g" % float(np.float32(v))
+                               for v in row) + "\n")
 
     def eof(self):
         return self._eof

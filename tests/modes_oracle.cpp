@@ -12,6 +12,7 @@
 #include <cstdlib>
 #include <map>
 #include <string>
+#include <vector>
 
 #include "coring.hpp"
 #include "network_builder.hpp"
@@ -67,6 +68,20 @@ int main(int argc, char** argv) {
     if (argc < 3) return 2;
     args.set<std::string>("states", argv[2]);
     args.set<bool>("list", true);
+    Clustering::Filter::main(args);
+  } else if (mode == "filter") {
+    // filter <states> <coords> <output> <every_nth> [state ...]
+    if (argc < 6) return 2;
+    args.set<std::string>("states", argv[2]);
+    args.set<std::string>("coords", argv[3]);
+    args.set<std::string>("output", argv[4]);
+    args.set<std::size_t>("every-nth", (std::size_t)atoi(argv[5]));
+    args.set<bool>("list", false);
+    if (argc > 6) {
+      std::vector<std::size_t> sel;
+      for (int i = 6; i < argc; ++i) sel.push_back(atoi(argv[i]));
+      args.set<std::vector<std::size_t>>("selected-states", sel);
+    }
     Clustering::Filter::main(args);
   } else {
     return 2;

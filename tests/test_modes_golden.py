@@ -181,3 +181,59 @@ def test_stats_matches_reference_main(oracle, inputs, tmp_path, capsys):
     ours_tbl = ours[ours.index("~~~ state stats"):]
     ref_tbl = ref[ref.index("~~~ state stats"):]
     assert ours_tbl.strip() == ref_tbl.strip()
+
+
+def test_filter_matches_reference_main(oracle, inputs, tmp_path):
+    ours = tmp_path / "ours"
+    ref = tmp_path / "ref"
+    ours.mkdir(), ref.mkdir()
+    _stage(inputs, ours), _stage(inputs, ref)
+    cwd = os.getcwd()
+    os.chdir(ours)
+    try:
+        assert cli.main(["filter", "-s", "microstates", "-c", "coords.dat",
+                         "-o", "sel", "-S", "1", "2",
+                         "--every-nth", "2"]) == 0
+    finally:
+        os.chdir(cwd)
+    subprocess.run([oracle, "filter", "microstates", "coords.dat", "sel",
+                    "2", "1", "2"], cwd=ref, check=True,
+                   capture_output=True)
+    for name in ("sel.state1.dat", "sel.state2.dat"):
+        a = open(ours / name).read()
+        b = open(ref / name).read()
+        assert a == b, name
+
+
+def test_filter_xtc_matches_reference_main(oracle, inputs, tmp_path):
+    """Round-trips our xtc writer through the reference's xdrfile-based
+    filter and vice versa: output .xtc files must be byte-identical."""
+    from clustering_tpu.utils import xtc
+    ours = tmp_path / "ours"
+    ref = tmp_path / "ref"
+    ours.mkdir(), ref.mkdir()
+    _stage(inputs, ours), _stage(inputs, ref)
+    coords = np.loadtxt(os.path.join(inputs, "coords.dat"),
+                        dtype=np.float32)
+    for d in (ours, ref):
+        w = xtc.XtcWriter(str(d / "traj.xtc"))
+        for i, row in enumerate(coords):
+            # 3 atoms per frame from the 2-D point (padded)
+            frame = np.zeros((3, 3), dtype=np.float32)
+            frame[0, :2] = row
+            frame[1, :2] = row * 0.5
+            frame[2, :2] = row + 1.0
+            w.write_frame(frame, step=i, time=0.1 * i)
+        w.close()
+    cwd = os.getcwd()
+    os.chdir(ours)
+    try:
+        assert cli.main(["filter", "-s", "microstates", "-c", "traj.xtc",
+                         "-o", "sel", "-S", "1"]) == 0
+    finally:
+        os.chdir(cwd)
+    subprocess.run([oracle, "filter", "microstates", "traj.xtc", "sel",
+                    "1", "1"], cwd=ref, check=True, capture_output=True)
+    a = (ours / "sel.state1.xtc").read_bytes()
+    b = (ref / "sel.state1.xtc").read_bytes()
+    assert a == b
