@@ -121,3 +121,40 @@ def test_screening_step_names_and_reuse(blobs):
     for name in names:
         members = np.flatnonzero(c1 == name)
         assert len(np.unique(c2[members])) == 1
+
+
+def test_tiny_inputs_padding():
+    """N far below one tile: padding paths must still be exact."""
+    coords = np.array([[0.0, 0.0], [0.5, 0.0], [10.0, 10.0]],
+                      dtype=np.float32)
+    for backend in ("xla", "pallas"):
+        pops = ops.populations(coords, [1.0], backend=backend,
+                               row_block=8, col_block=16)[1.0]
+        np.testing.assert_array_equal(pops, [2, 2, 1])
+        fe = ops.free_energies(pops)
+        nn = ops.nearest_neighbors(coords, fe, backend=backend,
+                                   row_block=8, col_block=16)
+        np.testing.assert_array_equal(nn[0], [1, 0, 1])
+
+
+def test_single_frame():
+    coords = np.array([[1.0, 2.0]], dtype=np.float32)
+    for backend in ("xla", "pallas"):
+        pops = ops.populations(coords, [0.5], backend=backend,
+                               row_block=8, col_block=16)[0.5]
+        np.testing.assert_array_equal(pops, [1])
+        nn = ops.nearest_neighbors(coords, ops.free_energies(pops),
+                                   backend=backend, row_block=8,
+                                   col_block=16)
+        # no admissible neighbor -> (0, 0.0)
+        assert nn[0][0] == 0 and nn[1][0] == 0.0
+
+
+def test_higher_dimension_counts():
+    rng = np.random.default_rng(5)
+    coords = rng.normal(size=(60, 16)).astype(np.float32)
+    want = oracles.populations(coords, [2.0])[2.0]
+    for backend in ("xla", "pallas"):
+        got = ops.populations(coords, [2.0], backend=backend,
+                              row_block=8, col_block=16)[2.0]
+        np.testing.assert_array_equal(got, want)
