@@ -74,7 +74,9 @@ def bbox_dist2(row_mins, row_maxs, col_mins, col_maxs):
                          col_mins[None, :, k] - row_maxs[:, None, k])
         np.maximum(gap, 0.0, out=gap)
         acc += gap.astype(np.float64) ** 2
-    return acc.astype(np.float32)
+    # padded blocks sit at 3e38: their squared gaps exceed fp32 range,
+    # which is exactly "infinitely far" -- clamp instead of warning
+    return np.minimum(acc, np.finfo(np.float32).max).astype(np.float32)
 
 
 def pack_skip_words(skip_bool):
