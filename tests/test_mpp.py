@@ -106,3 +106,29 @@ def test_fixed_metastability_lumps_fast_exchanging_pair():
     assert 3 in final_states
     # states 1 and 2 were merged into one of them
     assert lumping, "expected at least one lump"
+
+
+def test_weighted_transition_counts_intended_semantics():
+    """The fixed (intended) per-chunk sqrt-weighted counts: two chunks with
+    different sampling weight."""
+    # chunk 1: 1->1 x3, 1->2 x1 ; chunk 2: 1->2 x1
+    traj = [1, 1, 1, 1, 2, 1, 2]
+    limits = [5, 7]
+    w = mpp.weighted_transition_counts(traj, limits, 1)
+    # chunk1 row1 counts {1:3, 2:1}, weight sqrt(4)=2
+    # chunk2 row1 counts {2:1}, weight sqrt(1)=1
+    # weighted row1 = (2*{3,1} + 1*{0,1}) / (2+1) = {2.0, 1.0}
+    assert abs(w[1][1] - 2.0) < 1e-6
+    assert abs(w[1][2] - 1.0) < 1e-6
+    # state 2 only ever appears as the last frame of a chunk: no row
+    assert 2 not in w
+
+
+def test_weighted_counts_reduce_to_plain_for_single_chunk():
+    rng = np.random.default_rng(4)
+    traj = rng.integers(1, 4, size=40).tolist()
+    plain = mpp.transition_counts(traj, [40], 2)
+    weighted = mpp.weighted_transition_counts(traj, [40], 2)
+    for i, row in plain.items():
+        for j, c in row.items():
+            assert abs(weighted[i][j] - c) < 1e-6

@@ -218,3 +218,18 @@ def test_density_npy_artifacts(workdir):
     run(["density", "-f", "coords.dat", "-D", "fe.npy", "-B", "nn",
          "-o", "cl", "-T", "0.3", "0.3", "0.9"])
     assert os.path.exists("cl.0.30")
+
+
+def test_filter_nrandom(workdir):
+    states = np.array([1] * 40 + [2] * 10)
+    np.savetxt("states.dat", states, fmt="%d")
+    np.savetxt("c2.dat", np.arange(100).reshape(50, 2), fmt="%.1f")
+    run(["filter", "-s", "states.dat", "-c", "c2.dat", "-o", "r",
+         "--nRandom", "5"])
+    s1 = np.loadtxt("r.state1.dat")
+    s2 = np.loadtxt("r.state2.dat")
+    assert len(s1) == 5
+    assert len(s2) == 5
+    # frames come from the right state, in index order
+    assert set(map(tuple, s1)) <= set(
+        map(tuple, np.arange(80).reshape(40, 2)))
