@@ -340,13 +340,23 @@ def main(args, header_comment, comments_map):
             series = ops.screening.ThresholdSeriesScreener(
                 coords, free_energy, thresholds, mesh=mesh)
             clustering = None
-            for k, tk in enumerate(thresholds):
-                logger("    %6s %9i" % ("%.2f" % tk,
-                                        int(series.n_below_per_band[k])))
-                clustering = series.step(clustering, k, max_dist2)
-                io.write_clustered_trajectory(
-                    io.stringprintf(args.output + ".%0.2f", float(tk)),
-                    clustering, header_comment, comments_map)
+            # overlap file writes with the next threshold's compute
+            # (the reference pipelines reads/writes similarly in the
+            # network builder, network_builder.cpp:438-464)
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                pending = []
+                for k, tk in enumerate(thresholds):
+                    logger("    %6s %9i"
+                           % ("%.2f" % tk,
+                              int(series.n_below_per_band[k])))
+                    clustering = series.step(clustering, k, max_dist2)
+                    pending.append(pool.submit(
+                        io.write_clustered_trajectory,
+                        io.stringprintf(args.output + ".%0.2f", float(tk)),
+                        clustering, header_comment, comments_map))
+                for fut in pending:
+                    fut.result()
         else:
             _die("error: one of -T/-i is needed to generate output.")
     logger("~~~ freeing memory")
