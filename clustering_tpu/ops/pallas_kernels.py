@@ -180,9 +180,9 @@ def _pops_sparse_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
-def pops_tiles_sparse(coords_t, radii2, n_valid, tile_i, tile_j,
-                      row_block=DEFAULT_ROW_BLOCK,
-                      col_block=DEFAULT_COL_BLOCK):
+def pops_tiles_sparse_cross(rows_t, cols_t, radii2, n_valid, tile_i, tile_j,
+                            row_block=DEFAULT_ROW_BLOCK,
+                            col_block=DEFAULT_COL_BLOCK):
     """All-pairs population counts over an explicit active-tile list.
 
     Counts are not idempotent under repeats, so (unlike the min-reduction
@@ -192,7 +192,7 @@ def pops_tiles_sparse(coords_t, radii2, n_valid, tile_i, tile_j,
     distance is zero), so every real row block is visited and initialized;
     fully-padded tail blocks are trimmed by the caller.
     """
-    n_dim, n_pad = coords_t.shape
+    n_dim, r_pad = rows_t.shape
     n_radii = radii2.shape[0]
     n_tiles = tile_i.shape[0]
     kernel = functools.partial(_pops_sparse_kernel, row_block=row_block,
@@ -213,18 +213,27 @@ def pops_tiles_sparse(coords_t, radii2, n_valid, tile_i, tile_j,
         out_specs=pl.BlockSpec((n_radii, row_block),
                                lambda k, nv, ti, tj: (0, ti[k])),
     )
-    init = jnp.zeros((n_radii, n_pad), dtype=jnp.int32)
+    init = jnp.zeros((n_radii, r_pad), dtype=jnp.int32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_radii, n_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_radii, r_pad), jnp.int32),
         input_output_aliases={6: 0},
         interpret=INTERPRET,
     )(jnp.asarray([n_valid], dtype=jnp.int32),
       jnp.asarray(tile_i, dtype=jnp.int32),
       jnp.asarray(tile_j, dtype=jnp.int32),
-      coords_t, coords_t,
+      rows_t, cols_t,
       jnp.asarray(radii2, dtype=jnp.float32), init)
+
+
+def pops_tiles_sparse(coords_t, radii2, n_valid, tile_i, tile_j,
+                      row_block=DEFAULT_ROW_BLOCK,
+                      col_block=DEFAULT_COL_BLOCK):
+    """Single-device all-pairs form; see pops_tiles_sparse_cross."""
+    return pops_tiles_sparse_cross(coords_t, coords_t, radii2, n_valid,
+                                   tile_i, tile_j, row_block=row_block,
+                                   col_block=col_block)
 
 
 # ---------------------------------------------------------------------------
@@ -424,9 +433,10 @@ def _nn_sparse_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
-def nn_tiles_sparse(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
-                    row_block=DEFAULT_ROW_BLOCK,
-                    col_block=DEFAULT_COL_BLOCK):
+def nn_tiles_sparse_cross(rows_t, fe_rows, cols_t, fe_cols, orig_ids,
+                          n_valid, tile_i, tile_j,
+                          row_block=DEFAULT_ROW_BLOCK,
+                          col_block=DEFAULT_COL_BLOCK):
     """All-pairs NN search over an explicit active-tile list (row-major
     sorted; pad by repeating the last tile -- the lexicographic min is
     idempotent). Unvisited row blocks report +inf/IMAX via the aliased
@@ -434,7 +444,7 @@ def nn_tiles_sparse(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
 
     Returns (out_d, out_j): (2, N_pad) stacked [nh; hd] distance and
     original-index arrays."""
-    n_dim, n_pad = coords_t.shape
+    n_dim, r_pad = rows_t.shape
     n_tiles = tile_i.shape[0]
     kernel = functools.partial(_nn_sparse_kernel, row_block=row_block,
                                col_block=col_block, n_dim=n_dim)
@@ -457,21 +467,30 @@ def nn_tiles_sparse(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
         ],
         out_specs=[out_spec, out_spec],
     )
-    init_d = jnp.full((2, n_pad), _INF, dtype=jnp.float32)
-    init_j = jnp.full((2, n_pad), _IMAX, dtype=jnp.int32)
+    init_d = jnp.full((2, r_pad), _INF, dtype=jnp.float32)
+    init_j = jnp.full((2, r_pad), _IMAX, dtype=jnp.int32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((2, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((2, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((2, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((2, r_pad), jnp.int32),
         ],
         input_output_aliases={8: 0, 9: 1},
         interpret=INTERPRET,
     )(jnp.asarray([n_valid], dtype=jnp.int32),
       jnp.asarray(tile_i, dtype=jnp.int32),
       jnp.asarray(tile_j, dtype=jnp.int32),
-      coords_t, coords_t, fe, fe, orig_ids, init_d, init_j)
+      rows_t, cols_t, fe_rows, fe_cols, orig_ids, init_d, init_j)
+
+
+def nn_tiles_sparse(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
+                    row_block=DEFAULT_ROW_BLOCK,
+                    col_block=DEFAULT_COL_BLOCK):
+    """Single-device all-pairs form; see nn_tiles_sparse_cross."""
+    return nn_tiles_sparse_cross(coords_t, fe, coords_t, fe, orig_ids,
+                                 n_valid, tile_i, tile_j,
+                                 row_block=row_block, col_block=col_block)
 
 
 # ---------------------------------------------------------------------------

@@ -135,6 +135,43 @@ def tile_list(active, pad_mode="repeat", max_entries=MAX_TILE_ENTRIES):
     return ti, tj
 
 
+def split_tiles_per_device(ti, tj, blocks_local, n_dev, pad_mode="repeat",
+                           max_entries=MAX_TILE_ENTRIES):
+    """Group a global active-tile list by owning device (row-block range),
+    localize row-block indices, and re-chunk every device's list to a
+    common (n_chunks, bucket) shape.
+
+    Returns (ti_dev, tj_dev) of shape (n_dev, n_chunks, bucket). pad_mode
+    as in :func:`tile_list`; devices with no active tiles get no-op pads
+    ('noop') or redundant re-sweeps of tile (0, 0) ('repeat', harmless for
+    idempotent reductions).
+    """
+    ti = np.asarray(ti).reshape(-1)
+    tj = np.asarray(tj).reshape(-1)
+    dev_of = ti // blocks_local
+    per_dev = [(ti[dev_of == d] - d * blocks_local, tj[dev_of == d])
+               for d in range(n_dev)]
+    longest = max(max((len(a) for a, _ in per_dev), default=1), 1)
+    per_chunk = min(longest, max_entries)
+    bucket = 1 << int(np.ceil(np.log2(max(per_chunk, 1024))))
+    bucket = min(bucket, max_entries)
+    n_chunks = -(-longest // bucket)
+    fill_j = 0 if pad_mode == "repeat" else -1
+    ti_dev = np.zeros((n_dev, n_chunks, bucket), dtype=np.int32)
+    tj_dev = np.full((n_dev, n_chunks, bucket), fill_j, dtype=np.int32)
+    for d, (a, b) in enumerate(per_dev):
+        if not len(a):
+            continue
+        pad = n_chunks * bucket - len(a)
+        pad_i = a[-1]
+        pad_j = b[-1] if pad_mode == "repeat" else -1
+        ti_dev[d] = np.concatenate(
+            [a, np.full(pad, pad_i)]).reshape(n_chunks, bucket)
+        tj_dev[d] = np.concatenate(
+            [b, np.full(pad, pad_j)]).reshape(n_chunks, bucket)
+    return ti_dev, tj_dev
+
+
 def no_skip_words(n_row_blocks, n_col_blocks):
     words_per_row = -(-n_col_blocks // WORD_BITS)
     return (np.zeros(n_row_blocks * words_per_row, dtype=np.int32),

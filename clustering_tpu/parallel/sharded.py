@@ -56,33 +56,40 @@ def _pops_sharded(coords_padded, radii2, n_valid, mesh,
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "row_block", "col_block"))
-def _pops_sharded_pallas(coords_t_padded, radii2, n_valid, skip_words, mesh,
-                         row_block=DEFAULT_ROW_BLOCK,
+def _pops_sharded_sparse(coords_t_padded, radii2, n_valid, ti_dev, tj_dev,
+                         mesh, row_block=DEFAULT_ROW_BLOCK,
                          col_block=DEFAULT_COL_BLOCK):
-    """Row-sharded fused Pallas pops: every chip runs the tile kernel over
-    its row range against the replicated (D, N_pad) frame matrix; the skip
-    matrix rows shard along with them."""
+    """Row-sharded fused Pallas pops over per-device sparse tile lists
+    (local row-block indices, global column indices)."""
     from ..ops import pallas_kernels as pk
 
     n_pad = coords_t_padded.shape[1]
     n_dev = mesh_size(mesh)
     rows_local = n_pad // n_dev
+    n_radii = radii2.shape[0]
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(None, None), P(None), P(), P(FRAME_AXIS)),
+        in_specs=(P(None, None), P(None), P(),
+                  P(FRAME_AXIS, None, None), P(FRAME_AXIS, None, None)),
         out_specs=P(None, FRAME_AXIS), check_vma=False)
-    def run(coords_t_all, radii2, n_valid, skip_shard):
-        # each chip slices its row range out of the replicated matrix;
-        # column ids inside the kernel stay global
+    def run(ct, radii2, n_valid, ti_l, tj_l):
         idx = jax.lax.axis_index(FRAME_AXIS)
-        local_t = jax.lax.dynamic_slice_in_dim(
-            coords_t_all, idx * rows_local, rows_local, axis=1)
-        return pk.pops_tiles_cross(local_t, coords_t_all, radii2, n_valid,
-                                   skip_shard, row_block=row_block,
-                                   col_block=col_block)
+        rows_t = jax.lax.dynamic_slice_in_dim(ct, idx * rows_local,
+                                              rows_local, axis=1)
 
-    return run(coords_t_padded, radii2, n_valid, skip_words)
+        def body(acc, tt):
+            ti_c, tj_c = tt
+            part = pk.pops_tiles_sparse_cross(
+                rows_t, ct, radii2, n_valid, ti_c, tj_c,
+                row_block=row_block, col_block=col_block)
+            return acc + part, None
+
+        init = jnp.zeros((n_radii, rows_local), dtype=jnp.int32)
+        acc, _ = jax.lax.scan(body, init, (ti_l[0], tj_l[0]))
+        return acc
+
+    return run(coords_t_padded, radii2, n_valid, ti_dev, tj_dev)
 
 
 def populations(coords, radii, mesh,
@@ -91,8 +98,8 @@ def populations(coords, radii, mesh,
     """Mesh-sharded multi-radius populations; same semantics as
     clustering_tpu.ops.populations.
 
-    backend='pallas' runs the fused pruned tile kernel per shard (TPU
-    meshes); 'xla' the blockwise jnp kernel (also used for CPU-mesh
+    backend='pallas' runs the fused pruned sparse-tile kernel per shard
+    (TPU meshes); 'xla' the blockwise jnp kernel (also used for CPU-mesh
     testing).
     """
     coords = np.asarray(coords, dtype=np.float32)
@@ -110,15 +117,19 @@ def populations(coords, radii, mesh,
         padded[:n] = coords[order]
         padded[n:] = np.float32(3e38)
         r_max2 = np.float32(max(radii)) * np.float32(max(radii))
+        nrb, ncb = n_pad // row_block, n_pad // col_block
         if prune:
-            skip_words, _ = pruning.radius_skip_words(
-                padded, row_block, col_block, r_max2)
+            rmin, rmax = pruning.block_bboxes(padded, row_block)
+            cmin, cmax = pruning.block_bboxes(padded, col_block)
+            active = pruning.bbox_dist2(rmin, rmax, cmin, cmax) <= r_max2
         else:
-            skip_words, _ = pruning.no_skip_words(n_pad // row_block,
-                                                  n_pad // col_block)
-        counts = _pops_sharded_pallas(
+            active = np.ones((nrb, ncb), dtype=bool)
+        ti, tj = np.nonzero(active)
+        ti_dev, tj_dev = pruning.split_tiles_per_device(
+            ti, tj, nrb // n_dev, n_dev, pad_mode="noop")
+        counts = _pops_sharded_sparse(
             jnp.asarray(padded.T), radii2, jnp.int32(n),
-            jnp.asarray(skip_words), mesh,
+            jnp.asarray(ti_dev), jnp.asarray(tj_dev), mesh,
             row_block=row_block, col_block=col_block)
         counts = np.asarray(jax.device_get(counts))[:, :n]
         unsorted = np.empty_like(counts)
@@ -134,12 +145,11 @@ def populations(coords, radii, mesh,
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "row_block", "col_block"))
-def _nn_sharded_pallas(coords_t_padded, fe_padded, oid_padded, n_valid,
-                       skip_words, mesh,
+def _nn_sharded_sparse(coords_t_padded, fe_padded, oid_padded, n_valid,
+                       ti_dev, tj_dev, mesh,
                        row_block=DEFAULT_ROW_BLOCK,
                        col_block=DEFAULT_COL_BLOCK):
-    """Row-sharded fused Pallas NN: every chip searches its row range
-    against the replicated frame matrix."""
+    """Row-sharded fused Pallas NN over per-device sparse tile lists."""
     from ..ops import pallas_kernels as pk
 
     n_pad = coords_t_padded.shape[1]
@@ -149,20 +159,33 @@ def _nn_sharded_pallas(coords_t_padded, fe_padded, oid_padded, n_valid,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(None, None), P(None, None), P(None, None), P(),
-                  P(FRAME_AXIS)),
-        out_specs=(P(None, FRAME_AXIS),) * 4, check_vma=False)
-    def run(ct, fe_all, oid_all, n_valid, skip_shard):
+                  P(FRAME_AXIS, None, None), P(FRAME_AXIS, None, None)),
+        out_specs=(P(None, FRAME_AXIS), P(None, FRAME_AXIS)),
+        check_vma=False)
+    def run(ct, fe_all, oid_all, n_valid, ti_l, tj_l):
         idx = jax.lax.axis_index(FRAME_AXIS)
         rows_t = jax.lax.dynamic_slice_in_dim(ct, idx * rows_local,
                                               rows_local, axis=1)
         fe_rows = jax.lax.dynamic_slice_in_dim(fe_all, idx * rows_local,
                                                rows_local, axis=1)
-        return tuple(pk.nn_tiles_cross(rows_t, fe_rows, ct, fe_all,
-                                       oid_all, n_valid, skip_shard,
-                                       row_block=row_block,
-                                       col_block=col_block))
 
-    return run(coords_t_padded, fe_padded, oid_padded, n_valid, skip_words)
+        def body(acc, tt):
+            ti_c, tj_c = tt
+            d1, j1 = pk.nn_tiles_sparse_cross(
+                rows_t, fe_rows, ct, fe_all, oid_all, n_valid, ti_c, tj_c,
+                row_block=row_block, col_block=col_block)
+            d0, j0 = acc
+            upd = (d1 < d0) | ((d1 == d0) & (j1 < j0))
+            return (jnp.where(upd, d1, d0), jnp.where(upd, j1, j0)), None
+
+        init = (jnp.full((2, rows_local), jnp.inf, dtype=jnp.float32),
+                jnp.full((2, rows_local), jnp.int32(2**31 - 1),
+                         dtype=jnp.int32))
+        acc, _ = jax.lax.scan(body, init, (ti_l[0], tj_l[0]))
+        return acc
+
+    return run(coords_t_padded, fe_padded, oid_padded, n_valid,
+               ti_dev, tj_dev)
 
 
 @functools.partial(jax.jit,
@@ -297,29 +320,36 @@ def _nearest_neighbors_pallas_mesh(coords, free_energy, mesh, row_block,
     fe_dev = jnp.asarray(fe_padded).reshape(1, n_pad)
     oid_dev = jnp.asarray(oid).reshape(1, n_pad)
     nrb, ncb = n_pad // row_block, n_pad // col_block
+    blocks_local = nrb // n_dev
 
-    def run(skip_words):
-        return _nn_sharded_pallas(ct, fe_dev, oid_dev, jnp.int32(n),
-                                  jnp.asarray(skip_words), mesh,
-                                  row_block=row_block, col_block=col_block)
+    def run(active):
+        ti, tj = np.nonzero(active)
+        ti_dev, tj_dev = pruning.split_tiles_per_device(
+            ti, tj, blocks_local, n_dev, pad_mode="repeat")
+        return _nn_sharded_sparse(ct, fe_dev, oid_dev, jnp.int32(n),
+                                  jnp.asarray(ti_dev),
+                                  jnp.asarray(tj_dev), mesh,
+                                  row_block=row_block,
+                                  col_block=col_block)
 
     if prune and ncb > 2 * band_blocks:
-        band_words, _ = pruning.band_skip_words(nrb, ncb, row_block,
-                                                col_block,
-                                                band_blocks * col_block)
-        out1 = run(band_words)
-        row_ub = np.maximum(np.asarray(out1[0])[0],
-                            np.asarray(out1[2])[0]).reshape(
-                                nrb, row_block).max(axis=1)
-        skip_words, _ = pruning.ub_skip_words(padded, row_block, col_block,
-                                              row_ub)
+        out1 = run(pruning.band_mask(nrb, ncb, row_block, col_block,
+                                     band_blocks * col_block))
+        out1_d = np.asarray(out1[0])
+        row_ub = np.maximum(out1_d[0], out1_d[1]).reshape(
+            nrb, row_block).max(axis=1)
+        rmin, rmax = pruning.block_bboxes(padded, row_block)
+        cmin, cmax = pruning.block_bboxes(padded, col_block)
+        active = pruning.bbox_dist2(rmin, rmax, cmin, cmax) \
+            <= row_ub[:, None]
     else:
-        skip_words, _ = pruning.no_skip_words(nrb, ncb)
-    out = run(skip_words)
-    nh_d = np.array(jax.device_get(out[0]))[0, :n]
-    nh_j = np.array(jax.device_get(out[1]))[0, :n].astype(np.int64)
-    hd_d = np.array(jax.device_get(out[2]))[0, :n]
-    hd_j = np.array(jax.device_get(out[3]))[0, :n].astype(np.int64)
+        active = np.ones((nrb, ncb), dtype=bool)
+    out = run(active)
+    out_d = np.array(jax.device_get(out[0]))
+    out_j = np.array(jax.device_get(out[1]))
+    nh_d, hd_d = out_d[0, :n], out_d[1, :n]
+    nh_j = out_j[0, :n].astype(np.int64)
+    hd_j = out_j[1, :n].astype(np.int64)
     inv = np.empty_like(order)
     inv[order] = np.arange(n)
     nh_d, nh_j = nh_d[inv], nh_j[inv]
