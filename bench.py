@@ -26,8 +26,8 @@ BASELINE_PAIRS_PER_SEC = 1.2e11
 N = int(os.environ.get("BENCH_N", 1 << 20))
 D = int(os.environ.get("BENCH_D", 4))
 RADII = [0.10, 0.15, 0.20]
-ROW_BLOCK = int(os.environ.get("BENCH_ROW_BLOCK", 256))
-COL_BLOCK = int(os.environ.get("BENCH_COL_BLOCK", 2048))
+ROW_BLOCK = int(os.environ.get("BENCH_ROW_BLOCK", 128))
+COL_BLOCK = int(os.environ.get("BENCH_COL_BLOCK", 4096))
 
 
 def synthetic_fel(n, d, seed=0):

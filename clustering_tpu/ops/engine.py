@@ -16,8 +16,8 @@ from . import density as dops
 from . import neighbors as nops
 from . import pruning
 
-DEFAULT_ROW_BLOCK = 256
-DEFAULT_COL_BLOCK = 2048
+DEFAULT_ROW_BLOCK = 128
+DEFAULT_COL_BLOCK = 4096
 
 
 class DensityEngine:
@@ -143,7 +143,7 @@ class DensityEngine:
                                       row_block=self.row_block,
                                       col_block=self.col_block)
 
-    def nearest_neighbors(self, free_energy, prune=True, band_blocks=8,
+    def nearest_neighbors(self, free_energy, prune=True, band_blocks=4,
                           order_name="morton"):
         """Joint NN / NN-higher-density search with two-phase exact
         pruning in Morton (spatially local) frame order:
@@ -185,6 +185,7 @@ class DensityEngine:
 
         nrb, ncb = n_pad // self.row_block, n_pad // self.col_block
         order, padded, fe_dev, oid_dev = layout(order_name)
+        band_name, band_out = None, None
         if prune and ncb > 2 * band_blocks:
             # phase 1: banded pass over sort-neighbors -> per-frame upper
             # bounds (order-independent values)
@@ -200,24 +201,43 @@ class DensityEngine:
                 ub_frame[:] = ub_sorted
             else:
                 ub_frame[order] = ub_sorted
-            # pick the phase-2 ordering with the best measured skip rate
+            # pick the phase-2 ordering with the least remaining work; the
+            # band's own order gets credit for tiles it already covered
             best = None
             for name in ("dim0", "morton"):
                 o2, _ = self._padded(name)
                 ubp = np.full(n_pad, np.inf, dtype=np.float32)
                 ubp[:n] = ub_frame if o2 is None else ub_frame[o2]
                 row_ub = ubp.reshape(nrb, self.row_block).max(axis=1)
-                d2b = self._bbox(name)
-                frac = float((d2b > row_ub[:, None]).mean())
-                if best is None or frac > best[0]:
-                    best = (frac, name, d2b <= row_ub[:, None])
+                act = self._bbox(name) <= row_ub[:, None]
+                work = float((act & ~band_active).mean()
+                             if name == order_name else act.mean())
+                if best is None or work < best[0]:
+                    best = (work, name, act)
+            band_name, band_out = order_name, out1
             _, order_name, active = best
             order, padded, fe_dev, oid_dev = layout(order_name)
+            if order_name == band_name:
+                # the band's minima are exact within its tiles and the merge
+                # is an idempotent lexicographic min: skip re-sweeping them
+                # and fold the band result in afterwards
+                active = active & ~band_active
         else:
             active = np.ones((nrb, ncb), dtype=bool)
-        out = self._nn_sparse_chunks(order_name, fe_dev, oid_dev, active)
-        out_d = np.array(jax.device_get(out[0]))
-        out_j = np.array(jax.device_get(out[1]))
+        if not active.any():
+            out_d = np.full((2, n_pad), np.inf, dtype=np.float32)
+            out_j = np.full((2, n_pad), np.iinfo(np.int32).max,
+                            dtype=np.int32)
+        else:
+            out = self._nn_sparse_chunks(order_name, fe_dev, oid_dev, active)
+            out_d = np.array(jax.device_get(out[0]))
+            out_j = np.array(jax.device_get(out[1]))
+        if band_out is not None and order_name == band_name:
+            b_d = np.asarray(band_out[0])
+            b_j = np.asarray(band_out[1])
+            take_b = (b_d < out_d) | ((b_d == out_d) & (b_j < out_j))
+            out_d = np.where(take_b, b_d, out_d)
+            out_j = np.where(take_b, b_j, out_j)
         nh_d = out_d[0, :n]
         nh_j = out_j[0, :n].astype(np.int64)
         hd_d = out_d[1, :n]

@@ -44,8 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_ROW_BLOCK = 256
-DEFAULT_COL_BLOCK = 2048
+DEFAULT_ROW_BLOCK = 128
+DEFAULT_COL_BLOCK = 4096
 
 # CPU backends run the kernels through the Pallas interpreter (tests)
 INTERPRET = jax.default_backend() == "cpu"
@@ -407,29 +407,35 @@ def _nn_sparse_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
         out_d_ref[:, :] = jnp.full_like(out_d_ref, _INF)
         out_j_ref[:, :] = jnp.full_like(out_j_ref, _IMAX)
 
-    j = tj_ref[k]
-    d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
-    col_ids = j * col_block + jax.lax.broadcasted_iota(
-        jnp.int32, (row_block, col_block), 1)
-    valid = (col_ids < n_valid_ref[0]) & (d2 > 0.0)
-    oid_y = oid_y_ref[0, :].reshape(1, col_block)
-    d2_nh = jnp.where(valid, d2, _INF)
-    bd = jnp.min(d2_nh, axis=1)
-    bo = jnp.min(jnp.where(d2_nh == bd[:, None], oid_y, _IMAX), axis=1)
-    upd = (bd < out_d_ref[0, :]) | ((bd == out_d_ref[0, :])
-                                    & (bo < out_j_ref[0, :]))
-    out_d_ref[0, :] = jnp.where(upd, bd, out_d_ref[0, :])
-    out_j_ref[0, :] = jnp.where(upd, bo, out_j_ref[0, :])
+    # pad entries repeat the previous tile verbatim; their DMA is already
+    # elided by Pallas (unchanged block index) -- elide the compute too
+    @pl.when((k == 0)
+             | (ti_ref[k] != ti_ref[jnp.maximum(k - 1, 0)])
+             | (tj_ref[k] != tj_ref[jnp.maximum(k - 1, 0)]))
+    def _():
+        j = tj_ref[k]
+        d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
+        col_ids = j * col_block + jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, col_block), 1)
+        valid = (col_ids < n_valid_ref[0]) & (d2 > 0.0)
+        oid_y = oid_y_ref[0, :].reshape(1, col_block)
+        d2_nh = jnp.where(valid, d2, _INF)
+        bd = jnp.min(d2_nh, axis=1)
+        bo = jnp.min(jnp.where(d2_nh == bd[:, None], oid_y, _IMAX), axis=1)
+        upd = (bd < out_d_ref[0, :]) | ((bd == out_d_ref[0, :])
+                                        & (bo < out_j_ref[0, :]))
+        out_d_ref[0, :] = jnp.where(upd, bd, out_d_ref[0, :])
+        out_j_ref[0, :] = jnp.where(upd, bo, out_j_ref[0, :])
 
-    fe_x = fe_x_ref[0, :].reshape(row_block, 1)
-    fe_y = fe_y_ref[0, :].reshape(1, col_block)
-    d2_hd = jnp.where(fe_y < fe_x, d2_nh, _INF)
-    hd = jnp.min(d2_hd, axis=1)
-    ho = jnp.min(jnp.where(d2_hd == hd[:, None], oid_y, _IMAX), axis=1)
-    updh = (hd < out_d_ref[1, :]) | ((hd == out_d_ref[1, :])
-                                     & (ho < out_j_ref[1, :]))
-    out_d_ref[1, :] = jnp.where(updh, hd, out_d_ref[1, :])
-    out_j_ref[1, :] = jnp.where(updh, ho, out_j_ref[1, :])
+        fe_x = fe_x_ref[0, :].reshape(row_block, 1)
+        fe_y = fe_y_ref[0, :].reshape(1, col_block)
+        d2_hd = jnp.where(fe_y < fe_x, d2_nh, _INF)
+        hd = jnp.min(d2_hd, axis=1)
+        ho = jnp.min(jnp.where(d2_hd == hd[:, None], oid_y, _IMAX), axis=1)
+        updh = (hd < out_d_ref[1, :]) | ((hd == out_d_ref[1, :])
+                                         & (ho < out_j_ref[1, :]))
+        out_d_ref[1, :] = jnp.where(updh, hd, out_d_ref[1, :])
+        out_j_ref[1, :] = jnp.where(updh, ho, out_j_ref[1, :])
 
 
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
@@ -518,14 +524,20 @@ def _label_min_sparse_kernel(win_ref, max_d2_ref, ti_ref, tj_ref,
     def _():
         out_ref[:, :] = jnp.full_like(out_ref, _IMAX)
 
-    d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
-    col_ids = j * col_block + jax.lax.broadcasted_iota(
-        jnp.int32, (row_block, col_block), 1)
-    row_ids = (row_block_offset + i) * row_block + jax.lax.broadcasted_iota(
-        jnp.int32, (row_block, col_block), 0)
-    adj = (d2 < max_dist2) & (col_ids < n_below) & (row_ids < n_below)
-    cand = jnp.where(adj, lab_y_ref[0, :].reshape(1, col_block), _IMAX)
-    out_ref[0, :] = jnp.minimum(out_ref[0, :], jnp.min(cand, axis=1))
+    # skip compute for repeat-padded duplicate tiles (DMA already elided)
+    @pl.when((k == 0)
+             | (i != ti_ref[jnp.maximum(k - 1, 0)])
+             | (j != tj_ref[jnp.maximum(k - 1, 0)]))
+    def _():
+        d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
+        col_ids = j * col_block + jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, col_block), 1)
+        row_ids = ((row_block_offset + i) * row_block
+                   + jax.lax.broadcasted_iota(
+                       jnp.int32, (row_block, col_block), 0))
+        adj = (d2 < max_dist2) & (col_ids < n_below) & (row_ids < n_below)
+        cand = jnp.where(adj, lab_y_ref[0, :].reshape(1, col_block), _IMAX)
+        out_ref[0, :] = jnp.minimum(out_ref[0, :], jnp.min(cand, axis=1))
 
 
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
