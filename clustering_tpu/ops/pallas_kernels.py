@@ -507,7 +507,7 @@ def nn_tiles_sparse(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
 # sparse-tile screening sweep (tile list driven)
 # ---------------------------------------------------------------------------
 
-def _label_min_sparse_kernel(win_ref, max_d2_ref, ti_ref, tj_ref,
+def _label_min_sparse_kernel(win_ref, max_d2_ref, ti_ref, tj_ref, dirty_ref,
                              xt_ref, yt_ref, lab_y_ref, init_ref, out_ref,
                              *, row_block, col_block, n_dim):
     del init_ref  # aliased into the output in HBM (covers unvisited rows)
@@ -525,9 +525,14 @@ def _label_min_sparse_kernel(win_ref, max_d2_ref, ti_ref, tj_ref,
         out_ref[:, :] = jnp.full_like(out_ref, _IMAX)
 
     # skip compute for repeat-padded duplicate tiles (DMA already elided)
-    @pl.when((k == 0)
-             | (i != ti_ref[jnp.maximum(k - 1, 0)])
-             | (j != tj_ref[jnp.maximum(k - 1, 0)]))
+    # and for tiles whose column block's labels did not change since the
+    # previous sweep: their proposals were already folded into the union,
+    # so re-sweeping them cannot produce a new equivalence (the fixpoint
+    # loop re-marks every block dirty on its first sweep)
+    @pl.when((dirty_ref[j] != 0)
+             & ((k == 0)
+                | (i != ti_ref[jnp.maximum(k - 1, 0)])
+                | (j != tj_ref[jnp.maximum(k - 1, 0)])))
     def _():
         d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
         col_ids = j * col_block + jax.lax.broadcasted_iota(
@@ -542,7 +547,7 @@ def _label_min_sparse_kernel(win_ref, max_d2_ref, ti_ref, tj_ref,
 
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
 def label_min_sparse_cross(rows_t, cols_t, labels, n_below, max_dist2,
-                           tile_i, tile_j, row_block_offset,
+                           tile_i, tile_j, row_block_offset, dirty=None,
                            row_block=DEFAULT_ROW_BLOCK,
                            col_block=DEFAULT_COL_BLOCK):
     """Neighbor-min proposals over an explicit active-tile list, for a
@@ -558,25 +563,28 @@ def label_min_sparse_cross(rows_t, cols_t, labels, n_below, max_dist2,
     rows whose tiles were all pruned.
     """
     n_dim, r_pad = rows_t.shape
+    n_cols = cols_t.shape[1]
     n_tiles = tile_i.shape[0]
+    if dirty is None:
+        dirty = jnp.ones((n_cols // col_block,), dtype=jnp.int32)
     kernel = functools.partial(_label_min_sparse_kernel,
                                row_block=row_block, col_block=col_block,
                                n_dim=n_dim)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((n_dim, row_block),
-                         lambda k, nb, md, ti, tj: (0, ti[k])),
+                         lambda k, nb, md, ti, tj, dy: (0, ti[k])),
             pl.BlockSpec((n_dim, col_block),
-                         lambda k, nb, md, ti, tj: (0, tj[k])),
+                         lambda k, nb, md, ti, tj, dy: (0, tj[k])),
             pl.BlockSpec((1, col_block),
-                         lambda k, nb, md, ti, tj: (0, tj[k])),
+                         lambda k, nb, md, ti, tj, dy: (0, tj[k])),
             pl.BlockSpec((1, row_block),
-                         lambda k, nb, md, ti, tj: (0, ti[k])),
+                         lambda k, nb, md, ti, tj, dy: (0, ti[k])),
         ],
         out_specs=pl.BlockSpec((1, row_block),
-                               lambda k, nb, md, ti, tj: (0, ti[k])),
+                               lambda k, nb, md, ti, tj, dy: (0, ti[k])),
     )
     init = jnp.full((1, r_pad), _IMAX, dtype=jnp.int32)
     window = jnp.stack([jnp.asarray(n_below, dtype=jnp.int32),
@@ -585,21 +593,23 @@ def label_min_sparse_cross(rows_t, cols_t, labels, n_below, max_dist2,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
-        input_output_aliases={7: 0},  # init buffer -> output
+        input_output_aliases={8: 0},  # init buffer -> output
         interpret=INTERPRET,
     )(window,
       jnp.asarray([max_dist2], dtype=jnp.float32),
       jnp.asarray(tile_i, dtype=jnp.int32),
       jnp.asarray(tile_j, dtype=jnp.int32),
+      jnp.asarray(dirty, dtype=jnp.int32),
       rows_t, cols_t, labels, init)
 
 
 def label_min_sparse(coords_t_sorted, labels, n_below, max_dist2,
-                     tile_i, tile_j,
+                     tile_i, tile_j, dirty=None,
                      row_block=DEFAULT_ROW_BLOCK,
                      col_block=DEFAULT_COL_BLOCK):
     """Single-device all-pairs sparse sweep; see label_min_sparse_cross."""
     return label_min_sparse_cross(coords_t_sorted, coords_t_sorted, labels,
                                   n_below, max_dist2, tile_i, tile_j,
-                                  jnp.int32(0), row_block=row_block,
+                                  jnp.int32(0), dirty=dirty,
+                                  row_block=row_block,
                                   col_block=col_block)

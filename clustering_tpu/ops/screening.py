@@ -94,14 +94,20 @@ def sweep_row_range(coords_all, labels, row_offset, n_rows_local, n_below,
 
 
 def pointer_jump(table):
-    """Compress label chains until table == table[table]."""
-    def cond(m):
-        return jnp.any(m[m] != m)
+    """Compress label chains until table == table[table].
 
-    def body(m):
-        return m[m]
+    One gather per iteration: the convergence test reuses the body's
+    doubled table instead of re-gathering in the loop condition."""
+    def cond(state):
+        return state[1]
 
-    return jax.lax.while_loop(cond, body, table)
+    def body(state):
+        m, _ = state
+        m2 = m[m]
+        return (m2, jnp.any(m2 != m))
+
+    out, _ = jax.lax.while_loop(cond, body, (table, jnp.bool_(True)))
+    return out
 
 
 def union_rebase(labels_in, labels_cur):
@@ -147,28 +153,40 @@ def _screening_fixpoint(coords_sorted, labels0, n_below, max_dist2,
     return labels, iters
 
 
-@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+@functools.partial(jax.jit,
+                   static_argnames=("row_block", "col_block", "union_size"))
 def _sparse_fixpoint(coords_t, labels0, n_below, max_dist2, tile_i, tile_j,
-                     row_block, col_block):
+                     row_block, col_block, union_size=None):
     """On-device fixpoint over sparse-tile sweeps. ``tile_i/tile_j`` are
     stacked (n_chunks, bucket) SMEM-sized chunks scanned per sweep.
-    Compiles once per (n_chunks, bucket); the whole iteration (sweep +
-    scatter-min union + pointer jumping + convergence test) stays on the
-    chip."""
+    Compiles once per (n_chunks, bucket, union_size); the whole iteration
+    (sweep + scatter-min union + pointer jumping + convergence test) stays
+    on the chip.
+
+    ``union_size`` (static, a multiple of col_block, >= n_below) bounds the
+    label-table union to the prefix that can actually change: sweeps only
+    update rows below n_below and only propose labels < n_below, so the
+    tail passes through untouched. The caller quantizes it to keep compile
+    variety bounded."""
     from .pallas_kernels import label_min_sparse
 
     n_pad = coords_t.shape[1]
+    ncb = n_pad // col_block
+    if union_size is None:
+        union_size = n_pad
+    nub = union_size // col_block
 
     def cond(state):
         return state[1]
 
     def body(state):
-        labels_in, _, it = state
+        labels_in, _, it, dirty = state
 
         def chunk_body(m, tt):
             ti_c, tj_c = tt
             mi = label_min_sparse(coords_t, labels_in.reshape(1, -1),
                                   n_below, max_dist2, ti_c, tj_c,
+                                  dirty=dirty,
                                   row_block=row_block,
                                   col_block=col_block)[0]
             return jnp.minimum(m, mi), None
@@ -176,12 +194,25 @@ def _sparse_fixpoint(coords_t, labels0, n_below, max_dist2, tile_i, tile_j,
         m, _ = jax.lax.scan(chunk_body,
                             jnp.full((n_pad,), _IMAX, dtype=jnp.int32),
                             (tile_i, tile_j))
-        labels_cur = jnp.minimum(labels_in, m)
-        labels_out = union_rebase(labels_in, labels_cur)
-        return (labels_out, jnp.any(labels_out != labels_in), it + 1)
+        head_in = labels_in[:union_size]
+        head_cur = jnp.minimum(head_in, m[:union_size])
+        head_out = union_rebase(head_in, head_cur)
+        changed = head_out != head_in
+        labels_out = (head_out if union_size == n_pad else
+                      jnp.concatenate([head_out, labels_in[union_size:]]))
+        # a tile whose column block's labels are unchanged can only
+        # re-propose equivalences already in the union: sweep only tiles
+        # with dirty columns next round (exact, not a heuristic)
+        dirty_head = jnp.any(changed.reshape(nub, col_block),
+                             axis=1).astype(jnp.int32)
+        dirty_next = (dirty_head if nub == ncb else
+                      jnp.concatenate([dirty_head,
+                                       jnp.zeros(ncb - nub, jnp.int32)]))
+        return (labels_out, jnp.any(changed), it + 1, dirty_next)
 
-    labels, _, iters = jax.lax.while_loop(
-        cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
+    labels, _, iters, _ = jax.lax.while_loop(
+        cond, body, (labels0, jnp.bool_(True), jnp.int32(0),
+                     jnp.ones((ncb,), dtype=jnp.int32)))
     return labels, iters
 
 
@@ -277,12 +308,19 @@ class ScreeningEngine:
             if tiles is None:
                 return labels_dev
             ti, tj = tiles
+            # union prefix: power-of-two col-block count >= n_below keeps
+            # the scatter/gather arrays small at low thresholds while
+            # bounding compile variety
+            nub = 1 << int(np.ceil(np.log2(
+                max(-(-n_below // self.col_block), 1))))
+            union_size = min(nub * self.col_block, self.n_pad)
             out, iters = _sparse_fixpoint(self._coords_dev, labels_dev,
                                           jnp.int32(n_below),
                                           jnp.float32(max_dist2),
                                           jnp.asarray(ti), jnp.asarray(tj),
                                           row_block=self.row_block,
-                                          col_block=self.col_block)
+                                          col_block=self.col_block,
+                                          union_size=union_size)
             if is_verbose():
                 logger(f"    [screening fixpoint: {int(iters)} sweeps,"
                        f" {ti.shape[0] * ti.shape[1]} tiles/sweep]")

@@ -222,13 +222,13 @@ def _screening_sharded_pallas(coords_t, labels0, n_below, max_dist2,
             return state[1]
 
         def body(state):
-            labels_in, _ = state
+            labels_in, _, dirty = state
 
             def chunk_body(m, tt):
                 ti_c, tj_c = tt
                 mi = pk.label_min_sparse_cross(
                     rows_t, ct, labels_in.reshape(1, -1), nb, md2,
-                    ti_c, tj_c, off_blocks,
+                    ti_c, tj_c, off_blocks, dirty=dirty,
                     row_block=row_block, col_block=col_block)[0]
                 return jnp.minimum(m, mi), None
 
@@ -239,10 +239,15 @@ def _screening_sharded_pallas(coords_t, labels0, n_below, max_dist2,
             m_full = jax.lax.all_gather(m_loc, FRAME_AXIS, tiled=True)
             labels_cur = jnp.minimum(labels_in, m_full)
             labels_out = union_rebase(labels_in, labels_cur)
-            return (labels_out, jnp.any(labels_out != labels_in))
+            changed = labels_out != labels_in
+            # clean column blocks can only re-propose known equivalences
+            dirty_next = jnp.any(changed.reshape(-1, col_block),
+                                 axis=1).astype(jnp.int32)
+            return (labels_out, jnp.any(changed), dirty_next)
 
-        labels, _ = jax.lax.while_loop(cond, body,
-                                       (labels0, jnp.bool_(True)))
+        labels, _, _ = jax.lax.while_loop(
+            cond, body, (labels0, jnp.bool_(True),
+                         jnp.ones((n_pad // col_block,), dtype=jnp.int32)))
         return labels
 
     return run(coords_t, labels0, n_below, max_dist2, ti_dev, tj_dev)
