@@ -134,3 +134,69 @@ def test_series_screener_generic_seed_path(blobs):
         a = s1.step(a, k, md2)
         b = s2.step(b.copy() if b is not None else None, k, md2)
         np.testing.assert_array_equal(a, b)
+
+
+def _bigger_blobs(n=600, seed=5):
+    rng = np.random.default_rng(seed)
+    a = rng.normal((0.0, 0.0, 0.0), 0.15, size=(n // 2, 3))
+    b = rng.normal((1.5, 1.0, -0.5), 0.2, size=(n - n // 2, 3))
+    return np.concatenate([a, b]).astype(np.float32)
+
+
+def test_engine_nn_band_subtract_path():
+    """Enough column blocks that the two-phase band pass runs and (when the
+    band's Morton order wins the work comparison) band-covered tiles are
+    subtracted from phase 2 and merged back (engine.nearest_neighbors)."""
+    coords = _bigger_blobs()
+    eng = ops.engine.DensityEngine(coords, row_block=8, col_block=16,
+                                   backend="pallas")
+    pops = eng.populations([0.4])
+    fe = ops.free_energies(pops[0.4])
+    want = ops.nearest_neighbors(coords, fe, backend="xla",
+                                 row_block=8, col_block=16)
+    for bb in (1, 2):
+        got = eng.nearest_neighbors(fe, band_blocks=bb)
+        np.testing.assert_array_equal(want[0], got[0])
+        np.testing.assert_array_equal(want[2], got[2])
+        np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
+        np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
+
+
+def test_engine_nn_band_covers_everything():
+    """A single dense clump: every admissible tile sits inside the band, so
+    phase 2 can be empty after band subtraction (the not-active branch)."""
+    rng = np.random.default_rng(9)
+    coords = rng.normal(0.0, 0.05, size=(96, 2)).astype(np.float32)
+    eng = ops.engine.DensityEngine(coords, row_block=8, col_block=16,
+                                   backend="pallas")
+    pops = eng.populations([0.3])
+    fe = ops.free_energies(pops[0.3])
+    want = ops.nearest_neighbors(coords, fe, backend="xla",
+                                 row_block=8, col_block=16)
+    got = eng.nearest_neighbors(fe, band_blocks=1)
+    np.testing.assert_array_equal(want[0], got[0])
+    np.testing.assert_array_equal(want[2], got[2])
+
+
+def test_series_screener_union_prefix_quantization():
+    """Threshold bands crossing power-of-two col-block-count boundaries
+    exercise distinct static union_size values in the sparse fixpoint."""
+    coords = _bigger_blobs(n=500, seed=13)
+    pops = ops.populations(coords, [0.4], backend="xla",
+                           row_block=8, col_block=16)[0.4]
+    fe = ops.free_energies(pops)
+    nn = ops.nearest_neighbors(coords, fe, backend="xla",
+                               row_block=8, col_block=16)
+    sigma2 = ops.neighbors.compute_sigma2(nn[1])
+    max_dist2 = np.float32(4.0 * sigma2)
+    qs = np.quantile(fe[np.isfinite(fe)], [0.1, 0.35, 0.7, 1.0])
+    thresholds = [np.float32(t) for t in qs]
+    ref = ops.screening.ThresholdSeriesScreener(
+        coords, fe, thresholds, row_block=8, col_block=16, backend="xla")
+    got = ops.screening.ThresholdSeriesScreener(
+        coords, fe, thresholds, row_block=8, col_block=16, backend="pallas")
+    c_r = c_g = None
+    for k in range(len(thresholds)):
+        c_r = ref.step(c_r, k, max_dist2)
+        c_g = got.step(c_g, k, max_dist2)
+        np.testing.assert_array_equal(c_r, c_g)
