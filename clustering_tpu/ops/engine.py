@@ -117,10 +117,28 @@ class DensityEngine:
                               self.n_pad // self.col_block), dtype=bool)
         tiles = pruning.tile_list(active, pad_mode="noop")
         order, _ = self._padded(name)
+        # per-tile radius bitmask: a tile whose bbox distance exceeds r^2
+        # skips that radius's compare+count in the kernel (bit r unset);
+        # pads (tj = -1) carry mask 0 and skip the whole tile body
+        if prune:
+            d2b = self._bbox(name)
+            rmask = np.zeros(tiles[0].shape, dtype=np.int32)
+            pad = tiles[1] < 0
+            ti_safe = tiles[0]
+            tj_safe = np.maximum(tiles[1], 0)
+            for r_idx, r in enumerate(radii):
+                r2 = np.float32(r) * np.float32(r)
+                rmask |= (d2b[ti_safe, tj_safe] <= r2).astype(
+                    np.int32) << r_idx
+            rmask[pad] = 0
+        else:
+            rmask = np.where(tiles[1] >= 0,
+                             np.int32((1 << len(radii)) - 1), np.int32(0))
         acc = pk.pops_tiles_sparse_all(self._device(name), radii2,
                                        np.int32(self.n),
                                        jnp.asarray(tiles[0]),
                                        jnp.asarray(tiles[1]),
+                                       rmask=jnp.asarray(rmask),
                                        row_block=self.row_block,
                                        col_block=self.col_block)
         counts = np.asarray(jax.device_get(acc))[:, :self.n]

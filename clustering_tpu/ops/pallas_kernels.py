@@ -157,8 +157,8 @@ def pops_tiles(coords_t, radii2, n_valid, skip_words,
                             row_block=row_block, col_block=col_block)
 
 
-def _pops_sparse_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
-                        radii2_ref, init_ref, out_ref,
+def _pops_sparse_kernel(n_valid_ref, ti_ref, tj_ref, rmask_ref, xt_ref,
+                        yt_ref, radii2_ref, init_ref, out_ref,
                         *, row_block, col_block, n_dim, n_radii):
     del init_ref  # aliased into the output (defines unvisited row blocks)
     k = pl.program_id(0)
@@ -167,20 +167,28 @@ def _pops_sparse_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    # padding entries carry tj = -1 and must contribute nothing (counts are
+    # rmask bit r set => this tile's bbox distance admits radius r; padding
+    # entries (tj = -1) carry rmask 0 and skip the whole body (counts are
     # not idempotent, unlike the min-reduction kernels)
-    jraw = tj_ref[k]
-    d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
-    col_ids = jnp.maximum(jraw, 0) * col_block + jax.lax.broadcasted_iota(
-        jnp.int32, (1, col_block), 1)
-    valid = (col_ids < n_valid_ref[0]) & (jraw >= 0)
-    for r in range(n_radii):
-        within = jnp.where(valid & (d2 <= radii2_ref[r]), 1, 0)
-        out_ref[r, :] += jnp.sum(within, axis=1).astype(jnp.int32)
+    rmask = rmask_ref[k]
+
+    @pl.when(rmask != 0)
+    def _():
+        jraw = tj_ref[k]
+        d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
+        col_ids = (jnp.maximum(jraw, 0) * col_block
+                   + jax.lax.broadcasted_iota(jnp.int32, (1, col_block), 1))
+        valid = col_ids < n_valid_ref[0]
+        for r in range(n_radii):
+            @pl.when((rmask >> r) & 1 != 0)
+            def _(r=r):
+                within = jnp.where(valid & (d2 <= radii2_ref[r]), 1, 0)
+                out_ref[r, :] += jnp.sum(within, axis=1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
 def pops_tiles_sparse_cross(rows_t, cols_t, radii2, n_valid, tile_i, tile_j,
+                            rmask=None,
                             row_block=DEFAULT_ROW_BLOCK,
                             col_block=DEFAULT_COL_BLOCK):
     """All-pairs population counts over an explicit active-tile list.
@@ -191,48 +199,61 @@ def pops_tiles_sparse_cross(rows_t, cols_t, radii2, n_valid, tile_i, tile_j,
     kernel treats as no-ops. Diagonal tiles are always active (their bbox
     distance is zero), so every real row block is visited and initialized;
     fully-padded tail blocks are trimmed by the caller.
+
+    ``rmask`` (optional per-tile int32 bitmask, bit r set when the tile's
+    bbox distance admits radius r) lets the kernel skip the compare+count
+    for radii a tile cannot contribute to; None counts every radius on
+    every listed tile (pads still skip via tj = -1).
     """
     n_dim, r_pad = rows_t.shape
     n_radii = radii2.shape[0]
     n_tiles = tile_i.shape[0]
+    if rmask is None:
+        all_r = jnp.int32((1 << n_radii) - 1)
+        rmask = jnp.where(jnp.asarray(tile_j, dtype=jnp.int32) >= 0,
+                          all_r, jnp.int32(0))
     kernel = functools.partial(_pops_sparse_kernel, row_block=row_block,
                                col_block=col_block, n_dim=n_dim,
                                n_radii=n_radii)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((n_dim, row_block),
-                         lambda k, nv, ti, tj: (0, ti[k])),
+                         lambda k, nv, ti, tj, rm: (0, ti[k])),
             pl.BlockSpec((n_dim, col_block),
-                         lambda k, nv, ti, tj: (0, jnp.maximum(tj[k], 0))),
+                         lambda k, nv, ti, tj, rm: (0, jnp.maximum(tj[k],
+                                                                   0))),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n_radii, row_block),
-                         lambda k, nv, ti, tj: (0, ti[k])),
+                         lambda k, nv, ti, tj, rm: (0, ti[k])),
         ],
         out_specs=pl.BlockSpec((n_radii, row_block),
-                               lambda k, nv, ti, tj: (0, ti[k])),
+                               lambda k, nv, ti, tj, rm: (0, ti[k])),
     )
     init = jnp.zeros((n_radii, r_pad), dtype=jnp.int32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_radii, r_pad), jnp.int32),
-        input_output_aliases={6: 0},
+        input_output_aliases={7: 0},
         interpret=INTERPRET,
     )(jnp.asarray([n_valid], dtype=jnp.int32),
       jnp.asarray(tile_i, dtype=jnp.int32),
       jnp.asarray(tile_j, dtype=jnp.int32),
+      jnp.asarray(rmask, dtype=jnp.int32),
       rows_t, cols_t,
       jnp.asarray(radii2, dtype=jnp.float32), init)
 
 
 def pops_tiles_sparse(coords_t, radii2, n_valid, tile_i, tile_j,
+                      rmask=None,
                       row_block=DEFAULT_ROW_BLOCK,
                       col_block=DEFAULT_COL_BLOCK):
     """Single-device all-pairs form; see pops_tiles_sparse_cross."""
     return pops_tiles_sparse_cross(coords_t, coords_t, radii2, n_valid,
-                                   tile_i, tile_j, row_block=row_block,
+                                   tile_i, tile_j, rmask=rmask,
+                                   row_block=row_block,
                                    col_block=col_block)
 
 
@@ -356,20 +377,26 @@ def nn_tiles(coords_t, fe, orig_ids, n_valid, skip_words,
 
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
 def pops_tiles_sparse_all(coords_t, radii2, n_valid, tile_i, tile_j,
+                          rmask=None,
                           row_block=DEFAULT_ROW_BLOCK,
                           col_block=DEFAULT_COL_BLOCK):
     """Sum of pops_tiles_sparse over stacked (n_chunks, bucket) tile
     chunks in one dispatch (each chunk holds each active tile at most
     once, padded with no-op entries)."""
+    n_radii = radii2.shape[0]
+    if rmask is None:
+        rmask = jnp.where(jnp.asarray(tile_j, dtype=jnp.int32) >= 0,
+                          jnp.int32((1 << n_radii) - 1), jnp.int32(0))
+
     def body(acc, tt):
-        ti_c, tj_c = tt
+        ti_c, tj_c, rm_c = tt
         part = pops_tiles_sparse(coords_t, radii2, n_valid, ti_c, tj_c,
+                                 rmask=rm_c,
                                  row_block=row_block, col_block=col_block)
         return acc + part, None
 
-    n_radii = radii2.shape[0]
     init = jnp.zeros((n_radii, coords_t.shape[1]), dtype=jnp.int32)
-    acc, _ = jax.lax.scan(body, init, (tile_i, tile_j))
+    acc, _ = jax.lax.scan(body, init, (tile_i, tile_j, rmask))
     return acc
 
 
