@@ -20,6 +20,20 @@ DEFAULT_ROW_BLOCK = 128
 DEFAULT_COL_BLOCK = 4096
 
 
+@jax.jit
+def _lex_merge(b_d, b_j, o_d, o_j):
+    """Elementwise lexicographic (distance, index) minimum of two stacked
+    NN results; one fused dispatch (eager ops would each pay a device
+    round-trip)."""
+    take_b = (b_d < o_d) | ((b_d == o_d) & (b_j < o_j))
+    return jnp.where(take_b, b_d, o_d), jnp.where(take_b, b_j, o_j)
+
+
+@jax.jit
+def _rowwise_max(a, b):
+    return jnp.maximum(a, b)
+
+
 class DensityEngine:
     def __init__(self, coords, row_block=DEFAULT_ROW_BLOCK,
                  col_block=DEFAULT_COL_BLOCK, backend="auto", mesh=None):
@@ -212,8 +226,11 @@ class DensityEngine:
                 band_blocks * self.col_block)
             out1 = self._nn_sparse_chunks(order_name, fe_dev, oid_dev,
                                           band_active)
-            ub_sorted = np.maximum(np.asarray(out1[0])[0],
-                                   np.asarray(out1[0])[1])[:n]
+            # reduce on device; download one (N,) f32 vector instead of
+            # the whole stacked (2, N_pad) pair (tunnel downloads are the
+            # slow direction here)
+            ub_sorted = np.asarray(jax.device_get(
+                _rowwise_max(out1[0][0, :], out1[0][1, :])))[:n]
             ub_frame = np.empty(n, dtype=np.float32)
             if order is None:
                 ub_frame[:] = ub_sorted
@@ -242,20 +259,23 @@ class DensityEngine:
                 active = active & ~band_active
         else:
             active = np.ones((nrb, ncb), dtype=bool)
+        merge_band = band_out is not None and order_name == band_name
         if not active.any():
+            out = None
+        else:
+            out = self._nn_sparse_chunks(order_name, fe_dev, oid_dev, active)
+        if merge_band and out is not None:
+            # lexicographic merge on device: one download instead of three
+            out = _lex_merge(band_out[0], band_out[1], out[0], out[1])
+        elif merge_band:
+            out = band_out
+        if out is None:
             out_d = np.full((2, n_pad), np.inf, dtype=np.float32)
             out_j = np.full((2, n_pad), np.iinfo(np.int32).max,
                             dtype=np.int32)
         else:
-            out = self._nn_sparse_chunks(order_name, fe_dev, oid_dev, active)
             out_d = np.array(jax.device_get(out[0]))
             out_j = np.array(jax.device_get(out[1]))
-        if band_out is not None and order_name == band_name:
-            b_d = np.asarray(band_out[0])
-            b_j = np.asarray(band_out[1])
-            take_b = (b_d < out_d) | ((b_d == out_d) & (b_j < out_j))
-            out_d = np.where(take_b, b_d, out_d)
-            out_j = np.where(take_b, b_j, out_j)
         nh_d = out_d[0, :n]
         nh_j = out_j[0, :n].astype(np.int64)
         hd_d = out_d[1, :n]
