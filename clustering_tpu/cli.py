@@ -288,6 +288,15 @@ def _setup_jax_runtime():
             # multi-host pods: coordinator/process env handled by
             # jax.distributed (DCN between hosts, ICI within)
             jax.distributed.initialize()
+        profile_dir = os.environ.get("CLUSTERING_TPU_PROFILE")
+        if profile_dir:
+            # whole-run device trace (stage_timer scopes appear as
+            # TraceAnnotations inside it); view with xprof/tensorboard
+            import atexit
+
+            import jax.profiler
+            jax.profiler.start_trace(profile_dir)
+            atexit.register(jax.profiler.stop_trace)
     except Exception as exc:  # pragma: no cover - best effort
         print(f"warning: jax runtime setup failed: {exc}", file=sys.stderr)
 
