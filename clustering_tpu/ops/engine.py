@@ -8,6 +8,8 @@ populations and NN search against them. This is the engine behind
 resident across the whole mode run.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,9 +31,24 @@ def _lex_merge(b_d, b_j, o_d, o_j):
     return jnp.where(take_b, b_d, o_d), jnp.where(take_b, b_j, o_j)
 
 
-@jax.jit
-def _rowwise_max(a, b):
-    return jnp.maximum(a, b)
+def _host_pair_d2(coords, idx):
+    """fp32 squared distances coords[i] -> coords[idx[i]], accumulated per
+    dimension in ascending order with numpy ops (one rounding per multiply
+    and per add -- bit-identical to the Pallas kernel's VPU arithmetic)."""
+    acc = np.zeros(len(idx), dtype=np.float32)
+    for k in range(coords.shape[1]):
+        diff = coords[:, k] - coords[idx, k]
+        acc = acc + diff * diff
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("row_block",))
+def _row_ub(stacked_d, perm, row_block):
+    """Per-row-block upper bounds from a stacked (2, N_pad) band result:
+    per-frame max of the [nh; hd] distances, permuted into the candidate
+    order, reduced over each row block. Returns (N_pad // row_block,)."""
+    ub = jnp.maximum(stacked_d[0, :], stacked_d[1, :])
+    return ub[perm].reshape(-1, row_block).max(axis=1)
 
 
 class DensityEngine:
@@ -90,6 +107,26 @@ class DensityEngine:
             cmin, cmax = pruning.block_bboxes(padded, self.col_block)
             self._bboxes[name] = pruning.bbox_dist2(rmin, rmax, cmin, cmax)
         return self._bboxes[name]
+
+    def _ub_perm(self, src_name, dst_name):
+        """Device int32 permutation mapping positions of ``dst_name`` order
+        to positions of ``src_name`` order (padding maps to itself), cached
+        -- lets per-frame reductions be re-laid-out on device without
+        downloading them."""
+        key = ("ubperm", src_name, dst_name)
+        if key not in self._dev:
+            src_order, _ = self._padded(src_name)
+            dst_order, _ = self._padded(dst_name)
+            perm = np.arange(self.n_pad, dtype=np.int32)
+            rank_src = np.empty(self.n, dtype=np.int32)
+            if src_order is None:
+                rank_src[:] = np.arange(self.n, dtype=np.int32)
+            else:
+                rank_src[src_order] = np.arange(self.n, dtype=np.int32)
+            perm[:self.n] = (rank_src if dst_order is None
+                             else rank_src[dst_order])
+            self._dev[key] = jnp.asarray(perm)
+        return self._dev[key]
 
     def _best_sort(self, thresh2):
         """Pick the ordering (dim0 vs morton) with the higher measured tile
@@ -226,24 +263,15 @@ class DensityEngine:
                 band_blocks * self.col_block)
             out1 = self._nn_sparse_chunks(order_name, fe_dev, oid_dev,
                                           band_active)
-            # reduce on device; download one (N,) f32 vector instead of
-            # the whole stacked (2, N_pad) pair (tunnel downloads are the
-            # slow direction here)
-            ub_sorted = np.asarray(jax.device_get(
-                _rowwise_max(out1[0][0, :], out1[0][1, :])))[:n]
-            ub_frame = np.empty(n, dtype=np.float32)
-            if order is None:
-                ub_frame[:] = ub_sorted
-            else:
-                ub_frame[order] = ub_sorted
-            # pick the phase-2 ordering with the least remaining work; the
-            # band's own order gets credit for tiles it already covered
+            # keep the per-frame bounds on device; per candidate order,
+            # permute + reduce there and download only the per-row-block
+            # maxima (device->host is the slow, flaky direction through
+            # remote-TPU tunnels: nrb floats instead of N)
             best = None
             for name in ("dim0", "morton"):
-                o2, _ = self._padded(name)
-                ubp = np.full(n_pad, np.inf, dtype=np.float32)
-                ubp[:n] = ub_frame if o2 is None else ub_frame[o2]
-                row_ub = ubp.reshape(nrb, self.row_block).max(axis=1)
+                row_ub = np.asarray(jax.device_get(_row_ub(
+                    out1[0], self._ub_perm(order_name, name),
+                    row_block=self.row_block)))
                 act = self._bbox(name) <= row_ub[:, None]
                 work = float((act & ~band_active).mean()
                              if name == order_name else act.mean())
@@ -270,25 +298,28 @@ class DensityEngine:
         elif merge_band:
             out = band_out
         if out is None:
-            out_d = np.full((2, n_pad), np.inf, dtype=np.float32)
             out_j = np.full((2, n_pad), np.iinfo(np.int32).max,
                             dtype=np.int32)
         else:
-            out_d = np.array(jax.device_get(out[0]))
+            # download indices only; distances are recomputed on the host
+            # (numpy's per-dimension fp32 accumulation rounds the square
+            # and the add separately, exactly like the TPU kernel, so the
+            # values are bit-identical at half the transfer volume)
             out_j = np.array(jax.device_get(out[1]))
-        nh_d = out_d[0, :n]
         nh_j = out_j[0, :n].astype(np.int64)
-        hd_d = out_d[1, :n]
         hd_j = out_j[1, :n].astype(np.int64)
         if order is not None:
             inv = np.empty_like(order)
             inv[order] = np.arange(n)
-            nh_d, nh_j = nh_d[inv], nh_j[inv]
-            hd_d, hd_j = hd_d[inv], hd_j[inv]
-        no_nh = ~np.isfinite(nh_d)
-        nh_d[no_nh] = 0.0
+            nh_j = nh_j[inv]
+            hd_j = hd_j[inv]
+        imax = np.iinfo(np.int32).max
+        no_nh = nh_j == imax
         nh_j[no_nh] = 0
-        no_hd = ~np.isfinite(hd_d)
-        hd_d[no_hd] = 0.0
+        no_hd = hd_j == imax
         hd_j[no_hd] = 0
-        return nh_j, nh_d.astype(np.float32), hd_j, hd_d.astype(np.float32)
+        nh_d = _host_pair_d2(self.coords, nh_j)
+        hd_d = _host_pair_d2(self.coords, hd_j)
+        nh_d[no_nh] = 0.0
+        hd_d[no_hd] = 0.0
+        return nh_j, nh_d, hd_j, hd_d

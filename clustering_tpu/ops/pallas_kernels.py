@@ -284,11 +284,12 @@ def _nn_kernel(n_valid_ref, skip_ref, xt_ref, yt_ref, fe_x_ref, fe_y_ref,
         d2_nh = jnp.where(valid, d2, _INF)
         # lexicographic (distance, original index) running minimum: matches
         # the reference's ascending-j strict-'<' scan exactly regardless of
-        # the processing order used here
+        # the processing order used here; inf rows never latch an index
         bd = jnp.min(d2_nh, axis=1)
         bo = jnp.min(jnp.where(d2_nh == bd[:, None], oid_y, _IMAX), axis=1)
-        upd = (bd < nh_d_ref[0, :]) | ((bd == nh_d_ref[0, :])
-                                       & (bo < nh_j_ref[0, :]))
+        upd = ((bd < nh_d_ref[0, :]) | ((bd == nh_d_ref[0, :])
+                                        & (bo < nh_j_ref[0, :]))) \
+            & (bd < _INF)
         nh_d_ref[0, :] = jnp.where(upd, bd, nh_d_ref[0, :])
         nh_j_ref[0, :] = jnp.where(upd, bo, nh_j_ref[0, :])
 
@@ -297,8 +298,9 @@ def _nn_kernel(n_valid_ref, skip_ref, xt_ref, yt_ref, fe_x_ref, fe_y_ref,
         d2_hd = jnp.where(fe_y < fe_x, d2_nh, _INF)
         hd = jnp.min(d2_hd, axis=1)
         ho = jnp.min(jnp.where(d2_hd == hd[:, None], oid_y, _IMAX), axis=1)
-        updh = (hd < hd_d_ref[0, :]) | ((hd == hd_d_ref[0, :])
-                                        & (ho < hd_j_ref[0, :]))
+        updh = ((hd < hd_d_ref[0, :]) | ((hd == hd_d_ref[0, :])
+                                         & (ho < hd_j_ref[0, :]))) \
+            & (hd < _INF)
         hd_d_ref[0, :] = jnp.where(updh, hd, hd_d_ref[0, :])
         hd_j_ref[0, :] = jnp.where(updh, ho, hd_j_ref[0, :])
 
@@ -449,8 +451,12 @@ def _nn_sparse_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
         d2_nh = jnp.where(valid, d2, _INF)
         bd = jnp.min(d2_nh, axis=1)
         bo = jnp.min(jnp.where(d2_nh == bd[:, None], oid_y, _IMAX), axis=1)
-        upd = (bd < out_d_ref[0, :]) | ((bd == out_d_ref[0, :])
-                                        & (bo < out_j_ref[0, :]))
+        # never latch an index at infinite distance (an all-masked row's
+        # bd == inf would otherwise tie with the init and record a real
+        # index; "no neighbor" must stay (inf, IMAX) for the callers)
+        upd = ((bd < out_d_ref[0, :]) | ((bd == out_d_ref[0, :])
+                                         & (bo < out_j_ref[0, :]))) \
+            & (bd < _INF)
         out_d_ref[0, :] = jnp.where(upd, bd, out_d_ref[0, :])
         out_j_ref[0, :] = jnp.where(upd, bo, out_j_ref[0, :])
 
@@ -459,8 +465,9 @@ def _nn_sparse_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
         d2_hd = jnp.where(fe_y < fe_x, d2_nh, _INF)
         hd = jnp.min(d2_hd, axis=1)
         ho = jnp.min(jnp.where(d2_hd == hd[:, None], oid_y, _IMAX), axis=1)
-        updh = (hd < out_d_ref[1, :]) | ((hd == out_d_ref[1, :])
-                                         & (ho < out_j_ref[1, :]))
+        updh = ((hd < out_d_ref[1, :]) | ((hd == out_d_ref[1, :])
+                                          & (ho < out_j_ref[1, :]))) \
+            & (hd < _INF)
         out_d_ref[1, :] = jnp.where(updh, hd, out_d_ref[1, :])
         out_j_ref[1, :] = jnp.where(updh, ho, out_j_ref[1, :])
 
