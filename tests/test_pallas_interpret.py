@@ -200,3 +200,31 @@ def test_series_screener_union_prefix_quantization():
         c_r = ref.step(c_r, k, max_dist2)
         c_g = got.step(c_g, k, max_dist2)
         np.testing.assert_array_equal(c_r, c_g)
+
+
+def test_engine_nn_no_neighbor_sentinels():
+    """Exact-duplicate frames have no admissible nh neighbor, and minimal-
+    FE frames no higher-density neighbor: both must report (0, 0.0), not
+    an index latched at infinite distance (kernel inf-row guard)."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(0.0, 0.3, size=(60, 2)).astype(np.float32)
+    # an isolated identical pair far from the cloud: nh excluded (d2 == 0)
+    dup = np.asarray([[50.0, 50.0], [50.0, 50.0]], dtype=np.float32)
+    coords = np.concatenate([base, dup])
+    pops = ops.populations(coords, [0.5], backend="xla",
+                           row_block=8, col_block=16)[0.5]
+    fe = ops.free_energies(pops)
+    want = ops.nearest_neighbors(coords, fe, backend="xla",
+                                 row_block=8, col_block=16)
+    got = ops.nearest_neighbors(coords, fe, backend="pallas",
+                                row_block=8, col_block=16)
+    np.testing.assert_array_equal(want[0], got[0])
+    np.testing.assert_array_equal(want[2], got[2])
+    # distances may differ by fma-contraction ulps across backends
+    np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
+    np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
+    # the duplicates themselves: no nh, no hd -> all zeros
+    np.testing.assert_array_equal(got[0][-2:], [0, 0])
+    np.testing.assert_array_equal(got[1][-2:], [0.0, 0.0])
+    np.testing.assert_array_equal(got[2][-2:], [0, 0])
+    np.testing.assert_array_equal(got[3][-2:], [0.0, 0.0])
