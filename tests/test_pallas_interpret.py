@@ -203,14 +203,12 @@ def test_series_screener_union_prefix_quantization():
 
 
 def test_engine_nn_no_neighbor_sentinels():
-    """Exact-duplicate frames have no admissible nh neighbor, and minimal-
-    FE frames no higher-density neighbor: both must report (0, 0.0), not
-    an index latched at infinite distance (kernel inf-row guard)."""
+    """Frames with no admissible neighbor must report (0, 0.0), not an
+    index latched at infinite distance (kernel inf-row guard): the global
+    FE minimum has no higher-density neighbor, and in an all-identical
+    trajectory every pair is excluded as zero-distance."""
     rng = np.random.default_rng(3)
-    base = rng.normal(0.0, 0.3, size=(60, 2)).astype(np.float32)
-    # an isolated identical pair far from the cloud: nh excluded (d2 == 0)
-    dup = np.asarray([[50.0, 50.0], [50.0, 50.0]], dtype=np.float32)
-    coords = np.concatenate([base, dup])
+    coords = rng.normal(0.0, 0.3, size=(62, 2)).astype(np.float32)
     pops = ops.populations(coords, [0.5], backend="xla",
                            row_block=8, col_block=16)[0.5]
     fe = ops.free_energies(pops)
@@ -223,8 +221,14 @@ def test_engine_nn_no_neighbor_sentinels():
     # distances may differ by fma-contraction ulps across backends
     np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
     np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
-    # the duplicates themselves: no nh, no hd -> all zeros
-    np.testing.assert_array_equal(got[0][-2:], [0, 0])
-    np.testing.assert_array_equal(got[1][-2:], [0.0, 0.0])
-    np.testing.assert_array_equal(got[2][-2:], [0, 0])
-    np.testing.assert_array_equal(got[3][-2:], [0.0, 0.0])
+    fe_min = int(np.argmin(fe))
+    assert got[2][fe_min] == 0 and got[3][fe_min] == 0.0
+
+    # all frames identical: every pair excluded (d2 == 0), fe all equal
+    same = np.zeros((16, 2), dtype=np.float32)
+    fe_same = np.zeros(16, dtype=np.float32)
+    got = ops.nearest_neighbors(same, fe_same, backend="pallas",
+                                row_block=8, col_block=16)
+    for arr in got:
+        np.testing.assert_array_equal(np.asarray(arr),
+                                      np.zeros(16, dtype=np.asarray(arr).dtype))
