@@ -436,26 +436,10 @@ def screening_labels(coords_sorted, initial_labels, n_below, max_dist2,
         active = (d2b < np.float32(max_dist2)) \
             & (ri * row_block < n_below) & (cj * col_block < n_below)
         ti, tj = np.nonzero(active)
-        blocks_local = nrb // n_dev
-        dev_of = ti // blocks_local
-        per_dev = [(ti[dev_of == d] - d * blocks_local, tj[dev_of == d])
-                   for d in range(n_dev)]
-        longest = max(max((len(a) for a, _ in per_dev), default=1), 1)
-        per_chunk = min(longest, pruning.MAX_TILE_ENTRIES)
-        bucket = 1 << int(np.ceil(np.log2(per_chunk)))
-        n_chunks = -(-longest // bucket)
-        ti_dev = np.zeros((n_dev, n_chunks, bucket), dtype=np.int32)
-        tj_dev = np.zeros((n_dev, n_chunks, bucket), dtype=np.int32)
-        for d, (a, b) in enumerate(per_dev):
-            if not len(a):
-                # devices with no active tiles redundantly re-sweep tile
-                # (0, 0) -- harmless under the idempotent min
-                continue
-            pad = n_chunks * bucket - len(a)
-            ti_dev[d] = np.concatenate(
-                [a, np.full(pad, a[-1])]).reshape(n_chunks, bucket)
-            tj_dev[d] = np.concatenate(
-                [b, np.full(pad, b[-1])]).reshape(n_chunks, bucket)
+        # devices with no active tiles redundantly re-sweep tile (0, 0)
+        # -- harmless under the idempotent min ('repeat' pad mode)
+        ti_dev, tj_dev = pruning.split_tiles_per_device(
+            ti, tj, nrb // n_dev, n_dev, pad_mode="repeat")
         out = _screening_sharded_pallas(
             jnp.asarray(padded.T), jnp.asarray(labels), jnp.int32(n_below),
             jnp.float32(max_dist2), jnp.asarray(ti_dev),
