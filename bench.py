@@ -75,7 +75,7 @@ def main():
     # device-transfer jitter)
     engine.populations(RADII)
     t_pops = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         pops = engine.populations(RADII)
         t_pops = min(t_pops, time.perf_counter() - t0)
@@ -89,7 +89,7 @@ def main():
     # --- nearest neighbors ---
     engine.nearest_neighbors(fe)
     t_nn = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         nn = engine.nearest_neighbors(fe)
         t_nn = min(t_nn, time.perf_counter() - t0)
@@ -108,7 +108,7 @@ def main():
     for k in range(len(thresholds)):
         warm_clust = series.step(warm_clust, k, max_dist2)
     t_scr = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         clustering = None
         t0 = time.perf_counter()
         screening_pairs = 0.0
