@@ -324,27 +324,37 @@ def main(argv=None):
     header = io.make_header(args.mode, argv=["clustering"] + argv)
     comments_map = io.default_comments_map()
 
-    if args.mode == "density":
-        from .models import density
-        density.main(args, header, comments_map)
-    elif args.mode == "mpp":
-        from .models import mpp
-        mpp.main(args, header, comments_map)
-    elif args.mode == "network":
-        from .models import network
-        network.main(args, header, comments_map)
-    elif args.mode == "coring":
-        from .models import coring
-        coring.main(args, header, comments_map)
-    elif args.mode == "noise":
-        from .models import noise
-        noise.main(args, header, comments_map)
-    elif args.mode == "filter":
-        from .models import state_filter
-        state_filter.main(args, header, comments_map, list_mode=False)
-    elif args.mode == "stats":
-        from .models import state_filter
-        state_filter.main(args, header, comments_map, list_mode=True)
+    try:
+        if args.mode == "density":
+            from .models import density
+            density.main(args, header, comments_map)
+        elif args.mode == "mpp":
+            from .models import mpp
+            mpp.main(args, header, comments_map)
+        elif args.mode == "network":
+            from .models import network
+            network.main(args, header, comments_map)
+        elif args.mode == "coring":
+            from .models import coring
+            coring.main(args, header, comments_map)
+        elif args.mode == "noise":
+            from .models import noise
+            noise.main(args, header, comments_map)
+        elif args.mode == "filter":
+            from .models import state_filter
+            state_filter.main(args, header, comments_map, list_mode=False)
+        elif args.mode == "stats":
+            from .models import state_filter
+            state_filter.main(args, header, comments_map, list_mode=True)
+    except (OSError, ValueError) as exc:
+        # expected input failures exit with a concise message like the
+        # reference binary (clean fail-fast, tools.hxx:233-235 etc.);
+        # set CLUSTERING_TPU_DEBUG for the traceback
+        import os
+        if os.environ.get("CLUSTERING_TPU_DEBUG"):
+            raise
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
     return 0
 
 
