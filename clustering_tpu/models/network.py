@@ -143,55 +143,118 @@ class _Node:
             child.set_pos(int(cur_x + 0.5 * stw), y + _VERTICAL_SPACING)
             cur_x += stw
 
-    def serialize(self, out):
+    def serialize(self, nodes, edges):
         log_pop = math.log(self.pop) if self.pop > 0 else 0.0
-        out.append(
-            "{group:'nodes',id:'n%d',position:{x:%d,y:%d},data:{id:'n%d',"
-            "pop:%d,fe:%f,info:'%d: fe=%0.2f, pop=%d',logpop:%0.2f}},"
-            % (self.id, self.pos_x, self.pos_y, self.id, self.pop, self.fe,
-               self.id, self.fe, self.pop, log_pop))
+        nodes.append(
+            '{"id":%d,"x":%d,"y":%d,"pop":%d,"fe":%f,"logpop":%0.2f}'
+            % (self.id, self.pos_x, self.pos_y, self.pop, self.fe, log_pop))
         for cid in sorted(self.children):
-            out.append(
-                "{group:'edges',data:{id:'e%d_%d',source:'n%d',"
-                "target:'n%d'}}," % (cid, self.id, cid, self.id))
+            edges.append('{"s":%d,"t":%d}' % (cid, self.id))
 
-    def serialize_subtree(self, out):
+    def serialize_subtree(self, nodes, edges):
         for cid in sorted(self.children):
             child = self.children[cid]
-            child.serialize(out)
-            child.serialize_subtree(out)
+            child.serialize(nodes, edges)
+            child.serialize_subtree(nodes, edges)
 
 
+# Self-contained SVG viewer -- no external scripts, so the file works
+# offline exactly like the reference's embedded-cytoscape page
+# (src/embedded_cytoscape.hpp) without shipping a 29k-line payload.
+# Node size maps log(pop) to [5, 30] px and color maps fe blue->red,
+# the same mappings the reference configures (network_builder.cpp:300-340).
 _HTML_TEMPLATE = """<!DOCTYPE html>
 <html>
 <head>
 <title>clustering-tpu network</title>
 <meta charset="utf-8"/>
-<script src="https://cdnjs.cloudflare.com/ajax/libs/cytoscape/3.28.1/cytoscape.min.js"></script>
 <style>
   body {{ margin: 0; font-family: sans-serif; }}
-  #cy {{ width: 100vw; height: 100vh; display: block; }}
+  svg {{ width: 100vw; height: 100vh; display: block; cursor: grab; }}
+  #info {{ position: fixed; top: 8px; left: 8px; background: #222;
+          color: #0f0; padding: 4px 10px; font-size: 18px;
+          border-radius: 4px; pointer-events: none; }}
 </style>
 </head>
 <body>
-<div id="cy"></div>
+<div id="info">click a state</div>
+<svg id="net" xmlns="http://www.w3.org/2000/svg">
+  <defs><marker id="arr" viewBox="0 0 10 10" refX="9" refY="5"
+    markerWidth="6" markerHeight="6" orient="auto-start-reverse">
+    <path d="M 0 0 L 10 5 L 0 10 z" fill="#999"/></marker></defs>
+  <g id="view"></g>
+</svg>
 <script>
-var cy = cytoscape({{
-  container: document.getElementById('cy'),
-  layout: {{ name: 'preset' }},
-  style: cytoscape.stylesheet().selector('node').css({{
-    'width': 'mapData(logpop, {logpop_min:.2f}, {logpop_max:.2f}, 5, 30)',
-    'height': 'mapData(logpop, {logpop_min:.2f}, {logpop_max:.2f}, 5, 30)',
-    'background-color': 'mapData(fe, {fe_min:f}, {fe_max:f}, blue, red)'
-  }}).selector('edge').css({{
-    'opacity': '1.0', 'width': '5', 'target-arrow-shape': 'triangle'
-  }}).selector(':selected').css({{
-    'content': 'data(info)', 'font-size': 24, 'color': '#00ff00'
-  }}),
-  elements: [
-{elements}
-  ]
+var NODES = [{nodes}];
+var EDGES = [{edges}];
+var FE_MIN = {fe_min:f}, FE_MAX = {fe_max:f};
+var LP_MIN = {logpop_min:.2f}, LP_MAX = {logpop_max:.2f};
+function lerp(a, b, t) {{ return a + (b - a) * Math.min(Math.max(t, 0), 1); }}
+function radius(n) {{
+  var t = LP_MAX > LP_MIN ? (n.logpop - LP_MIN) / (LP_MAX - LP_MIN) : 0.5;
+  return lerp(2.5, 15, t);
+}}
+function color(n) {{
+  var t = FE_MAX > FE_MIN ? (n.fe - FE_MIN) / (FE_MAX - FE_MIN) : 0.5;
+  return 'rgb(' + Math.round(lerp(0, 255, t)) + ',0,'
+       + Math.round(lerp(255, 0, t)) + ')';
+}}
+var svg = document.getElementById('net');
+var view = document.getElementById('view');
+var byId = {{}};
+NODES.forEach(function (n) {{ byId[n.id] = n; }});
+EDGES.forEach(function (e) {{
+  var s = byId[e.s], t = byId[e.t];
+  if (!s || !t) return;
+  var l = document.createElementNS(svg.namespaceURI, 'line');
+  l.setAttribute('x1', s.x); l.setAttribute('y1', s.y);
+  l.setAttribute('x2', t.x); l.setAttribute('y2', t.y);
+  l.setAttribute('stroke', '#999'); l.setAttribute('stroke-width', '2');
+  l.setAttribute('marker-end', 'url(#arr)');
+  view.appendChild(l);
 }});
+NODES.forEach(function (n) {{
+  var c = document.createElementNS(svg.namespaceURI, 'circle');
+  c.setAttribute('cx', n.x); c.setAttribute('cy', n.y);
+  c.setAttribute('r', radius(n)); c.setAttribute('fill', color(n));
+  c.style.cursor = 'pointer';
+  c.addEventListener('click', function (ev) {{
+    document.getElementById('info').textContent =
+      n.id + ': fe=' + n.fe.toFixed(2) + ', pop=' + n.pop;
+    ev.stopPropagation();
+  }});
+  view.appendChild(c);
+}});
+var xs = NODES.map(function (n) {{ return n.x; }});
+var ys = NODES.map(function (n) {{ return n.y; }});
+var pad = 60;
+var vb = NODES.length ? [Math.min.apply(null, xs) - pad,
+                         Math.min.apply(null, ys) - pad,
+                         Math.max.apply(null, xs) - Math.min.apply(null, xs) + 2 * pad,
+                         Math.max.apply(null, ys) - Math.min.apply(null, ys) + 2 * pad]
+                      : [0, 0, 100, 100];
+function setVB() {{ svg.setAttribute('viewBox', vb.join(' ')); }}
+setVB();
+svg.addEventListener('wheel', function (ev) {{
+  ev.preventDefault();
+  var k = ev.deltaY > 0 ? 1.2 : 1 / 1.2;
+  var mx = vb[0] + vb[2] * ev.offsetX / svg.clientWidth;
+  var my = vb[1] + vb[3] * ev.offsetY / svg.clientHeight;
+  vb = [mx - (mx - vb[0]) * k, my - (my - vb[1]) * k, vb[2] * k, vb[3] * k];
+  setVB();
+}});
+var drag = null;
+svg.addEventListener('mousedown', function (ev) {{
+  drag = [ev.clientX, ev.clientY];
+}});
+window.addEventListener('mousemove', function (ev) {{
+  if (!drag) return;
+  vb[0] -= (ev.clientX - drag[0]) * vb[2] / svg.clientWidth;
+  vb[1] -= (ev.clientY - drag[1]) * vb[3] / svg.clientHeight;
+  drag = [ev.clientX, ev.clientY];
+  setVB();
+}});
+window.addEventListener('mouseup', function () {{ drag = null; }});
 </script>
 </body>
 </html>
@@ -227,15 +290,15 @@ def save_network_to_html(fname, network, free_energies, pops):
                 i_from, free_energies.get(i_from, 0.0), pops.get(i_from, 0))
     logger("    ...done")
     fake_root.set_pos(0, 0)
-    elements = []
-    fake_root.serialize_subtree(elements)
+    nodes, edges = [], []
+    fake_root.serialize_subtree(nodes, edges)
     log_pop_min = math.log(pop_min) if pop_min > 0 else 0.0
     log_pop_max = math.log(pop_max) if pop_max > 0 else 0.0
     with open(fname + "_visualization.html", "w") as fh:
         fh.write(_HTML_TEMPLATE.format(
             logpop_min=log_pop_min, logpop_max=log_pop_max,
             fe_min=fe_min, fe_max=fe_max,
-            elements="\n".join(elements)))
+            nodes=",\n".join(nodes), edges=",\n".join(edges)))
 
 
 # --------------------------------------------------------------------------

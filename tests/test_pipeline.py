@@ -159,9 +159,20 @@ def test_network_html(workdir):
     run(["network", "-p", "1", "-b", "clust", "-o", "net",
          "--min", "0.2", "--step", "0.2", "--network-html"])
     html = open("net_visualization.html").read()
-    assert "cytoscape" in html
-    assert "group:'nodes'" in html
-    assert "group:'edges'" in html
+    # fully self-contained page: no external scripts, valid node/edge data
+    assert "<script src" not in html
+    import json
+    import re
+    nodes = json.loads(
+        "[" + re.search(r"var NODES = \[(.*?)\];", html, re.S).group(1)
+        + "]")
+    edges = json.loads(
+        "[" + re.search(r"var EDGES = \[(.*?)\];", html, re.S).group(1)
+        + "]")
+    assert nodes and all({"id", "x", "y", "pop", "fe"} <= set(n)
+                         for n in nodes)
+    ids = {n["id"] for n in nodes}
+    assert edges and all(e["s"] in ids and e["t"] in ids for e in edges)
 
 
 def test_density_default_screening_params(workdir):
