@@ -70,7 +70,7 @@ def main():
     total_time = 0.0
 
     # --- populations (multi-radius, one sweep) ---
-    # first call compiles + uploads; steady state = best of 2 timed reps
+    # first call compiles + uploads; steady state = best of 3 timed reps
     # (one compile amortizes over a production run; the min damps
     # device-transfer jitter)
     engine.populations(RADII)

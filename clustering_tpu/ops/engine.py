@@ -242,15 +242,20 @@ class DensityEngine:
         from . import pallas_kernels as pk
         n, n_pad = self.n, self.n_pad
 
+        layouts = {}
+
         def layout(name):
-            order, padded = self._padded(name)
-            fe_padded = np.full(n_pad, np.inf, dtype=np.float32)
-            fe_padded[:n] = fe if order is None else fe[order]
-            oid = np.full(n_pad, np.iinfo(np.int32).max, dtype=np.int32)
-            oid[:n] = (np.arange(n, dtype=np.int32) if order is None
-                       else order)
-            return (order, padded, jnp.asarray(fe_padded).reshape(1, n_pad),
-                    jnp.asarray(oid).reshape(1, n_pad))
+            if name not in layouts:
+                order, padded = self._padded(name)
+                fe_padded = np.full(n_pad, np.inf, dtype=np.float32)
+                fe_padded[:n] = fe if order is None else fe[order]
+                oid = np.full(n_pad, np.iinfo(np.int32).max, dtype=np.int32)
+                oid[:n] = (np.arange(n, dtype=np.int32) if order is None
+                           else order)
+                layouts[name] = (order, padded,
+                                 jnp.asarray(fe_padded).reshape(1, n_pad),
+                                 jnp.asarray(oid).reshape(1, n_pad))
+            return layouts[name]
 
         nrb, ncb = n_pad // self.row_block, n_pad // self.col_block
         order, padded, fe_dev, oid_dev = layout(order_name)
