@@ -182,20 +182,23 @@ def _sparse_fixpoint(coords_t, labels0, n_below, max_dist2, tile_i, tile_j,
     def body(state):
         labels_in, _, it, dirty = state
 
-        def chunk_body(m, tt):
+        def chunk_body(labels_cur, tt):
             ti_c, tj_c = tt
-            mi = label_min_sparse(coords_t, labels_in.reshape(1, -1),
+            mi = label_min_sparse(coords_t, labels_cur.reshape(1, -1),
                                   n_below, max_dist2, ti_c, tj_c,
                                   dirty=dirty,
                                   row_block=row_block,
                                   col_block=col_block)[0]
-            return jnp.minimum(m, mi), None
+            # Gauss-Seidel across chunks: later chunks see earlier chunks'
+            # merges, so min-labels propagate further per sweep (the
+            # fixpoint is the same -- min-propagation is monotone and
+            # order-independent at convergence)
+            return jnp.minimum(labels_cur, mi), None
 
-        m, _ = jax.lax.scan(chunk_body,
-                            jnp.full((n_pad,), _IMAX, dtype=jnp.int32),
-                            (tile_i, tile_j))
+        labels_swept, _ = jax.lax.scan(chunk_body, labels_in,
+                                       (tile_i, tile_j))
         head_in = labels_in[:union_size]
-        head_cur = jnp.minimum(head_in, m[:union_size])
+        head_cur = labels_swept[:union_size]
         head_out = union_rebase(head_in, head_cur)
         changed = head_out != head_in
         labels_out = (head_out if union_size == n_pad else
