@@ -31,6 +31,21 @@ def _lex_merge(b_d, b_j, o_d, o_j):
     return jnp.where(take_b, b_d, o_d), jnp.where(take_b, b_j, o_j)
 
 
+@functools.partial(jax.jit, static_argnames=("qs",))
+def _ub_tiers(stacked_d, n, qs):
+    """Per-frame tier index from the band pass's stacked [nh; hd] bounds:
+    tier k collects frames whose ub lies in (tau_{k-1}, tau_k], with taus
+    the ``qs`` quantiles of the finite ubs; frames above the last quantile
+    (or with no band neighbor at all) land in the final tier. Returns
+    (tier uint8 (N_pad,), taus (len(qs),))."""
+    ub = jnp.maximum(stacked_d[0, :], stacked_d[1, :])
+    real = (jnp.arange(ub.shape[0]) < n) & jnp.isfinite(ub)
+    taus = jnp.nanquantile(jnp.where(real, ub, jnp.nan),
+                           jnp.asarray(qs, dtype=jnp.float32))
+    tier = jnp.searchsorted(taus, ub, side="left").astype(jnp.uint8)
+    return tier, taus
+
+
 def _host_pair_d2(coords, idx):
     """fp32 squared distances coords[i] -> coords[idx[i]], accumulated per
     dimension in ascending order with numpy ops (one rounding per multiply
@@ -107,6 +122,32 @@ class DensityEngine:
             cmin, cmax = pruning.block_bboxes(padded, self.col_block)
             self._bboxes[name] = pruning.bbox_dist2(rmin, rmax, cmin, cmax)
         return self._bboxes[name]
+
+    def _col_bboxes(self, name):
+        """Column-block (mins, maxs) for ``name``'s padded layout."""
+        key = ("colbb", name)
+        if key not in self._bboxes:
+            _, padded = self._padded(name)
+            self._bboxes[key] = pruning.block_bboxes(padded, self.col_block)
+        return self._bboxes[key]
+
+    def _host_perm(self, src_name, dst_name):
+        """Host permutation: position p of ``dst_name`` order -> position
+        of the same frame in ``src_name`` order (pads map to themselves)."""
+        key = ("hostperm", src_name, dst_name)
+        if key not in self._orders:
+            src_order, _ = self._padded(src_name)
+            dst_order, _ = self._padded(dst_name)
+            perm = np.arange(self.n_pad, dtype=np.int64)
+            rank_src = np.empty(self.n, dtype=np.int64)
+            if src_order is None:
+                rank_src[:] = np.arange(self.n)
+            else:
+                rank_src[src_order] = np.arange(self.n)
+            perm[:self.n] = (rank_src if dst_order is None
+                             else rank_src[dst_order])
+            self._orders[key] = perm
+        return self._orders[key]
 
     def _ub_perm(self, src_name, dst_name):
         """Device int32 permutation mapping positions of ``dst_name`` order
@@ -212,15 +253,86 @@ class DensityEngine:
                                       row_block=self.row_block,
                                       col_block=self.col_block)
 
+    def _nn_tiered(self, winner, band_name, band_out, fe, layout, tier_qs):
+        """Tiered phase-2 sweeps: frames partitioned by band-pass ub
+        quantiles, each tier compacted (keeping ``winner``-order spatial
+        locality) and swept against the full column set under the tier's
+        quantile bound. Exact: a frame's bound dominates its true ub, so
+        every tile that can hold its minima stays active. Returns
+        (2, N_pad) int32 neighbor ids in winner-position space."""
+        from . import pallas_kernels as pk
+        n, n_pad = self.n, self.n_pad
+        tier_dev, taus_dev = _ub_tiers(band_out[0], jnp.int32(n),
+                                       qs=tuple(tier_qs))
+        tier_b = np.asarray(jax.device_get(tier_dev))
+        taus = np.asarray(jax.device_get(taus_dev), dtype=np.float32)
+        perm = self._host_perm(band_name, winner)
+        tier_w = tier_b[perm[:n]]
+        order_w, padded_w = self._padded(winner)
+        _, _, fe_dev_w, oid_dev_w = layout(winner)
+        fe_w = np.full(n_pad, np.inf, dtype=np.float32)
+        fe_w[:n] = fe if order_w is None else fe[order_w]
+        cmin, cmax = self._col_bboxes(winner)
+        cols_t = self._device(winner)
+        imax = np.iinfo(np.int32).max
+        out_j = np.full((2, n_pad), imax, dtype=np.int32)
+        # launch every tier's sweep first (dispatch is async), then gather:
+        # tier k's kernel runs while tier k+1's host prep happens
+        launched = []
+        for k in range(len(tier_qs) + 1):
+            pos = np.flatnonzero(tier_w == k)
+            n_k = len(pos)
+            if n_k == 0:
+                continue
+            blocks_k = -(-n_k // self.row_block)
+            # power-of-two block capacity bounds compile variety; pad rows
+            # sit at 3e38 so their tiles prune away (or mask below)
+            cap = self.row_block * (1 << int(np.ceil(np.log2(blocks_k))))
+            comp = np.full((cap, self.d), np.float32(3e38),
+                           dtype=np.float32)
+            comp[:n_k] = padded_w[pos]
+            fe_k = np.full(cap, np.inf, dtype=np.float32)
+            fe_k[:n_k] = fe_w[pos]
+            rmin, rmax = pruning.block_bboxes(comp, self.row_block)
+            d2b = pruning.bbox_dist2(rmin, rmax, cmin, cmax)
+            bound = (np.float32(taus[k]) if k < len(tier_qs)
+                     else np.float32(np.inf))
+            active = d2b <= bound
+            active[blocks_k:, :] = False
+            tiles = pruning.tile_list(active)
+            if tiles is None:
+                continue
+            outk = pk.nn_tiles_sparse_all_cross(
+                jnp.asarray(comp.T), jnp.asarray(fe_k).reshape(1, cap),
+                cols_t, fe_dev_w, oid_dev_w, np.int32(n),
+                jnp.asarray(tiles[0]), jnp.asarray(tiles[1]),
+                row_block=self.row_block, col_block=self.col_block)
+            launched.append((pos, n_k, outk))
+        for pos, n_k, outk in launched:
+            jk = np.asarray(jax.device_get(outk[1]))
+            out_j[0, pos] = jk[0, :n_k]
+            out_j[1, pos] = jk[1, :n_k]
+        return out_j
+
     def nearest_neighbors(self, free_energy, prune=True, band_blocks=4,
-                          order_name="morton"):
+                          order_name="morton", tier_qs=None):
         """Joint NN / NN-higher-density search with two-phase exact
         pruning in Morton (spatially local) frame order:
 
           1. a banded pass over neighboring sort positions gives every
              frame an upper bound on both neighbor distances;
-          2. the full pass skips tiles whose bbox distance exceeds the row
-             block's bound -- tiles holding the true minima always survive.
+          2. the full pass skips tiles whose bbox distance exceeds the
+             bound -- tiles holding the true minima always survive.
+
+        ``tier_qs`` (e.g. (0.5, 0.9, 0.99)) switches phase 2 to
+        ub-quantile-tiered sweeps: frames are partitioned by their bound,
+        each tier compacted in spatial order and swept under its own
+        quantile bound, so boundary frames with distant higher-density
+        neighbors stop widening whole row blocks (per-block max-ub
+        inflates swept pairs ~3.5x on metastable trajectories). Exact
+        either way. Default None (single per-row-block-bounded pass):
+        the tiered path's extra dispatches/transfers only pay off when
+        host<->device latency is low (local chips, not remote tunnels).
 
         The kernel breaks distance ties by smallest *original* index, so
         results are identical to the reference's original-order scan.
@@ -260,6 +372,7 @@ class DensityEngine:
         nrb, ncb = n_pad // self.row_block, n_pad // self.col_block
         order, padded, fe_dev, oid_dev = layout(order_name)
         band_name, band_out = None, None
+        out_j = None
         if prune and ncb > 2 * band_blocks:
             # phase 1: banded pass over sort-neighbors -> per-frame upper
             # bounds (order-independent values)
@@ -285,32 +398,38 @@ class DensityEngine:
             band_name, band_out = order_name, out1
             _, order_name, active = best
             order, padded, fe_dev, oid_dev = layout(order_name)
-            if order_name == band_name:
+            if tier_qs is not None:
+                out_j = self._nn_tiered(order_name, band_name, band_out,
+                                        fe, layout, tier_qs)
+            elif order_name == band_name:
                 # the band's minima are exact within its tiles and the merge
                 # is an idempotent lexicographic min: skip re-sweeping them
                 # and fold the band result in afterwards
                 active = active & ~band_active
         else:
             active = np.ones((nrb, ncb), dtype=bool)
-        merge_band = band_out is not None and order_name == band_name
-        if not active.any():
-            out = None
-        else:
-            out = self._nn_sparse_chunks(order_name, fe_dev, oid_dev, active)
-        if merge_band and out is not None:
-            # lexicographic merge on device: one download instead of three
-            out = _lex_merge(band_out[0], band_out[1], out[0], out[1])
-        elif merge_band:
-            out = band_out
-        if out is None:
-            out_j = np.full((2, n_pad), np.iinfo(np.int32).max,
-                            dtype=np.int32)
-        else:
-            # download indices only; distances are recomputed on the host
-            # (numpy's per-dimension fp32 accumulation rounds the square
-            # and the add separately, exactly like the TPU kernel, so the
-            # values are bit-identical at half the transfer volume)
-            out_j = np.array(jax.device_get(out[1]))
+        if out_j is None:
+            merge_band = band_out is not None and order_name == band_name
+            if not active.any():
+                out = None
+            else:
+                out = self._nn_sparse_chunks(order_name, fe_dev, oid_dev,
+                                             active)
+            if merge_band and out is not None:
+                # lexicographic merge on device: one download vs three
+                out = _lex_merge(band_out[0], band_out[1], out[0], out[1])
+            elif merge_band:
+                out = band_out
+            if out is None:
+                out_j = np.full((2, n_pad), np.iinfo(np.int32).max,
+                                dtype=np.int32)
+            else:
+                # download indices only; distances are recomputed on the
+                # host (numpy's per-dimension fp32 accumulation rounds the
+                # square and the add separately, exactly like the TPU
+                # kernel, so the values are bit-identical at half the
+                # transfer volume)
+                out_j = np.array(jax.device_get(out[1]))
         nh_j = out_j[0, :n].astype(np.int64)
         hd_j = out_j[1, :n].astype(np.int64)
         if order is not None:

@@ -403,6 +403,31 @@ def pops_tiles_sparse_all(coords_t, radii2, n_valid, tile_i, tile_j,
 
 
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+def nn_tiles_sparse_all_cross(rows_t, fe_rows, cols_t, fe_cols, orig_ids,
+                              n_valid, tile_i, tile_j,
+                              row_block=DEFAULT_ROW_BLOCK,
+                              col_block=DEFAULT_COL_BLOCK):
+    """Lexicographic merge of nn_tiles_sparse_cross over stacked tile
+    chunks in one dispatch (row set distinct from column set -- used by
+    the tiered phase-2 sweeps and mesh shards)."""
+    def body(acc, tt):
+        ti_c, tj_c = tt
+        d1, j1 = nn_tiles_sparse_cross(rows_t, fe_rows, cols_t, fe_cols,
+                                       orig_ids, n_valid, ti_c, tj_c,
+                                       row_block=row_block,
+                                       col_block=col_block)
+        d0, j0 = acc
+        upd = (d1 < d0) | ((d1 == d0) & (j1 < j0))
+        return (jnp.where(upd, d1, d0), jnp.where(upd, j1, j0)), None
+
+    r_pad = rows_t.shape[1]
+    init = (jnp.full((2, r_pad), _INF, dtype=jnp.float32),
+            jnp.full((2, r_pad), _IMAX, dtype=jnp.int32))
+    acc, _ = jax.lax.scan(body, init, (tile_i, tile_j))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
 def nn_tiles_sparse_all(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
                         row_block=DEFAULT_ROW_BLOCK,
                         col_block=DEFAULT_COL_BLOCK):
