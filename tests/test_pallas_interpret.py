@@ -232,3 +232,21 @@ def test_engine_nn_no_neighbor_sentinels():
     for arr in got:
         np.testing.assert_array_equal(np.asarray(arr),
                                       np.zeros(16, dtype=np.asarray(arr).dtype))
+
+
+def test_engine_nn_tiered_phase2():
+    """ub-quantile-tiered phase 2 (tier_qs) must agree exactly with the
+    per-row-block-bounded pass and the XLA oracle."""
+    coords = _bigger_blobs(n=700, seed=17)
+    eng = ops.engine.DensityEngine(coords, row_block=8, col_block=16,
+                                   backend="pallas")
+    pops = eng.populations([0.4])
+    fe = ops.free_energies(pops[0.4])
+    want = ops.nearest_neighbors(coords, fe, backend="xla",
+                                 row_block=8, col_block=16)
+    for qs in ((0.5, 0.9, 0.99), (0.9,), (0.5, 0.99)):
+        got = eng.nearest_neighbors(fe, band_blocks=1, tier_qs=qs)
+        np.testing.assert_array_equal(want[0], got[0])
+        np.testing.assert_array_equal(want[2], got[2])
+        np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
+        np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
