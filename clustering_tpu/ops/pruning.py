@@ -60,23 +60,37 @@ def block_bboxes(coords, block):
     return blocks.min(axis=1), blocks.max(axis=1)
 
 
+_BBOX_ROW_CHUNK = 16384
+
+
 def bbox_dist2(row_mins, row_maxs, col_mins, col_maxs):
     """(n_row_blocks, n_col_blocks) lower bounds on the squared distance
     between any row-block frame and any col-block frame.
 
-    Accumulated per dimension so peak memory stays at one
-    (n_row_blocks, n_col_blocks) matrix (the 3-D broadcast is gigabytes at
-    millions of frames)."""
+    Accumulated per dimension and in row chunks so peak memory stays at
+    one (chunk, n_col_blocks) float64 matrix (a full 3-D broadcast is
+    gigabytes at millions of frames). The float32 result is rounded
+    *downward* so it remains a true lower bound -- round-to-nearest could
+    push a bound one ulp past a radius threshold and prune a tile that
+    holds an admissible boundary pair."""
     nrb, ncb = row_mins.shape[0], col_mins.shape[0]
-    acc = np.zeros((nrb, ncb), dtype=np.float64)
-    for k in range(row_mins.shape[1]):
-        gap = np.maximum(row_mins[:, None, k] - col_maxs[None, :, k],
-                         col_mins[None, :, k] - row_maxs[:, None, k])
-        np.maximum(gap, 0.0, out=gap)
-        acc += gap.astype(np.float64) ** 2
-    # padded blocks sit at 3e38: their squared gaps exceed fp32 range,
-    # which is exactly "infinitely far" -- clamp instead of warning
-    return np.minimum(acc, np.finfo(np.float32).max).astype(np.float32)
+    out = np.empty((nrb, ncb), dtype=np.float32)
+    for lo in range(0, nrb, _BBOX_ROW_CHUNK):
+        hi = min(lo + _BBOX_ROW_CHUNK, nrb)
+        acc = np.zeros((hi - lo, ncb), dtype=np.float64)
+        for k in range(row_mins.shape[1]):
+            gap = np.maximum(row_mins[lo:hi, None, k] - col_maxs[None, :, k],
+                             col_mins[None, :, k] - row_maxs[lo:hi, None, k])
+            np.maximum(gap, 0.0, out=gap)
+            acc += gap.astype(np.float64) ** 2
+        # padded blocks sit at 3e38: their squared gaps exceed fp32 range,
+        # which is exactly "infinitely far" -- clamp instead of warning
+        np.minimum(acc, np.float64(np.finfo(np.float32).max), out=acc)
+        chunk = acc.astype(np.float32)
+        np.nextafter(chunk, np.float32(-np.inf), out=chunk,
+                     where=chunk > 0)
+        out[lo:hi] = chunk
+    return out
 
 
 def pack_skip_words(skip_bool):
