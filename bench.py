@@ -102,7 +102,8 @@ def main():
     thresholds = [np.float32(t) for t in (0.5, 1.0, 1.5, 2.0)]
     max_dist2 = np.float32(4.0 * ops.neighbors.compute_sigma2(nn[1]))
     series = ops.screening.ThresholdSeriesScreener(
-        coords, fe, thresholds, row_block=ROW_BLOCK, col_block=COL_BLOCK)
+        coords, fe, thresholds, row_block=ROW_BLOCK, col_block=COL_BLOCK,
+        hd_neighbors=(nn[2], nn[3]))
     # warm the per-bucket kernel compiles
     warm_clust = None
     for k in range(len(thresholds)):

@@ -338,7 +338,8 @@ def main(args, header_comment, comments_map):
             sigma2 = ops.neighbors.compute_sigma2(nh[1])
             max_dist2 = np.float32(4.0 * sigma2)
             series = ops.screening.ThresholdSeriesScreener(
-                coords, free_energy, thresholds, mesh=mesh)
+                coords, free_energy, thresholds, mesh=mesh,
+                hd_neighbors=(nh[2], nh[3]))
             clustering = None
             # overlap file writes with the next threshold's compute
             # (the reference pipelines reads/writes similarly in the

@@ -383,6 +383,13 @@ class ScreeningEngine:
         return ti_dev, tj_dev
 
 
+@jax.jit
+def _seed_update(labels, seeds, lo):
+    """Write hd-edge seed labels into the device-resident vector at
+    dynamic offset ``lo`` (one fused dispatch)."""
+    return jax.lax.dynamic_update_slice(labels, seeds, (lo,))
+
+
 class ThresholdSeriesScreener:
     """Screening runner specialized for a known -T threshold series.
 
@@ -399,7 +406,7 @@ class ThresholdSeriesScreener:
 
     def __init__(self, coords, free_energy, thresholds,
                  row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK,
-                 backend="auto", mesh=None):
+                 backend="auto", mesh=None, hd_neighbors=None):
         from . import pruning
         coords = np.asarray(coords, dtype=np.float32)
         fe = np.asarray(free_energy, dtype=np.float32)
@@ -425,6 +432,32 @@ class ThresholdSeriesScreener:
         self._prev_nb = 0
         self._labels_dev = None
         self._last_out = None
+        # hd_neighbors = (hd_idx, hd_dist2) per original frame from the NN
+        # stage: a frame's nearest-higher-density edge below 4*sigma^2 is a
+        # genuine screening-graph edge whose endpoint is always admitted
+        # first (strictly lower fe), so newly-admitted frames can seed
+        # their labels with it -- components are unchanged, the fixpoint
+        # just starts mostly converged (the insight behind the reference
+        # CPU path's lump_initial_clusters, density_clustering.cpp:506).
+        self._hd_pos = None
+        if hd_neighbors is not None:
+            hd_j = np.asarray(hd_neighbors[0], dtype=np.int64)
+            hd_d = np.asarray(hd_neighbors[1], dtype=np.float32)
+            series_rank = np.empty(n, dtype=np.int64)
+            series_rank[self.order] = np.arange(n)
+            self._hd_pos = series_rank[hd_j[self.order]].astype(np.int32)
+            self._hd_d = hd_d[self.order]
+
+    def _seed_vals(self, lo, hi, max_dist2):
+        """Label seeds for newly-admitted positions [lo, hi): the frame's
+        nearest-higher-density edge when it lies below the linking
+        distance, else identity. None when hd data is unavailable."""
+        if self._hd_pos is None or hi <= lo:
+            return None
+        hdd = self._hd_d[lo:hi]
+        ok = (hdd > 0.0) & (hdd < np.float32(max_dist2))
+        return np.where(ok, self._hd_pos[lo:hi],
+                        np.arange(lo, hi, dtype=np.int32))
 
     def step(self, prev_clustering, k, max_dist2):
         """Run series threshold index ``k``; returns the normalized
@@ -443,10 +476,27 @@ class ThresholdSeriesScreener:
         if continuing:
             prev_last = int(self._prev_nb)
             labels_dev = self._labels_dev
+            seeds = self._seed_vals(prev_last, nb, max_dist2)
+            if seeds is not None:
+                # pad to a power of two with identity values (positions
+                # beyond nb still hold identity labels) so a handful of
+                # compiled update shapes serve the whole series
+                lo, length = prev_last, nb - prev_last
+                cap = 1 << int(np.ceil(np.log2(max(length, 1))))
+                cap = min(cap, self.engine.n_pad - lo)
+                if cap > length:
+                    seeds = np.concatenate(
+                        [seeds, np.arange(lo + length, lo + cap,
+                                          dtype=np.int32)])
+                labels_dev = _seed_update(labels_dev, jnp.asarray(seeds),
+                                          jnp.int32(lo))
         elif prev_clustering is None:
             prev_last = 0
-            labels_dev = jnp.asarray(
-                np.arange(self.engine.n_pad, dtype=np.int32))
+            labels0 = np.arange(self.engine.n_pad, dtype=np.int32)
+            seeds = self._seed_vals(0, nb, max_dist2)
+            if seeds is not None:
+                labels0[:nb] = seeds
+            labels_dev = jnp.asarray(labels0)
         else:
             # generic host seed path (arbitrary previous clustering):
             # rebuild first-occurrence pointers from the state names
@@ -465,6 +515,13 @@ class ThresholdSeriesScreener:
                 first_occ = seeded_pos[first_idx]
                 labels0[seeded_pos] = first_occ[
                     np.searchsorted(vals, prefix[seeded])]
+            seeds = self._seed_vals(prev_last, nb, max_dist2)
+            if seeds is not None:
+                # only positions the previous clustering left unassigned
+                # (identity labels) take the hd-edge seed
+                seg = labels0[prev_last:nb]
+                unassigned = seg == np.arange(prev_last, nb)
+                seg[unassigned] = seeds[unassigned]
             labels_dev = jnp.asarray(labels0.astype(np.int32))
         if prev_last >= nb:
             # nothing new below this threshold: keep the previous result

@@ -250,3 +250,39 @@ def test_engine_nn_tiered_phase2():
         np.testing.assert_array_equal(want[2], got[2])
         np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
         np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
+
+
+def test_series_screener_hd_seeding_matches_unseeded():
+    """Seeding newly-admitted frames with their nearest-higher-density
+    edge (when below 4 sigma^2) must not change any partition or name."""
+    coords = _bigger_blobs(n=500, seed=23)
+    pops = ops.populations(coords, [0.4], backend="xla",
+                           row_block=8, col_block=16)[0.4]
+    fe = ops.free_energies(pops)
+    nn = ops.nearest_neighbors(coords, fe, backend="xla",
+                               row_block=8, col_block=16)
+    md2 = np.float32(4.0 * ops.neighbors.compute_sigma2(nn[1]))
+    qs = np.quantile(fe[np.isfinite(fe)], [0.2, 0.6, 1.0])
+    thresholds = [np.float32(t) for t in qs]
+    for backend in ("pallas", "xla"):
+        plain = ops.screening.ThresholdSeriesScreener(
+            coords, fe, thresholds, row_block=8, col_block=16,
+            backend=backend)
+        seeded = ops.screening.ThresholdSeriesScreener(
+            coords, fe, thresholds, row_block=8, col_block=16,
+            backend=backend, hd_neighbors=(nn[2], nn[3]))
+        a = b = None
+        per_step = []
+        for k in range(len(thresholds)):
+            a = plain.step(a, k, md2)
+            b = seeded.step(b, k, md2)
+            np.testing.assert_array_equal(a, b)
+            per_step.append(a)
+        # the generic (copied-seed) path with hd seeding as well
+        seeded2 = ops.screening.ThresholdSeriesScreener(
+            coords, fe, thresholds, row_block=8, col_block=16,
+            backend=backend, hd_neighbors=(nn[2], nn[3]))
+        c = None
+        for k in range(len(thresholds)):
+            c = seeded2.step(c.copy() if c is not None else None, k, md2)
+            np.testing.assert_array_equal(per_step[k], c)
