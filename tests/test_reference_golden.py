@@ -152,3 +152,74 @@ def test_series_screener_matches_reference(oracle, fixture):
     for k, ref_block in enumerate(ref_blocks):
         clustering = series.step(clustering, k, md2)
         np.testing.assert_array_equal(clustering, np.asarray(ref_block))
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+def test_fuzz_pipeline_matches_reference(oracle, tmp_path, seed):
+    """Randomized configurations (frame count, dimensionality, basin
+    geometry, radii, thresholds) against the reference's own compiled
+    density code -- populations, NN lists, and the hd-seeded incremental
+    series screener."""
+    rng = np.random.default_rng(seed)
+    d = int(rng.integers(2, 6))
+    n_basins = int(rng.integers(1, 5))
+    centers = rng.normal(0.0, 1.2, size=(n_basins, d))
+    sizes = rng.integers(40, 220, size=n_basins)
+    coords = np.concatenate([
+        rng.normal(c, rng.uniform(0.08, 0.3), size=(s, d))
+        for c, s in zip(centers, sizes)]).astype(np.float32)
+    coords = coords[rng.permutation(len(coords))]
+    n = len(coords)
+    path = tmp_path / "coords.dat"
+    np.savetxt(path, coords, fmt="%.6f")
+    coords = np.loadtxt(path, dtype=np.float32, ndmin=2)
+    fe = (rng.permutation(n).astype(np.float32) / n
+          * rng.uniform(1.5, 4.0))
+    fe_path = tmp_path / "fe.dat"
+    np.savetxt(fe_path, fe, fmt="%.9g")
+    fe = np.loadtxt(fe_path, dtype=np.float32)
+
+    radii = sorted(rng.uniform(0.1, 0.6, size=3))
+    out = subprocess.run(
+        [oracle, "pops", str(path)] + [str(r) for r in radii],
+        check=True, capture_output=True, text=True).stdout
+    ref_pop_blocks = []
+    for line in out.splitlines():
+        if line.startswith("# r "):
+            ref_pop_blocks.append([])
+        else:
+            ref_pop_blocks[-1].append(int(line))
+    got = ops.populations(coords, list(radii), row_block=8, col_block=32)
+    for r, block in zip(radii, ref_pop_blocks):
+        np.testing.assert_array_equal(got[r], np.asarray(block))
+
+    out = subprocess.run([oracle, "nn", str(path), str(fe_path)],
+                         check=True, capture_output=True, text=True).stdout
+    refnn = np.asarray([[float(v) for v in line.split()]
+                        for line in out.splitlines()])
+    nh_j, nh_d, hd_j, hd_d = ops.nearest_neighbors(
+        coords, fe, row_block=8, col_block=32)
+    np.testing.assert_array_equal(nh_j, refnn[:, 0].astype(np.int64))
+    has_hd = refnn[:, 2].astype(np.int64) != n + 1
+    np.testing.assert_array_equal(hd_j[has_hd],
+                                  refnn[has_hd, 2].astype(np.int64))
+
+    thresholds = sorted(rng.uniform(0.3, float(fe.max()), size=3))
+    out = subprocess.run(
+        [oracle, "screen", str(path), str(fe_path)]
+        + [str(t) for t in thresholds],
+        check=True, capture_output=True, text=True).stdout
+    ref_blocks = []
+    for line in out.splitlines():
+        if line.startswith("# t "):
+            ref_blocks.append([])
+        else:
+            ref_blocks[-1].append(int(line))
+    md2 = np.float32(4.0 * ops.neighbors.compute_sigma2(nh_d))
+    series = ops.screening.ThresholdSeriesScreener(
+        coords, fe, [np.float32(t) for t in thresholds],
+        row_block=8, col_block=32, hd_neighbors=(hd_j, hd_d))
+    clustering = None
+    for k, ref_block in enumerate(ref_blocks):
+        clustering = series.step(clustering, k, md2)
+        np.testing.assert_array_equal(clustering, np.asarray(ref_block))
