@@ -254,64 +254,58 @@ class DensityEngine:
                                       col_block=self.col_block)
 
     def _nn_tiered(self, winner, band_name, band_out, fe, layout, tier_qs):
-        """Tiered phase-2 sweeps: frames partitioned by band-pass ub
-        quantiles, each tier compacted (keeping ``winner``-order spatial
-        locality) and swept against the full column set under the tier's
-        quantile bound. Exact: a frame's bound dominates its true ub, so
-        every tile that can hold its minima stays active. Returns
-        (2, N_pad) int32 neighbor ids in winner-position space."""
+        """Tier-ordered phase 2: rows re-sorted by (ub-quantile tier,
+        ``winner`` spatial position) so each row block is tier-homogeneous
+        and carries its tier's quantile as the bound -- one cross sweep,
+        one download, ~3.5x fewer swept pairs than per-row-block max-ub
+        bounds on metastable data. Exact: every frame's bound dominates
+        its true ub, so all tiles that can hold its minima stay active.
+        Returns (2, N_pad) int32 neighbor ids in winner-position space."""
         from . import pallas_kernels as pk
         n, n_pad = self.n, self.n_pad
+        rb = self.row_block
+        n_tiers = len(tier_qs) + 1
         tier_dev, taus_dev = _ub_tiers(band_out[0], jnp.int32(n),
                                        qs=tuple(tier_qs))
         tier_b = np.asarray(jax.device_get(tier_dev))
         taus = np.asarray(jax.device_get(taus_dev), dtype=np.float32)
         perm = self._host_perm(band_name, winner)
-        tier_w = tier_b[perm[:n]]
+        tier_w = np.full(n_pad, n_tiers, dtype=np.int64)  # pads last
+        tier_w[:n] = tier_b[perm[:n]]
         order_w, padded_w = self._padded(winner)
         _, _, fe_dev_w, oid_dev_w = layout(winner)
         fe_w = np.full(n_pad, np.inf, dtype=np.float32)
         fe_w[:n] = fe if order_w is None else fe[order_w]
+        # stable sort by tier keeps winner-order spatial locality inside
+        # each tier; pads sink to the tail
+        perm_rows = np.argsort(tier_w, kind="stable")
+        rows = padded_w[perm_rows]
+        fe_rows = fe_w[perm_rows]
+        rmin, rmax = pruning.block_bboxes(rows, rb)
         cmin, cmax = self._col_bboxes(winner)
-        cols_t = self._device(winner)
+        d2b = pruning.bbox_dist2(rmin, rmax, cmin, cmax)
+        # per-row-block bound = its worst member's tier quantile (blocks
+        # straddling a tier boundary take the larger tier's bound; the
+        # top tier and any pad members mean "unbounded"); blocks with no
+        # real member at all are dropped
+        tiers_blk = tier_w[perm_rows].reshape(-1, rb)
+        bounds = np.concatenate([taus.astype(np.float32),
+                                 [np.float32(np.inf)]])
+        blk_bound = bounds[np.minimum(tiers_blk.max(axis=1), len(tier_qs))]
+        has_real = tiers_blk.min(axis=1) < n_tiers
+        active = (d2b <= blk_bound[:, None]) & has_real[:, None]
+        tiles = pruning.tile_list(active)
         imax = np.iinfo(np.int32).max
         out_j = np.full((2, n_pad), imax, dtype=np.int32)
-        # launch every tier's sweep first (dispatch is async), then gather:
-        # tier k's kernel runs while tier k+1's host prep happens
-        launched = []
-        for k in range(len(tier_qs) + 1):
-            pos = np.flatnonzero(tier_w == k)
-            n_k = len(pos)
-            if n_k == 0:
-                continue
-            blocks_k = -(-n_k // self.row_block)
-            # power-of-two block capacity bounds compile variety; pad rows
-            # sit at 3e38 so their tiles prune away (or mask below)
-            cap = self.row_block * (1 << int(np.ceil(np.log2(blocks_k))))
-            comp = np.full((cap, self.d), np.float32(3e38),
-                           dtype=np.float32)
-            comp[:n_k] = padded_w[pos]
-            fe_k = np.full(cap, np.inf, dtype=np.float32)
-            fe_k[:n_k] = fe_w[pos]
-            rmin, rmax = pruning.block_bboxes(comp, self.row_block)
-            d2b = pruning.bbox_dist2(rmin, rmax, cmin, cmax)
-            bound = (np.float32(taus[k]) if k < len(tier_qs)
-                     else np.float32(np.inf))
-            active = d2b <= bound
-            active[blocks_k:, :] = False
-            tiles = pruning.tile_list(active)
-            if tiles is None:
-                continue
-            outk = pk.nn_tiles_sparse_all_cross(
-                jnp.asarray(comp.T), jnp.asarray(fe_k).reshape(1, cap),
-                cols_t, fe_dev_w, oid_dev_w, np.int32(n),
-                jnp.asarray(tiles[0]), jnp.asarray(tiles[1]),
-                row_block=self.row_block, col_block=self.col_block)
-            launched.append((pos, n_k, outk))
-        for pos, n_k, outk in launched:
-            jk = np.asarray(jax.device_get(outk[1]))
-            out_j[0, pos] = jk[0, :n_k]
-            out_j[1, pos] = jk[1, :n_k]
+        if tiles is None:
+            return out_j
+        outk = pk.nn_tiles_sparse_all_cross(
+            jnp.asarray(rows.T), jnp.asarray(fe_rows).reshape(1, n_pad),
+            self._device(winner), fe_dev_w, oid_dev_w, np.int32(n),
+            jnp.asarray(tiles[0]), jnp.asarray(tiles[1]),
+            row_block=rb, col_block=self.col_block)
+        jk = np.asarray(jax.device_get(outk[1]))
+        out_j[:, perm_rows] = jk
         return out_j
 
     def nearest_neighbors(self, free_energy, prune=True, band_blocks=4,
