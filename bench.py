@@ -70,12 +70,12 @@ def main():
     total_time = 0.0
 
     # --- populations (multi-radius, one sweep) ---
-    # first call compiles + uploads; steady state = best of 3 timed reps
+    # first call compiles + uploads; steady state = best of 4 timed reps
     # (one compile amortizes over a production run; the min damps
     # device-transfer jitter)
     engine.populations(RADII)
     t_pops = float("inf")
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
         pops = engine.populations(RADII)
         t_pops = min(t_pops, time.perf_counter() - t0)
@@ -89,7 +89,7 @@ def main():
     # --- nearest neighbors ---
     engine.nearest_neighbors(fe)
     t_nn = float("inf")
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
         nn = engine.nearest_neighbors(fe)
         t_nn = min(t_nn, time.perf_counter() - t0)
@@ -109,7 +109,7 @@ def main():
     for k in range(len(thresholds)):
         warm_clust = series.step(warm_clust, k, max_dist2)
     t_scr = float("inf")
-    for _ in range(3):
+    for _ in range(4):
         clustering = None
         t0 = time.perf_counter()
         screening_pairs = 0.0
