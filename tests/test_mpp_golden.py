@@ -53,6 +53,9 @@ def _markov_traj(n, seed):
     (1, 1, [0.2, 0.5, 0.8]),
     (2, 3, [0.3, 0.6]),
     (3, 2, [0.1, 0.4, 0.7, 0.95]),
+    (4, 5, [0.05, 0.35, 0.65, 0.9]),
+    (5, 7, [0.25, 0.5, 0.75, 0.99]),
+    (6, 1, [0.01, 0.2, 0.45, 0.6, 0.85]),
 ])
 def test_mpp_matches_reference(oracle, tmp_path, seed, lag, qmins):
     traj = _markov_traj(3000, seed)
