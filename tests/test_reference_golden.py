@@ -154,7 +154,7 @@ def test_series_screener_matches_reference(oracle, fixture):
         np.testing.assert_array_equal(clustering, np.asarray(ref_block))
 
 
-@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+@pytest.mark.parametrize("seed", [101, 202, 303, 404, 505, 606, 707, 808])
 def test_fuzz_pipeline_matches_reference(oracle, tmp_path, seed):
     """Randomized configurations (frame count, dimensionality, basin
     geometry, radii, thresholds) against the reference's own compiled
