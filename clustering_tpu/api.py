@@ -64,18 +64,21 @@ def nearest_neighbors(coords, free_energy, mesh=None) -> Neighborhoods:
     return Neighborhoods(nh_idx, nh_d, hd_idx, hd_d)
 
 
-def screening_series(coords, free_energy, nh_dist, thresholds, mesh=None):
+def screening_series(coords, free_energy, nh_dist, thresholds, mesh=None,
+                     hd_neighbors=None):
     """Density screening over a free-energy threshold series.
 
     Returns a list of state trajectories (one per threshold, ids 1..K per
     threshold, 0 above it), seeded incrementally like the reference's -T
-    loop."""
+    loop. Pass ``hd_neighbors=(nn.nhhd_idx, nn.nhhd_dist)`` to seed new
+    frames with their nearest-higher-density edge (same results, fewer
+    fixpoint merges)."""
     thresholds = [np.float32(t) for t in thresholds]
     sigma2 = ops.neighbors.compute_sigma2(nh_dist)
     max_dist2 = np.float32(4.0 * sigma2)
     series = ops.screening.ThresholdSeriesScreener(
         np.asarray(coords, np.float32), np.asarray(free_energy, np.float32),
-        thresholds, mesh=mesh)
+        thresholds, mesh=mesh, hd_neighbors=hd_neighbors)
     out = []
     clustering = None
     for k in range(len(thresholds)):
