@@ -228,9 +228,7 @@ class DensityEngine:
                              np.int32((1 << len(radii)) - 1), np.int32(0))
         acc = pk.pops_tiles_sparse_all(self._device(name), radii2,
                                        np.int32(self.n),
-                                       jnp.asarray(tiles[0]),
-                                       jnp.asarray(tiles[1]),
-                                       rmask=jnp.asarray(rmask),
+                                       tiles[0], tiles[1], rmask=rmask,
                                        row_block=self.row_block,
                                        col_block=self.col_block)
         counts = np.asarray(jax.device_get(acc))[:, :self.n]
@@ -248,8 +246,7 @@ class DensityEngine:
         tiles = pruning.tile_list(active)
         return pk.nn_tiles_sparse_all(self._device(order_name), fe_dev,
                                       oid_dev, np.int32(self.n),
-                                      jnp.asarray(tiles[0]),
-                                      jnp.asarray(tiles[1]),
+                                      tiles[0], tiles[1],
                                       row_block=self.row_block,
                                       col_block=self.col_block)
 

@@ -377,19 +377,15 @@ def nn_tiles(coords_t, fe, orig_ids, n_valid, skip_words,
                           col_block=col_block)
 
 
-@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
-def pops_tiles_sparse_all(coords_t, radii2, n_valid, tile_i, tile_j,
-                          rmask=None,
-                          row_block=DEFAULT_ROW_BLOCK,
-                          col_block=DEFAULT_COL_BLOCK):
-    """Sum of pops_tiles_sparse over stacked (n_chunks, bucket) tile
-    chunks in one dispatch (each chunk holds each active tile at most
-    once, padded with no-op entries)."""
-    n_radii = radii2.shape[0]
-    if rmask is None:
-        rmask = jnp.where(jnp.asarray(tile_j, dtype=jnp.int32) >= 0,
-                          jnp.int32((1 << n_radii) - 1), jnp.int32(0))
+# chunks per device dispatch: bounds single-program runtime (very long
+# grids can trip runtime watchdogs) without extra compiles in the common
+# single-group case
+DISPATCH_CHUNK_GROUP = 128
 
+
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+def _pops_sparse_group(coords_t, radii2, n_valid, tile_i, tile_j, rmask,
+                       row_block, col_block):
     def body(acc, tt):
         ti_c, tj_c, rm_c = tt
         part = pops_tiles_sparse(coords_t, radii2, n_valid, ti_c, tj_c,
@@ -397,8 +393,53 @@ def pops_tiles_sparse_all(coords_t, radii2, n_valid, tile_i, tile_j,
                                  row_block=row_block, col_block=col_block)
         return acc + part, None
 
-    init = jnp.zeros((n_radii, coords_t.shape[1]), dtype=jnp.int32)
+    init = jnp.zeros((radii2.shape[0], coords_t.shape[1]), dtype=jnp.int32)
     acc, _ = jax.lax.scan(body, init, (tile_i, tile_j, rmask))
+    return acc
+
+
+@jax.jit
+def _acc_add(a, b):
+    return a + b
+
+
+def pops_tiles_sparse_all(coords_t, radii2, n_valid, tile_i, tile_j,
+                          rmask=None,
+                          row_block=DEFAULT_ROW_BLOCK,
+                          col_block=DEFAULT_COL_BLOCK):
+    """Sum of pops_tiles_sparse over stacked (n_chunks, bucket) tile
+    chunks (each chunk holds each active tile at most once, padded with
+    no-op entries), grouped into bounded-size dispatches."""
+    n_radii = radii2.shape[0]
+    tile_i = np.asarray(tile_i, dtype=np.int32)
+    tile_j = np.asarray(tile_j, dtype=np.int32)
+    if rmask is None:
+        rmask = np.where(tile_j >= 0, np.int32((1 << n_radii) - 1),
+                         np.int32(0))
+    else:
+        rmask = np.asarray(rmask, dtype=np.int32)
+    n_chunks = tile_i.shape[0]
+    g = DISPATCH_CHUNK_GROUP
+    if n_chunks <= g:
+        return _pops_sparse_group(coords_t, radii2, n_valid,
+                                  tile_i, tile_j, rmask,
+                                  row_block=row_block, col_block=col_block)
+    acc = None
+    for lo in range(0, n_chunks, g):
+        ti_g, tj_g, rm_g = (tile_i[lo:lo + g], tile_j[lo:lo + g],
+                            rmask[lo:lo + g])
+        if ti_g.shape[0] < g:
+            # pad the last group with no-op chunks (one compiled shape)
+            pad = g - ti_g.shape[0]
+            ti_g = np.concatenate([ti_g, np.repeat(ti_g[-1:], pad, 0)])
+            tj_g = np.concatenate(
+                [tj_g, np.full((pad,) + tj_g.shape[1:], -1, np.int32)])
+            rm_g = np.concatenate(
+                [rm_g, np.zeros((pad,) + rm_g.shape[1:], np.int32)])
+        part = _pops_sparse_group(coords_t, radii2, n_valid,
+                                  ti_g, tj_g, rm_g,
+                                  row_block=row_block, col_block=col_block)
+        acc = part if acc is None else _acc_add(acc, part)
     return acc
 
 
@@ -427,25 +468,40 @@ def nn_tiles_sparse_all_cross(rows_t, fe_rows, cols_t, fe_cols, orig_ids,
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+@jax.jit
+def _lex_min2(a, b):
+    """Elementwise lexicographic (d, j) minimum of two stacked results."""
+    d0, j0 = a
+    d1, j1 = b
+    upd = (d1 < d0) | ((d1 == d0) & (j1 < j0))
+    return jnp.where(upd, d1, d0), jnp.where(upd, j1, j0)
+
+
 def nn_tiles_sparse_all(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
                         row_block=DEFAULT_ROW_BLOCK,
                         col_block=DEFAULT_COL_BLOCK):
-    """Lexicographic merge of nn_tiles_sparse over stacked tile chunks in
-    one dispatch."""
-    def body(acc, tt):
-        ti_c, tj_c = tt
-        d1, j1 = nn_tiles_sparse(coords_t, fe, orig_ids, n_valid,
-                                 ti_c, tj_c, row_block=row_block,
-                                 col_block=col_block)
-        d0, j0 = acc
-        upd = (d1 < d0) | ((d1 == d0) & (j1 < j0))
-        return (jnp.where(upd, d1, d0), jnp.where(upd, j1, j0)), None
-
-    n_pad = coords_t.shape[1]
-    init = (jnp.full((2, n_pad), _INF, dtype=jnp.float32),
-            jnp.full((2, n_pad), _IMAX, dtype=jnp.int32))
-    acc, _ = jax.lax.scan(body, init, (tile_i, tile_j))
+    """Lexicographic merge of nn_tiles_sparse over stacked tile chunks,
+    grouped into bounded-size dispatches."""
+    tile_i = np.asarray(tile_i, dtype=np.int32)
+    tile_j = np.asarray(tile_j, dtype=np.int32)
+    n_chunks = tile_i.shape[0]
+    g = DISPATCH_CHUNK_GROUP
+    if n_chunks <= g:
+        return nn_tiles_sparse_all_cross(
+            coords_t, fe, coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
+            row_block=row_block, col_block=col_block)
+    acc = None
+    for lo in range(0, n_chunks, g):
+        ti_g, tj_g = tile_i[lo:lo + g], tile_j[lo:lo + g]
+        if ti_g.shape[0] < g:
+            # pad the last group with repeated chunks (idempotent min)
+            pad = g - ti_g.shape[0]
+            ti_g = np.concatenate([ti_g, np.repeat(ti_g[-1:], pad, 0)])
+            tj_g = np.concatenate([tj_g, np.repeat(tj_g[-1:], pad, 0)])
+        part = nn_tiles_sparse_all_cross(
+            coords_t, fe, coords_t, fe, orig_ids, n_valid, ti_g, tj_g,
+            row_block=row_block, col_block=col_block)
+        acc = part if acc is None else _lex_min2(acc, part)
     return acc
 
 
