@@ -154,6 +154,80 @@ def _screening_fixpoint(coords_sorted, labels0, n_below, max_dist2,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("row_block", "col_block"))
+def _sweep_group(coords_t, labels, n_below, max_dist2, tile_i, tile_j,
+                 dirty, row_block, col_block):
+    """One group of sweep chunks: scan label_min_sparse, fold proposals
+    into the labels (Gauss-Seidel across chunks). Bounded program size."""
+    from .pallas_kernels import label_min_sparse
+
+    def chunk_body(labels_cur, tt):
+        ti_c, tj_c = tt
+        mi = label_min_sparse(coords_t, labels_cur.reshape(1, -1),
+                              n_below, max_dist2, ti_c, tj_c, dirty=dirty,
+                              row_block=row_block, col_block=col_block)[0]
+        return jnp.minimum(labels_cur, mi), None
+
+    out, _ = jax.lax.scan(chunk_body, labels, (tile_i, tile_j))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("union_size", "col_block"))
+def _union_step(labels_in, labels_swept, union_size, col_block):
+    """Union + pointer jumping + dirty/convergence flags for one sweep of
+    the host-driven fixpoint (see _sparse_fixpoint for the semantics)."""
+    ncb = labels_in.shape[0] // col_block
+    head_in = labels_in[:union_size]
+    head_out = union_rebase(head_in, labels_swept[:union_size])
+    changed = head_out != head_in
+    labels_out = (head_out if union_size == labels_in.shape[0] else
+                  jnp.concatenate([head_out, labels_in[union_size:]]))
+    nub = union_size // col_block
+    dirty_head = jnp.any(changed.reshape(nub, col_block),
+                         axis=1).astype(jnp.int32)
+    dirty_next = (dirty_head if nub == ncb else
+                  jnp.concatenate([dirty_head,
+                                   jnp.zeros(ncb - nub, jnp.int32)]))
+    return labels_out, jnp.any(changed), dirty_next
+
+
+def _sparse_fixpoint_host(coords_t, labels0, n_below, max_dist2,
+                          tile_i, tile_j, row_block, col_block, union_size,
+                          group):
+    """Host-driven variant of _sparse_fixpoint for tile lists too long for
+    a single device program: each sweep is a series of bounded group
+    dispatches, convergence is a one-scalar readback per sweep."""
+    tile_i = np.asarray(tile_i, dtype=np.int32)
+    tile_j = np.asarray(tile_j, dtype=np.int32)
+    n_pad = coords_t.shape[1]
+    ncb = n_pad // col_block
+    nb = jnp.int32(n_below)
+    md2 = jnp.float32(max_dist2)
+    labels = labels0
+    dirty = jnp.ones((ncb,), dtype=jnp.int32)
+    iters = 0
+    while True:
+        swept = labels
+        for lo in range(0, tile_i.shape[0], group):
+            ti_g, tj_g = tile_i[lo:lo + group], tile_j[lo:lo + group]
+            if ti_g.shape[0] < group:
+                pad = group - ti_g.shape[0]
+                ti_g = np.concatenate([ti_g, np.repeat(ti_g[-1:], pad, 0)])
+                tj_g = np.concatenate([tj_g, np.repeat(tj_g[-1:], pad, 0)])
+            swept = _sweep_group(coords_t, swept, nb, md2,
+                                 jnp.asarray(ti_g), jnp.asarray(tj_g),
+                                 dirty, row_block=row_block,
+                                 col_block=col_block)
+        labels, changed, dirty = _union_step(labels, swept,
+                                             union_size=union_size,
+                                             col_block=col_block)
+        iters += 1
+        if not bool(changed):
+            break
+    return labels, iters
+
+
+@functools.partial(jax.jit,
                    static_argnames=("row_block", "col_block", "union_size"))
 def _sparse_fixpoint(coords_t, labels0, n_below, max_dist2, tile_i, tile_j,
                      row_block, col_block, union_size=None):
@@ -317,13 +391,21 @@ class ScreeningEngine:
             nub = 1 << int(np.ceil(np.log2(
                 max(-(-n_below // self.col_block), 1))))
             union_size = min(nub * self.col_block, self.n_pad)
-            out, iters = _sparse_fixpoint(self._coords_dev, labels_dev,
-                                          jnp.int32(n_below),
-                                          jnp.float32(max_dist2),
-                                          jnp.asarray(ti), jnp.asarray(tj),
-                                          row_block=self.row_block,
-                                          col_block=self.col_block,
-                                          union_size=union_size)
+            from .pallas_kernels import DISPATCH_CHUNK_GROUP
+            if ti.shape[0] > DISPATCH_CHUNK_GROUP:
+                # tile list too long for one device program (runtime
+                # watchdogs): host-driven sweeps with bounded dispatches
+                out, iters = _sparse_fixpoint_host(
+                    self._coords_dev, labels_dev, n_below, max_dist2,
+                    ti, tj, self.row_block, self.col_block, union_size,
+                    DISPATCH_CHUNK_GROUP)
+            else:
+                out, iters = _sparse_fixpoint(
+                    self._coords_dev, labels_dev,
+                    jnp.int32(n_below), jnp.float32(max_dist2),
+                    jnp.asarray(ti), jnp.asarray(tj),
+                    row_block=self.row_block, col_block=self.col_block,
+                    union_size=union_size)
             if is_verbose():
                 logger(f"    [screening fixpoint: {int(iters)} sweeps,"
                        f" {ti.shape[0] * ti.shape[1]} tiles/sweep]")

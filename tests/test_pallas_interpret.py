@@ -286,3 +286,25 @@ def test_series_screener_hd_seeding_matches_unseeded():
         for k in range(len(thresholds)):
             c = seeded2.step(c.copy() if c is not None else None, k, md2)
             np.testing.assert_array_equal(per_step[k], c)
+
+
+def test_host_driven_fixpoint_matches(monkeypatch):
+    """Tile lists longer than the dispatch cap run the host-driven sweep
+    loop (bounded programs); results must match the fused fixpoint."""
+    import clustering_tpu.ops.pallas_kernels as pk
+    from clustering_tpu.models import density as dm
+    rng = np.random.default_rng(5)
+    coords = np.concatenate([
+        rng.normal(0, 0.2, size=(300, 3)),
+        rng.normal((2, 1, 0), 0.2, size=(200, 3))]).astype(np.float32)
+    pops = ops.populations(coords, [0.5], backend="xla",
+                           row_block=8, col_block=16)[0.5]
+    fe = ops.free_energies(pops)
+    order = dm.sorted_fe_order(fe)
+    labels0 = np.arange(len(coords), dtype=np.int32)
+    want = ops.screening_labels(coords[order], labels0, 400, 0.08,
+                                backend="pallas", row_block=8, col_block=16)
+    monkeypatch.setattr(pk, "DISPATCH_CHUNK_GROUP", 1)
+    got = ops.screening_labels(coords[order], labels0, 400, 0.08,
+                               backend="pallas", row_block=8, col_block=16)
+    np.testing.assert_array_equal(want, got)
