@@ -308,3 +308,32 @@ def test_host_driven_fixpoint_matches(monkeypatch):
     got = ops.screening_labels(coords[order], labels0, 400, 0.08,
                                backend="pallas", row_block=8, col_block=16)
     np.testing.assert_array_equal(want, got)
+
+
+def test_grouped_dispatch_pops_and_nn_match(monkeypatch):
+    """Chunk grouping across dispatches (watchdog cap) must not change
+    populations or NN results."""
+    import clustering_tpu.ops.pallas_kernels as pk
+    from clustering_tpu.ops import pruning
+    coords = _bigger_blobs(n=700, seed=31)
+    eng = ops.engine.DensityEngine(coords, row_block=8, col_block=16,
+                                   backend="pallas")
+    pops_ref = eng.populations([0.3, 0.5])
+    fe = ops.free_energies(pops_ref[0.3])
+    nn_ref = eng.nearest_neighbors(fe)
+    monkeypatch.setattr(pk, "DISPATCH_CHUNK_GROUP", 1)
+    orig_tile_list = pruning.tile_list
+    monkeypatch.setattr(
+        pruning, "tile_list",
+        lambda active, pad_mode="repeat", max_entries=None:
+            orig_tile_list(active, pad_mode=pad_mode, max_entries=128))
+    # fresh engine: tile lists now split into many tiny chunks, one
+    # dispatch each
+    eng2 = ops.engine.DensityEngine(coords, row_block=8, col_block=16,
+                                    backend="pallas")
+    pops_g = eng2.populations([0.3, 0.5])
+    for r in (0.3, 0.5):
+        np.testing.assert_array_equal(pops_ref[r], pops_g[r])
+    nn_g = eng2.nearest_neighbors(fe)
+    for a, b in zip(nn_ref, nn_g):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
