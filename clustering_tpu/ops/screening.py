@@ -42,7 +42,7 @@ import numpy as np
 from .pairwise import sq_dists
 from ..utils.logger import logger, is_verbose
 
-DEFAULT_ROW_BLOCK = 1024
+DEFAULT_ROW_BLOCK = 128
 DEFAULT_COL_BLOCK = 4096
 
 _IMAX = jnp.int32(np.iinfo(np.int32).max)
