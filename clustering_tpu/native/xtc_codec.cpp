@@ -351,6 +351,7 @@ long long xtc3_decompress(const unsigned char* data, long long data_len,
   const uint8_t* p = data;
   int natoms = rd32(p);
   p += 4;
+  if (natoms < 0) return -1;
   *natoms_out = natoms;
   if (natoms <= 9) {
     if (data_len < 4 + 12 * natoms) return -1;
@@ -375,8 +376,16 @@ long long xtc3_decompress(const unsigned char* data, long long data_len,
   } else {
     bitsize = bits_for_triple(sizeint);
   }
+  // reject streams whose header/stream fields would index MAGICINTS out of
+  // bounds, divide by zero in the mixed-radix unpack, or write past the
+  // natoms*3 output buffer (the pure-Python codec raises; corrupt input
+  // must never corrupt memory here)
+  if (bitsize != 0 &&
+      (sizeint[0] == 0 || sizeint[1] == 0 || sizeint[2] == 0))
+    return -1;
   int smallidx = rd32(p);
   p += 4;
+  if (smallidx < FIRSTIDX || smallidx >= LASTIDX) return -1;
   int smaller = MAGICINTS[(smallidx - 1 > FIRSTIDX) ? smallidx - 1
                                                     : FIRSTIDX] / 2;
   int smallnum = MAGICINTS[smallidx] / 2;
@@ -385,7 +394,7 @@ long long xtc3_decompress(const unsigned char* data, long long data_len,
                            (uint32_t)MAGICINTS[smallidx]};
   int32_t nbytes = rd32(p);
   p += 4;
-  if (p - data + nbytes > data_len) return -1;
+  if (nbytes < 0 || p - data + nbytes > data_len) return -1;
   BitReader br{p, nbytes};
   p += nbytes + ((4 - nbytes % 4) % 4);
 
@@ -411,6 +420,9 @@ long long xtc3_decompress(const unsigned char* data, long long data_len,
     }
     if (run > 0) {
       for (int k = 0; k < run; k += 3) {
+        // each triple writes one atom (two for the swapped first pair) --
+        // bound against natoms before writing
+        if (i + ((k == 0) ? 2 : 1) > natoms) return -1;
         int32_t v[3];
         br.get_triple(sizesmall, smallidx, v);
         int32_t x[3];
@@ -436,6 +448,7 @@ long long xtc3_decompress(const unsigned char* data, long long data_len,
       i += 1;
     }
     smallidx += is_smaller;
+    if (smallidx < FIRSTIDX || smallidx >= LASTIDX) return -1;
     if (is_smaller < 0) {
       smallnum = smaller;
       smaller = (smallidx > FIRSTIDX) ? MAGICINTS[smallidx - 1] / 2 : 0;

@@ -6,22 +6,17 @@ The N x N frame-pair interaction is the FLOP core of density clustering
 On TPU we never materialize the N x N matrix in HBM: callers stream column
 blocks through VMEM-sized tiles and reduce on the fly.
 
-Two distance modes:
-  * ``exact``  -- per-dimension accumulation of (x_d - y_d)^2 on the VPU.
-    Bitwise-stable order (ascending d), matches the reference's scalar loop
-    semantics; the right choice for the typical D <= 16 collective-variable
-    inputs where a matmul would waste MXU K-padding anyway.
-  * ``mxu``    -- |x|^2 + |y|^2 - 2 x.y via an fp32 matmul on the MXU for
-    large D.
+There is exactly one distance mode: per-dimension accumulation of
+(x_d - y_d)^2 on the VPU, in ascending-d order, matching the reference's
+scalar loop semantics.  The |x|^2 + |y|^2 - 2 x.y MXU identity was
+evaluated and rejected (see docs/PARITY.md and CLAUDE.md): its
+cancellation error ~ulp(|x||y|) is comparable to inter-neighbor distance
+gaps at production densities (flipped ~4% of pops / ~12% of NN indices in
+a 1M-frame trial), it breaks the exact-pruning error budget, and on TPU
+``lax.dot_general`` demotes fp32 operands unless precision=HIGHEST.
 """
 
-import functools
-
-import jax
 import jax.numpy as jnp
-
-# use the exact VPU path for D below this, the MXU path above
-MXU_MIN_DIM = 24
 
 
 def sq_dists_exact(x, y):
@@ -38,25 +33,8 @@ def sq_dists_exact(x, y):
     return acc
 
 
-def sq_dists_mxu(x, y):
-    """(B, D), (C, D) -> (B, C) via the |x|^2 + |y|^2 - 2 x.y identity.
-
-    fp32 matmul on the MXU; clamped at zero (the identity can go slightly
-    negative under rounding).
-    """
-    xx = jnp.sum(x * x, axis=1)[:, None]
-    yy = jnp.sum(y * y, axis=1)[None, :]
-    xy = jax.lax.dot_general(
-        x, y,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return jnp.maximum(xx + yy - 2.0 * xy, 0.0)
-
-
-def sq_dists(x, y):
-    if x.shape[1] >= MXU_MIN_DIM:
-        return sq_dists_mxu(x, y)
-    return sq_dists_exact(x, y)
+# the single supported distance mode (see module docstring)
+sq_dists = sq_dists_exact
 
 
 def cdiv(a, b):
@@ -71,6 +49,3 @@ def pad_rows(arr, block, fill=0):
         return arr
     widths = [(0, n_pad)] + [(0, 0)] * (arr.ndim - 1)
     return jnp.pad(arr, widths, constant_values=fill)
-
-
-del functools

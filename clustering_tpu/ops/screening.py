@@ -436,33 +436,12 @@ class ScreeningEngine:
         return np.asarray(jax.device_get(out))[:self.n]
 
     def _split_tiles_per_device(self, ti, tj):
-        """Group the global tile chunks by owning device, localize
-        row-block indices, and re-chunk every device's list to a common
-        (n_chunks, bucket) shape (idempotent repeats pad)."""
-        from . import pruning as pr
+        """Group the global tile chunks by owning device (shared helper;
+        min-label sweeps are idempotent, so repeat-padding is safe)."""
+        from . import pruning
         nrb = self.n_pad // self.row_block
-        blocks_local = nrb // self._n_dev
-        ti = ti.reshape(-1)
-        tj = tj.reshape(-1)
-        dev_of = ti // blocks_local
-        per_dev = [(ti[dev_of == d] - d * blocks_local, tj[dev_of == d])
-                   for d in range(self._n_dev)]
-        longest = max(max((len(a) for a, _ in per_dev), default=1), 1)
-        per_chunk = min(longest, pr.MAX_TILE_ENTRIES)
-        bucket = 1 << int(np.ceil(np.log2(per_chunk)))
-        n_chunks = -(-longest // bucket)
-        ti_dev = np.zeros((self._n_dev, n_chunks, bucket), dtype=np.int32)
-        tj_dev = np.zeros((self._n_dev, n_chunks, bucket), dtype=np.int32)
-        for d, (a, b) in enumerate(per_dev):
-            if not len(a):
-                continue
-            flat_i = np.concatenate(
-                [a, np.full(n_chunks * bucket - len(a), a[-1])])
-            flat_j = np.concatenate(
-                [b, np.full(n_chunks * bucket - len(b), b[-1])])
-            ti_dev[d] = flat_i.reshape(n_chunks, bucket)
-            tj_dev[d] = flat_j.reshape(n_chunks, bucket)
-        return ti_dev, tj_dev
+        return pruning.split_tiles_per_device(
+            ti, tj, nrb // self._n_dev, self._n_dev, pad_mode="repeat")
 
 
 @jax.jit
@@ -493,6 +472,12 @@ class ThresholdSeriesScreener:
         coords = np.asarray(coords, dtype=np.float32)
         fe = np.asarray(free_energy, dtype=np.float32)
         self.thresholds = [np.float32(t) for t in thresholds]
+        if any(a >= b for a, b in zip(self.thresholds,
+                                      self.thresholds[1:])):
+            # the band layout (searchsorted below) silently miscounts on
+            # unsorted or duplicate thresholds
+            raise ValueError("thresholds must be strictly ascending, got "
+                             f"{[float(t) for t in self.thresholds]}")
         n = len(fe)
         # band k = first series threshold at or above this frame's fe
         band = np.searchsorted(self.thresholds, fe, side="left")
@@ -581,7 +566,11 @@ class ThresholdSeriesScreener:
             labels_dev = jnp.asarray(labels0)
         else:
             # generic host seed path (arbitrary previous clustering):
-            # rebuild first-occurrence pointers from the state names
+            # rebuild first-occurrence pointers from the state names.
+            # Unlike a series continuation, an arbitrary seed is NOT known
+            # to be a completed fixpoint at this max_dist2, so the sweep
+            # must cover all tile pairs (row_lo=0) and may not early-out --
+            # old-old edges the seed missed can still merge components.
             prev = np.asarray(prev_clustering, dtype=np.int64)
             ps = prev[self.order]
             ps[nb:] = 0
@@ -605,9 +594,12 @@ class ThresholdSeriesScreener:
                 unassigned = seg == np.arange(prev_last, nb)
                 seg[unassigned] = seeds[unassigned]
             labels_dev = jnp.asarray(labels0.astype(np.int32))
+            prev_last = 0  # full sweep; seed labels are equivalences only
         if prev_last >= nb:
             # nothing new below this threshold: keep the previous result
-            # (reference early-out, density_clustering_cuda.cu:459-463)
+            # (reference early-out, density_clustering_cuda.cu:459-463;
+            # valid only for series continuations / cold starts, where the
+            # prefix is a completed fixpoint at this max_dist2)
             out = (np.zeros(n, dtype=np.int64) if prev_clustering is None
                    else np.asarray(prev_clustering, dtype=np.int64).copy())
             self._last_out = out

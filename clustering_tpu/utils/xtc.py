@@ -280,6 +280,8 @@ def decompress_frame(data: bytes, offset: int):
 def _decompress_frame_py(data: bytes, offset: int):
     (natoms,) = struct.unpack_from(">i", data, offset)
     offset += 4
+    if natoms < 0:
+        raise ValueError("corrupt xtc 3dfcoord stream: negative natoms")
     if natoms <= 9:
         coords = np.frombuffer(data, dtype=">f4", count=natoms * 3,
                                offset=offset).astype(np.float32)
@@ -299,11 +301,16 @@ def _decompress_frame_py(data: bytes, offset: int):
         bitsize = _bits_for_triple(sizeint)
     (smallidx,) = struct.unpack_from(">i", data, offset)
     offset += 4
+    if not FIRSTIDX <= smallidx < LASTIDX:
+        raise ValueError("corrupt xtc 3dfcoord stream: smallidx out of "
+                         "range")
     smaller = MAGICINTS[max(FIRSTIDX, smallidx - 1)] // 2
     smallnum = MAGICINTS[smallidx] // 2
     sizesmall = [MAGICINTS[smallidx]] * 3
     (nbytes,) = struct.unpack_from(">i", data, offset)
     offset += 4
+    if nbytes < 0:
+        raise ValueError("corrupt xtc 3dfcoord stream: negative length")
     br = BitReader(data[offset:offset + nbytes])
     offset += nbytes + ((4 - nbytes % 4) % 4)
 
@@ -327,6 +334,9 @@ def _decompress_frame_py(data: bytes, offset: int):
             is_smaller -= 1
         if run > 0:
             for k in range(0, run, 3):
+                if i + (2 if k == 0 else 1) > natoms:
+                    raise ValueError("corrupt xtc 3dfcoord stream: run "
+                                     "exceeds natoms")
                 vals = br.get_triple(sizesmall, smallidx)
                 x = [vals[m] + prevcoord[m] - smallnum for m in range(3)]
                 if k == 0:
@@ -343,6 +353,9 @@ def _decompress_frame_py(data: bytes, offset: int):
             out[i] = [np.float32(v) * inv_precision for v in a]
             i += 1
         smallidx += is_smaller
+        if not FIRSTIDX <= smallidx < LASTIDX:
+            raise ValueError("corrupt xtc 3dfcoord stream: smallidx "
+                             "drifted out of range")
         if is_smaller < 0:
             smallnum = smaller
             smaller = MAGICINTS[smallidx - 1] // 2 \

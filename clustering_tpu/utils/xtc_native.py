@@ -79,6 +79,6 @@ def decompress_frame(data: bytes, offset: int):
         coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.byref(natoms), ctypes.byref(precision))
     if consumed < 0:
-        raise RuntimeError("native xtc decompression failed")
+        raise ValueError("corrupt xtc 3dfcoord stream (native codec)")
     return (coords[:natoms.value], float(precision.value),
             offset + int(consumed))

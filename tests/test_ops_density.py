@@ -158,3 +158,23 @@ def test_higher_dimension_counts():
         got = ops.populations(coords, [2.0], backend=backend,
                               row_block=8, col_block=16)[2.0]
         np.testing.assert_array_equal(got, want)
+
+
+def test_wide_dimension_backends_agree():
+    """D >= 24 must use the same exact per-dimension distance as D <= 16
+    (there is no MXU-identity dispatch; see ops/pairwise.py): both backends
+    match the float64 brute-force oracle and each other, pops and NN."""
+    from clustering_tpu.ops.pairwise import sq_dists, sq_dists_exact
+    assert sq_dists is sq_dists_exact
+    rng = np.random.default_rng(17)
+    coords = rng.normal(size=(70, 32)).astype(np.float32)
+    want = oracles.populations(coords, [5.0])[5.0]
+    fe = ops.free_energies(want)
+    nn_want = oracles.nearest_neighbors(coords, fe)
+    for backend in ("xla", "pallas"):
+        got = ops.populations(coords, [5.0], backend=backend,
+                              row_block=8, col_block=16)[5.0]
+        np.testing.assert_array_equal(got, want)
+        nn = ops.nearest_neighbors(coords, fe, backend=backend,
+                                   row_block=8, col_block=16)
+        np.testing.assert_array_equal(nn[0], nn_want[0])

@@ -34,6 +34,46 @@ def test_native_matches_python(natoms, prec, seed):
     assert p1 == p2
 
 
+def _decoders():
+    out = [("python", xtc._decompress_frame_py)]
+    if xtc_native.available():
+        out.append(("native", xtc_native.decompress_frame))
+    return out
+
+
+@pytest.mark.parametrize("name,decode", _decoders())
+def test_corrupt_negative_natoms_rejected(name, decode):
+    blob = bytearray(xtc._compress_frame_py(_walk(50, 7), 1000.0))
+    blob[0:4] = (-5).to_bytes(4, "big", signed=True)
+    with pytest.raises(ValueError):
+        decode(bytes(blob), 0)
+
+
+@pytest.mark.parametrize("name,decode", _decoders())
+@pytest.mark.parametrize("bad_smallidx", [-3, 0, 5, 72, 1000])
+def test_corrupt_smallidx_rejected(name, decode, bad_smallidx):
+    # smallidx lives at byte 32 (natoms 4 + precision 4 + min/max ints 24)
+    blob = bytearray(xtc._compress_frame_py(_walk(50, 8), 1000.0))
+    blob[32:36] = bad_smallidx.to_bytes(4, "big", signed=True)
+    with pytest.raises(ValueError):
+        decode(bytes(blob), 0)
+
+
+@pytest.mark.parametrize("name,decode", _decoders())
+def test_corrupt_run_past_natoms_rejected(name, decode):
+    # a tightly-packed walk guarantees long runs; shrinking the stream's
+    # natoms field makes those runs overrun the (natoms, 3) output buffer
+    # unless the decoder bounds them (the native path used to corrupt the
+    # heap here)
+    rng = np.random.default_rng(11)
+    coords = np.cumsum(
+        rng.uniform(-0.001, 0.001, (100, 3)).astype(np.float32), axis=0)
+    blob = bytearray(xtc._compress_frame_py(coords, 1000.0))
+    blob[0:4] = (12).to_bytes(4, "big", signed=True)
+    with pytest.raises(ValueError):
+        decode(bytes(blob), 0)
+
+
 @pytest.mark.skipif(not xtc_native.available(),
                     reason="native codec unavailable")
 def test_native_throughput_sane():
