@@ -60,9 +60,22 @@ def transition_counts(trajectory, concat_limits, n_lag_steps):
             dst = traj[lo + n_lag_steps:hi]
             pairs, pair_counts = np.unique(
                 np.stack([src, dst], axis=1), axis=0, return_counts=True)
-            for (i, j), c in zip(pairs.tolist(), pair_counts.tolist()):
-                row = counts.setdefault(i, {})
-                row[j] = row.get(j, 0.0) + float(c)
+            # group by source row (pairs are lexicographically sorted)
+            row_starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(pairs[:, 0])) + 1])
+            bounds = np.append(row_starts, len(pairs))
+            fcounts = pair_counts.astype(np.float64)
+            for k, s in enumerate(row_starts):
+                e = bounds[k + 1]
+                i = int(pairs[s, 0])
+                js = pairs[s:e, 1].tolist()
+                cs = fcounts[s:e].tolist()
+                row = counts.get(i)
+                if row is None:
+                    counts[i] = dict(zip(js, cs))
+                else:
+                    for j, c in zip(js, cs):
+                        row[j] = row.get(j, 0.0) + c
         lo = hi
     return counts
 
@@ -134,40 +147,81 @@ def microstate_min_free_energy(trajectory, free_energy):
     return {int(v): float(mn) for v, mn in zip(vals, mins)}
 
 
+def _rows_to_coo(tmat, row_ids):
+    """Stack the sparse rows ``row_ids`` into COO arrays (i, j, p).
+
+    Entry order is row-major; within a row the dict order is kept (every
+    consumer is order-independent: max is exact, sums re-sort first)."""
+    ii, jj, pp = [], [], []
+    for i in row_ids:
+        r = tmat.get(i)
+        if not r:
+            continue
+        ii.append(np.full(len(r), i, dtype=np.int64))
+        jj.append(np.fromiter(r.keys(), dtype=np.int64, count=len(r)))
+        pp.append(np.fromiter(r.values(), dtype=np.float64, count=len(r)))
+    if not ii:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), np.empty(0, dtype=np.float64)
+    return np.concatenate(ii), np.concatenate(jj), np.concatenate(pp)
+
+
+def _positions_in(sorted_arr, values):
+    """(positions, valid_mask) of ``values`` in the sorted id array."""
+    pos = np.searchsorted(sorted_arr, values)
+    pos_c = np.minimum(pos, len(sorted_arr) - 1)
+    return pos_c, (pos < len(sorted_arr)) & (sorted_arr[pos_c] == values)
+
+
 def single_step_future_state(tmat, cluster_names, q_min, min_free_energy):
-    """Immediate-future state per microstate (reference: mpp.cpp:234-286)."""
+    """Immediate-future state per microstate (reference: mpp.cpp:234-286).
+
+    Vectorized over the sparse matrix entries; decision semantics match
+    the reference scan exactly: a state with self-transition probability
+    >= q_min is its own future; otherwise the off-diagonal maximum wins,
+    with probability ties broken by minimal per-state free energy and
+    remaining ties by the smallest state id (the reference's
+    first-minimum-in-ascending-scan order).
+    """
+    names = list(cluster_names)
+    name_arr = np.asarray(sorted(names), dtype=np.int64)
+    self_p = {i: _t(tmat, i, i) for i in names}
     future = {}
-    name_set = set(cluster_names)
-    for i in cluster_names:
-        if _t(tmat, i, i) >= q_min:
-            candidates = [i]
-        else:
-            # only nonzero row entries can win the strict '>' maximum, so
-            # iterating the sparse row (ascending j, like the reference's
-            # dense scan) is exact
-            candidates = []
-            max_p = 0.0
-            row = tmat.get(i, {})
-            for j in sorted(row):
-                if i == j or j not in name_set:
-                    continue
-                p = row[j]
-                if p > max_p:
-                    max_p = p
-                    candidates = [j]
-                elif p == max_p and max_p > 0.0:
-                    candidates.append(j)
-        if not candidates:
-            print(f"error: state '{i}' has self-transition probability of "
-                  f"{io.fmt_float(_t(tmat, i, i))} at Qmin "
-                  f"{io.fmt_float(q_min)} and does not find any transition"
-                  " candidates. please have a look at your trajectory!",
-                  file=sys.stderr)
-            sys.exit(1)
-        if len(candidates) == 1:
-            future[i] = candidates[0]
-        else:
-            future[i] = min(candidates, key=lambda s: min_free_energy[s])
+    pending = [i for i in names if not self_p[i] >= q_min]
+    for i in names:
+        if self_p[i] >= q_min:
+            future[i] = i
+    if pending:
+        i_arr, j_arr, p_arr = _rows_to_coo(tmat, pending)
+        pos_i, _ = _positions_in(name_arr, i_arr)
+        pos_j, j_ok = _positions_in(name_arr, j_arr)
+        # eligible: j a live state, off-diagonal, positive probability
+        # (only p > 0 can win the reference's strict '>' maximum)
+        keep = j_ok & (i_arr != j_arr) & (p_arr > 0.0)
+        i_k, j_k, p_k = pos_i[keep], j_arr[keep], p_arr[keep]
+        max_p = np.full(len(name_arr), 0.0)
+        np.maximum.at(max_p, i_k, p_k)
+        # candidates: entries achieving their row's exact maximum; pick
+        # the (min_free_energy, state id) lexicographic minimum per row
+        cand = p_k == max_p[i_k]
+        i_c, j_c = i_k[cand], j_k[cand]
+        fe_c = np.fromiter(
+            (min_free_energy.get(int(s), np.inf) for s in j_c),
+            dtype=np.float64, count=len(j_c))
+        order = np.lexsort((j_c, fe_c, i_c))
+        rows_sorted = i_c[order]
+        first = np.unique(rows_sorted, return_index=True)[1]
+        winner = dict(zip(name_arr[rows_sorted[first]].tolist(),
+                          j_c[order][first].tolist()))
+        for i in pending:
+            if i not in winner:
+                print(f"error: state '{i}' has self-transition probability"
+                      f" of {io.fmt_float(_t(tmat, i, i))} at Qmin "
+                      f"{io.fmt_float(q_min)} and does not find any"
+                      " transition candidates. please have a look at your"
+                      " trajectory!", file=sys.stderr)
+                sys.exit(1)
+            future[i] = winner[i]
     return future
 
 
@@ -224,36 +278,57 @@ def path_sinks(trajectory, mpp, tmat, cluster_names, q_min, free_energy):
 
 def updated_transition_probabilities(tmat, sinks, pops):
     """Re-lump the transition matrix by the sink mapping
-    (reference: mpp.cpp:181-232)."""
+    (reference: mpp.cpp:181-232).
+
+    Sparse COO formulation of P'[m1, m2] = sum_{u1 in m1, u2 in m2}
+    relpop(u1) * P[u1, u2], then row-normalized -- O(nnz log nnz) instead
+    of the reference's O(S^2 * members) nested scan. Per-entry arithmetic
+    (fp32 relative populations, float64 products) matches the scalar
+    formulation exactly; group sums use numpy's deterministic pairwise
+    summation (see docs/PARITY.md, "Floating-point notes").
+    """
     macrostates = sorted(set(sinks.values()))
-    micro_of = {m: set() for m in macrostates}
-    for frm, to in sinks.items():
-        micro_of[to].add(frm)
-    relative_pops = {}
-    for m in macrostates:
-        pop_total = sum(pops.get(u, 0) for u in micro_of[m])
-        for u in micro_of[m]:
-            relative_pops[u] = float(
-                np.float32(np.float32(pops.get(u, 0))
-                           / np.float32(pop_total)))
-    updated = {}
-    for m1 in macrostates:
-        row = {}
-        row_sum = 0.0
-        for m2 in macrostates:
-            acc = 0.0
-            for u1 in sorted(micro_of[m1]):
-                r = tmat.get(u1, {})
-                rp = relative_pops[u1]
-                for u2 in sorted(micro_of[m2]):
-                    acc += rp * r.get(u2, 0.0)
-            if acc != 0.0:
-                row[m2] = acc
-            row_sum += acc
-        if row_sum != 0.0:
-            for m2 in row:
-                row[m2] /= row_sum
-        updated[m1] = row
+    n_mac = len(macrostates)
+    m_index = {m: k for k, m in enumerate(macrostates)}
+    micro = np.fromiter(sorted(sinks), dtype=np.int64)
+    mac_of = np.fromiter((m_index[sinks[int(u)]] for u in micro),
+                         dtype=np.int64, count=len(micro))
+    pop_u = np.fromiter((pops.get(int(u), 0) for u in micro),
+                        dtype=np.int64, count=len(micro))
+    # exact integer group totals (float64 holds counts < 2^53 exactly),
+    # then the reference's fp32 division
+    pop_tot = np.bincount(mac_of, weights=pop_u.astype(np.float64),
+                          minlength=n_mac)
+    with np.errstate(invalid="ignore"):
+        rp = (pop_u.astype(np.float32)
+              / pop_tot.astype(np.float32)[mac_of]).astype(np.float64)
+
+    i_arr, j_arr, p_arr = _rows_to_coo(tmat, micro.tolist())
+    updated = {m: {} for m in macrostates}
+    if len(i_arr):
+        pos_i, _ = _positions_in(micro, i_arr)
+        pos_j, j_ok = _positions_in(micro, j_arr)
+        i_k, j_k, p_k = pos_i[j_ok], pos_j[j_ok], p_arr[j_ok]
+        g = mac_of[i_k] * n_mac + mac_of[j_k]
+        vals = rp[i_k] * p_k
+        order = np.argsort(g, kind="stable")
+        g_sorted, v_sorted = g[order], vals[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(g_sorted)) + 1])
+        g_unique = g_sorted[starts]
+        acc = np.add.reduceat(v_sorted, starts)
+        gm1, gm2 = g_unique // n_mac, g_unique % n_mac
+        row_sums = np.zeros(n_mac)
+        # in-order fold per row (groups are g-sorted, i.e. ascending m2
+        # within each m1, the reference's accumulation order)
+        np.add.at(row_sums, gm1, acc)
+        rs = row_sums[gm1]
+        out_vals = np.where(rs != 0.0, acc / np.where(rs == 0.0, 1.0, rs),
+                            acc)
+        nz = acc != 0.0
+        for m1i, m2i, v in zip(gm1[nz].tolist(), gm2[nz].tolist(),
+                               out_vals[nz].tolist()):
+            updated[macrostates[m1i]][macrostates[m2i]] = v
     return updated
 
 
@@ -273,7 +348,7 @@ def fixed_metastability_clustering(initial_trajectory, tmat, q_min,
     traj = np.asarray(initial_trajectory, dtype=np.int64)
     lumping = {}
     for it in range(MAX_ITER):
-        names = sorted(set(traj.tolist()))
+        names = np.unique(traj).tolist()
         if 0 in names:
             print("\nwarning:\n"
                   "  there is a state '0' in your trajectory.\n"
