@@ -1,0 +1,481 @@
+// Fast ASCII artifact IO for the large density-pipeline files.
+//
+// The reference reads coordinates with a two-pass native reader
+// (src/tools.hxx:39-111) and writes artifacts with C++ iostreams
+// (src/tools.hxx:256-272, src/tools.cpp:144-174); at 10^7 frames the
+// Python-level per-token parsing/formatting dominated end-to-end runs.
+//
+// Parsing: whitespace-separated tokens, multithreaded. Each token takes
+// the Clinger fast path (exact when the decimal mantissa fits in 53 bits
+// and |10-exponent| <= 22: one correctly-rounded multiply) and falls back
+// to strtod otherwise -- both correctly rounded, so results are
+// bit-identical to CPython's float(). A token that does not parse in full
+// aborts with -1 and the caller falls back to the exact Python line-skip
+// loop (semantics of reference tools.hxx:228-253).
+//
+// Formatting: byte-identical to CPython's "%e"/"%g"/str(int) (glibc printf
+// and CPython dtoa are both correctly rounded; fuzz-tested in
+// tests/test_io.py), multithreaded into per-chunk regions then compacted.
+
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+const double POW10[] = {1e0,  1e1,  1e2,  1e3,  1e4,  1e5,  1e6,  1e7,
+                        1e8,  1e9,  1e10, 1e11, 1e12, 1e13, 1e14, 1e15,
+                        1e16, 1e17, 1e18, 1e19, 1e20, 1e21, 1e22};
+
+inline bool is_ws(char c) {
+  return c == ' ' || c == '\n' || c == '\t' || c == '\r';
+}
+
+// parse one token [s, e); returns false unless the whole token parses
+bool parse_token_f64(const char* s, const char* e, double* out) {
+  const char* p = s;
+  bool neg = false;
+  if (p < e && (*p == '+' || *p == '-')) neg = (*p++ == '-');
+  uint64_t mant = 0;
+  int digits = 0, frac = 0;
+  bool any = false, overflow = false;
+  for (; p < e && *p >= '0' && *p <= '9'; ++p) {
+    any = true;
+    if (digits < 19) {
+      mant = mant * 10 + (uint64_t)(*p - '0');
+      ++digits;
+    } else {
+      overflow = true;
+    }
+  }
+  if (p < e && *p == '.') {
+    ++p;
+    for (; p < e && *p >= '0' && *p <= '9'; ++p) {
+      any = true;
+      if (digits < 19) {
+        mant = mant * 10 + (uint64_t)(*p - '0');
+        ++digits;
+        ++frac;
+      } else {
+        overflow = true;
+      }
+    }
+  }
+  if (!any) return false;
+  long exp10 = 0;
+  if (p < e && (*p == 'e' || *p == 'E')) {
+    ++p;
+    bool eneg = false;
+    if (p < e && (*p == '+' || *p == '-')) eneg = (*p++ == '-');
+    if (p == e || *p < '0' || *p > '9') return false;
+    for (; p < e && *p >= '0' && *p <= '9'; ++p) {
+      if (exp10 < 100000) exp10 = exp10 * 10 + (*p - '0');
+    }
+    if (eneg) exp10 = -exp10;
+  }
+  if (p != e) return false;
+  exp10 -= frac;
+  // Clinger fast path: one correctly-rounded multiply/divide
+  if (!overflow && mant < (1ull << 53) && exp10 >= -22 && exp10 <= 22) {
+    double v = (double)mant;
+    v = (exp10 >= 0) ? v * POW10[exp10] : v / POW10[-exp10];
+    *out = neg ? -v : v;
+    return true;
+  }
+  // slow exact path (rare: >15 significant digits or big exponents)
+  char tmp[512];
+  size_t len = (size_t)(e - s);
+  if (len >= sizeof(tmp)) return false;
+  memcpy(tmp, s, len);
+  tmp[len] = 0;
+  char* endp = nullptr;
+  *out = strtod(tmp, &endp);
+  return endp == tmp + len;
+}
+
+bool parse_token_i64(const char* s, const char* e, long long* out) {
+  const char* p = s;
+  bool neg = false;
+  if (p < e && (*p == '+' || *p == '-')) neg = (*p++ == '-');
+  if (p == e) return false;
+  unsigned long long v = 0;
+  int digits = 0;
+  for (; p < e; ++p) {
+    if (*p < '0' || *p > '9') return false;
+    if (++digits > 19) return false;
+    v = v * 10 + (unsigned long long)(*p - '0');
+  }
+  if (neg) {
+    if (v > 0x8000000000000000ull) return false;
+    *out = (long long)(0ull - v);
+  } else {
+    if (v > 0x7fffffffffffffffull) return false;
+    *out = (long long)v;
+  }
+  return true;
+}
+
+// count tokens in [s, e)
+long long count_tokens(const char* s, const char* e) {
+  long long n = 0;
+  const char* p = s;
+  while (p < e) {
+    while (p < e && is_ws(*p)) ++p;
+    if (p == e) break;
+    ++n;
+    while (p < e && !is_ws(*p)) ++p;
+  }
+  return n;
+}
+
+// move chunk start forward to the next token boundary
+const char* chunk_start(const char* base, const char* end, long long off) {
+  const char* p = base + off;
+  if (p <= base) return base;
+  if (p >= end) return end;
+  // skip a partial token (it belongs to the previous chunk)
+  while (p < end && !is_ws(*p)) ++p;
+  return p;
+}
+
+int pick_threads(long long work, long long per_thread) {
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 1;
+  long long want = work / per_thread + 1;
+  if (want > (long long)hw) want = hw;
+  if (want < 1) want = 1;
+  return (int)want;
+}
+
+template <typename T, typename F>
+long long parse_mt(const char* buf, long long len, T* out, long long cap,
+                   F token_fn) {
+  const char* end = buf + len;
+  int nt = pick_threads(len, 1 << 22);
+  if (nt == 1) {
+    // single pass, no counting (caller over-allocates)
+    const char* p = buf;
+    long long n = 0;
+    while (p < end) {
+      while (p < end && is_ws(*p)) ++p;
+      if (p == end) break;
+      const char* tok = p;
+      while (p < end && !is_ws(*p)) ++p;
+      if (n >= cap) return -2;
+      if (!token_fn(tok, p, out + n)) return -1;
+      ++n;
+    }
+    return n;
+  }
+  std::vector<const char*> bounds(nt + 1);
+  bounds[0] = buf;
+  bounds[nt] = end;
+  for (int t = 1; t < nt; ++t)
+    bounds[t] = chunk_start(buf, end, len * t / nt);
+  std::vector<long long> counts(nt, 0);
+  std::vector<char> failed(nt, 0);
+  // pass 1: per-chunk token counts (cheap scan)
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t)
+      ths.emplace_back([&, t] {
+        counts[t] = count_tokens(bounds[t], bounds[t + 1]);
+      });
+    for (auto& th : ths) th.join();
+  }
+  long long total = 0;
+  std::vector<long long> offs(nt, 0);
+  for (int t = 0; t < nt; ++t) {
+    offs[t] = total;
+    total += counts[t];
+  }
+  if (total > cap) return -2;
+  // pass 2: parse into exact output offsets
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t)
+      ths.emplace_back([&, t] {
+        const char* p = bounds[t];
+        const char* e = bounds[t + 1];
+        T* o = out + offs[t];
+        while (p < e) {
+          while (p < e && is_ws(*p)) ++p;
+          if (p == e) break;
+          const char* tok = p;
+          while (p < e && !is_ws(*p)) ++p;
+          if (!token_fn(tok, p, o++)) {
+            failed[t] = 1;
+            return;
+          }
+        }
+      });
+    for (auto& th : ths) th.join();
+  }
+  for (int t = 0; t < nt; ++t)
+    if (failed[t]) return -1;
+  return total;
+}
+
+// Exact "%e" fast path: the 7 significant digits are the correctly
+// (half-even) rounded value of |v| * 10^(6 - e10), computed as an exact
+// 128-bit rational m*2^e * 10^p. Exact decimal ties and out-of-range
+// exponents bail out to snprintf, so output is glibc-identical by
+// construction (fuzz-tested against CPython "%e" in tests/test_io.py).
+// ~5x faster than snprintf for the typical fe/distance magnitudes.
+bool format_e_fast(double v, char* o, int* olen) {
+  if (!std::isfinite(v)) return false;
+  bool neg = std::signbit(v);
+  double a = std::fabs(v);
+  int w = 0;
+  if (neg) o[w++] = '-';
+  if (a == 0.0) {
+    memcpy(o + w, "0.000000e+00\n", 13);
+    *olen = w + 13;
+    return true;
+  }
+  int e2;
+  double fr = std::frexp(a, &e2);
+  uint64_t m = (uint64_t)(fr * 9007199254740992.0);  // fr * 2^53, exact
+  int e = e2 - 53;
+  int e10 = (int)std::floor(std::log10(a));
+  static const unsigned __int128 P10_128[] = {
+      (unsigned __int128)1,
+      (unsigned __int128)10,
+      (unsigned __int128)100,
+      (unsigned __int128)1000,
+      (unsigned __int128)10000,
+      (unsigned __int128)100000,
+      (unsigned __int128)1000000,
+      (unsigned __int128)10000000,
+      (unsigned __int128)100000000,
+      (unsigned __int128)1000000000,
+      (unsigned __int128)10000000000ull,
+      (unsigned __int128)100000000000ull,
+      (unsigned __int128)1000000000000ull,
+      (unsigned __int128)10000000000000ull,
+      (unsigned __int128)100000000000000ull,
+      (unsigned __int128)1000000000000000ull,
+      (unsigned __int128)10000000000000000ull,
+      (unsigned __int128)100000000000000000ull,
+      (unsigned __int128)1000000000000000000ull,
+      (unsigned __int128)10000000000000000000ull,
+      (unsigned __int128)10000000000000000000ull * 10,
+      (unsigned __int128)10000000000000000000ull * 100,
+      (unsigned __int128)10000000000000000000ull * 1000};
+  for (int attempt = 0; attempt < 3; ++attempt) {
+    int p = 6 - e10;
+    int p_num = p > 0 ? p : 0, p_den = p < 0 ? -p : 0;
+    int e_num = e > 0 ? e : 0, e_den = e < 0 ? -e : 0;
+    if (p_num > 22 || p_den > 22) return false;
+    // num = m * 10^p_num * 2^e_num (m < 2^53, 10^22 < 2^74: one multiply
+    // cannot overflow 128 bits)
+    unsigned __int128 num = (unsigned __int128)m * P10_128[p_num];
+    if (e_num) {
+      if (e_num > 120 || (num >> (127 - e_num))) return false;
+      num <<= e_num;
+    }
+    unsigned __int128 q, r, den;
+    if (p_den == 0) {
+      // den = 2^e_den: shift instead of 128-bit division (the common
+      // case, |v| < 10^7)
+      if (e_den > 126) return false;
+      den = (unsigned __int128)1 << e_den;
+      q = num >> e_den;
+      r = num & (den - 1);
+    } else {
+      den = P10_128[p_den];
+      if (e_den) {
+        if (e_den > 120 || (den >> (127 - e_den))) return false;
+        den <<= e_den;
+      }
+      q = num / den;
+      r = num - q * den;
+    }
+    unsigned __int128 twice = r << 1;
+    if (twice > den) {
+      ++q;
+    } else if (twice == den) {
+      return false;  // exact decimal tie: defer to snprintf
+    }
+    if (q == 10000000ull) {  // rounding carried into 8 digits
+      q = 1000000ull;
+      ++e10;
+    }
+    if (q >= 10000000ull) {
+      ++e10;
+      continue;
+    }
+    if (q < 1000000ull) {
+      --e10;
+      continue;
+    }
+    uint32_t d = (uint32_t)q;
+    char buf[8];
+    for (int k = 6; k >= 0; --k) {
+      buf[k] = (char)('0' + d % 10);
+      d /= 10;
+    }
+    o[w++] = buf[0];
+    o[w++] = '.';
+    memcpy(o + w, buf + 1, 6);
+    w += 6;
+    o[w++] = 'e';
+    int ex = e10;
+    o[w++] = ex < 0 ? '-' : '+';
+    if (ex < 0) ex = -ex;
+    if (ex >= 100) {
+      o[w++] = (char)('0' + ex / 100);
+      ex %= 100;
+    }
+    o[w++] = (char)('0' + ex / 10);
+    o[w++] = (char)('0' + ex % 10);
+    o[w++] = '\n';
+    *olen = w;
+    return true;
+  }
+  return false;
+}
+
+// fast int64 -> decimal; returns chars written
+inline int itoa64(long long v, char* out) {
+  char tmp[24];
+  int n = 0;
+  unsigned long long u;
+  bool neg = v < 0;
+  u = neg ? 0ull - (unsigned long long)v : (unsigned long long)v;
+  do {
+    tmp[n++] = (char)('0' + (u % 10));
+    u /= 10;
+  } while (u);
+  int w = 0;
+  if (neg) out[w++] = '-';
+  while (n) out[w++] = tmp[--n];
+  return w;
+}
+
+// format rows [lo, hi) with row_fn(row, char*)->len into per-chunk regions
+// of stride max_width, then compact; returns total bytes or -1
+template <typename F>
+long long format_mt(long long n, char* out, long long cap,
+                    long long max_width, F row_fn) {
+  if (n * max_width > cap) return -2;
+  int nt = pick_threads(n, 1 << 20);
+  std::vector<long long> lo(nt + 1);
+  for (int t = 0; t <= nt; ++t) lo[t] = n * t / nt;
+  std::vector<long long> written(nt, 0);
+  std::vector<char> failed(nt, 0);
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t)
+      ths.emplace_back([&, t] {
+        char* o = out + lo[t] * max_width;
+        long long w = 0;
+        for (long long i = lo[t]; i < lo[t + 1]; ++i) {
+          int k = row_fn(i, o + w);
+          if (k < 0 || k > max_width) {
+            failed[t] = 1;
+            return;
+          }
+          w += k;
+        }
+        written[t] = w;
+      });
+    for (auto& th : ths) th.join();
+  }
+  for (int t = 0; t < nt; ++t)
+    if (failed[t]) return -1;
+  long long total = written[0];
+  for (int t = 1; t < nt; ++t) {
+    memmove(out + total, out + lo[t] * max_width, (size_t)written[t]);
+    total += written[t];
+  }
+  return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+// multithreaded whitespace-token count (for exact output allocation)
+long long count_ws_tokens(const char* buf, long long len) {
+  const char* end = buf + len;
+  int nt = pick_threads(len, 1 << 22);
+  std::vector<const char*> bounds(nt + 1);
+  bounds[0] = buf;
+  bounds[nt] = end;
+  for (int t = 1; t < nt; ++t)
+    bounds[t] = chunk_start(buf, end, len * t / nt);
+  std::vector<long long> counts(nt, 0);
+  std::vector<std::thread> ths;
+  for (int t = 0; t < nt; ++t)
+    ths.emplace_back([&, t] {
+      counts[t] = count_tokens(bounds[t], bounds[t + 1]);
+    });
+  for (auto& th : ths) th.join();
+  long long total = 0;
+  for (int t = 0; t < nt; ++t) total += counts[t];
+  return total;
+}
+
+// parse all whitespace-separated float tokens; returns count, -1 on any
+// malformed token (caller falls back to the exact line-skip loop), -2 on
+// short output buffer
+long long parse_f64(const char* buf, long long len, double* out,
+                    long long cap) {
+  return parse_mt(buf, len, out, cap, parse_token_f64);
+}
+
+long long parse_i64(const char* buf, long long len, long long* out,
+                    long long cap) {
+  return parse_mt(buf, len, out, cap, parse_token_i64);
+}
+
+// one "%e\n" line per value; returns bytes written, < 0 on error
+long long format_e(const double* v, long long n, char* out, long long cap) {
+  return format_mt(n, out, cap, 32, [v](long long i, char* o) {
+    int k;
+    if (format_e_fast(v[i], o, &k)) return k;
+    k = snprintf(o, 32, "%e\n", v[i]);
+    return (k >= 32) ? -1 : k;
+  });
+}
+
+// one "%lld\n" line per value
+long long format_i64(const long long* v, long long n, char* out,
+                     long long cap) {
+  return format_mt(n, out, cap, 24, [v](long long i, char* o) {
+    int k = itoa64(v[i], o);
+    o[k++] = '\n';
+    return k;
+  });
+}
+
+// neighborhood rows: "id dsqr id_hd dsqr_hd\n" with %g distances
+// (reference: src/tools.cpp:144-174)
+long long format_nn(const long long* nh_idx, const double* nh_dist,
+                    const long long* hd_idx, const double* hd_dist,
+                    long long n, char* out, long long cap) {
+  return format_mt(n, out, cap, 96,
+                   [nh_idx, nh_dist, hd_idx, hd_dist](long long i, char* o) {
+    int w = itoa64(nh_idx[i], o);
+    o[w++] = ' ';
+    int k = snprintf(o + w, 40, "%g", nh_dist[i]);
+    if (k < 0 || k >= 40) return -1;
+    w += k;
+    o[w++] = ' ';
+    w += itoa64(hd_idx[i], o + w);
+    o[w++] = ' ';
+    k = snprintf(o + w, 40, "%g", hd_dist[i]);
+    if (k < 0 || k >= 40) return -1;
+    w += k;
+    o[w++] = '\n';
+    return w;
+  });
+}
+
+}  // extern "C"

@@ -11,6 +11,7 @@ column IO).
 import os
 import sys
 import time
+import warnings
 
 import numpy as np
 
@@ -56,15 +57,65 @@ def stringprintf(fmt: str, *args) -> str:
 # single-column / map readers & writers
 # ----------------------------------------------------------------------------
 
-def _iter_tokens_skip_comments(path):
-    """Yield whitespace tokens, skipping the rest of a line once a
-    non-numeric token is hit (C++ stream-extraction failure semantics,
-    reference: tools.hxx:228-253)."""
-    with open(path) as fh:
-        for line in fh:
-            for tok in line.split():
-                yield tok, line
-                # caller decides whether to abort the line
+# simple-numeric charset: content made only of these bytes parses the same
+# under C strtod/strtoll and Python float()/int() (no hex floats, no
+# underscores, no inf/nan spellings), making the vectorized fast path exact
+_SIMPLE_NUMERIC = b"0123456789.+-eE \t\r\n"
+_WS_BYTES = (0x20, 0x09, 0x0D)
+
+
+def _strip_leading_comments(raw: bytes):
+    """Byte offset of the first line that is not a ``#`` comment."""
+    pos, n = 0, len(raw)
+    while pos < n:
+        p = pos
+        while p < n and raw[p] in _WS_BYTES:
+            p += 1
+        if p < n and raw[p] == 0x23:  # '#'
+            nl = raw.find(b"\n", p)
+            pos = n if nl < 0 else nl + 1
+        elif p < n and raw[p] == 0x0A:  # blank line
+            pos = p + 1
+        else:
+            break
+    return pos
+
+
+def _count_tokens(body: bytes) -> int:
+    a = np.frombuffer(body, dtype=np.uint8)
+    ws = (a == 0x20) | (a == 0x0A) | (a == 0x09) | (a == 0x0D)
+    nonws = ~ws
+    if not len(a):
+        return 0
+    return int(nonws[0]) + int(np.count_nonzero(nonws[1:] & ws[:-1]))
+
+
+def _parse_tokens_fast(raw: bytes, np_dtype):
+    """Fast parse of all whitespace-separated numeric tokens.
+
+    Returns None (caller falls back to the exact line-skip loop) unless the
+    content after the leading comment block is plain numeric text and every
+    token parses in full -- so a malformed token can never be silently
+    misread. The native multithreaded parser (utils/textio_native.py) is
+    correctly rounded, hence bit-identical to Python's float(); the numpy
+    path is the same C strtod underneath.
+    """
+    from . import textio_native
+    body = raw[_strip_leading_comments(raw):]
+    if not body or body.translate(None, _SIMPLE_NUMERIC):
+        return None
+    if textio_native.available():
+        return textio_native.parse_tokens(body, np_dtype)
+    n_tokens = _count_tokens(body)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        try:
+            vals = np.fromstring(body, dtype=np_dtype, sep=" ")
+        except (ValueError, DeprecationWarning):
+            return None
+    if vals.size != n_tokens:
+        return None
+    return vals
 
 
 def read_single_column(path, dtype=float):
@@ -73,22 +124,32 @@ def read_single_column(path, dtype=float):
 
     ``.npy`` paths load the binary cache directly (fast restart path for
     large artifacts; the ASCII files remain the canonical format).
-    Reference: tools.hxx:228-253 (``read_single_column``).
+    Reference: tools.hxx:228-253 (``read_single_column``); the vectorized
+    fast path replaces the reference's two-pass ``_mm_malloc`` reader
+    (tools.hxx:39-111) and falls back to an exact per-token loop on any
+    irregular content.
     """
     if path.endswith(".npy"):
-        return [dtype(v) for v in np.load(path).tolist()]
+        arr = np.load(path)
+        return arr.astype(np.int64 if dtype is int else np.float64)
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    if dtype in (int, float):
+        vals = _parse_tokens_fast(
+            raw, np.int64 if dtype is int else np.float64)
+        if vals is not None and vals.size:
+            return vals
     out = []
-    with open(path) as fh:
-        for line in fh:
-            for tok in line.split():
-                try:
-                    out.append(dtype(tok))
-                except ValueError:
-                    break  # skip rest of line
+    for line in raw.decode("utf-8", errors="replace").splitlines():
+        for tok in line.split():
+            try:
+                out.append(dtype(tok))
+            except ValueError:
+                break  # skip rest of line
     if not out:
         print(f"error: opened empty file '{path}'", file=sys.stderr)
         sys.exit(1)
-    return out
+    return np.asarray(out)
 
 
 def read_clustered_trajectory(path) -> np.ndarray:
@@ -143,19 +204,24 @@ def write_single_column(path, data, header_comment="", scientific=False):
             with open(path + ".meta", "w") as fh:
                 fh.write(header_comment)
         return
-    with open(path, "w") as fh:
-        fh.write(header_comment)
-        arr = np.asarray(data)
+    from . import textio_native
+    arr = np.asarray(data)
+    native = textio_native.available() and len(arr)
+    with open(path, "wb") as fh:
+        fh.write(header_comment.encode())
         if scientific:
-            body = "\n".join(fmt_scientific(v) for v in arr.tolist())
+            body = (textio_native.format_e(arr) if native else
+                    ("\n".join(fmt_scientific(v) for v in arr.tolist())
+                     + "\n" if len(arr) else "").encode())
         elif np.issubdtype(arr.dtype, np.integer):
             # fast path for the large state-trajectory files
-            body = "\n".join(map(str, arr.tolist()))
+            body = (textio_native.format_i64(arr) if native else
+                    ("\n".join(map(str, arr.tolist()))
+                     + "\n" if len(arr) else "").encode())
         else:
-            body = "\n".join(_fmt_any(v) for v in data)
+            body = ("\n".join(_fmt_any(v) for v in data)
+                    + "\n" if len(arr) else "").encode()
         fh.write(body)
-        if len(arr):
-            fh.write("\n")
 
 
 def _fmt_any(v):
@@ -188,10 +254,41 @@ def read_coords(path, usecols=None, dtype=np.float32) -> np.ndarray:
         arr = np.load(path).astype(dtype)
         arr = arr.reshape(len(arr), -1)
     else:
-        arr = np.loadtxt(path, dtype=dtype, ndmin=2, comments="#")
+        arr = _read_table_fast(path)
+        if arr is None:
+            arr = np.loadtxt(path, dtype=dtype, ndmin=2, comments="#")
     if usecols is not None:
         arr = arr[:, list(usecols)]
     return np.ascontiguousarray(arr, dtype=dtype)
+
+
+def _read_table_fast(path):
+    """Vectorized (N, D) numeric-table read; None -> caller falls back to
+    np.loadtxt (ragged rows, mid-file comments, exotic tokens)."""
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    body = raw[_strip_leading_comments(raw):]
+    if not body:
+        return None
+    vals = _parse_tokens_fast(raw, np.float64)
+    if vals is None or vals.size == 0:
+        return None
+    # per-line token counts must all agree (np.loadtxt raises on ragged
+    # rows; the fast path must not silently reshape them)
+    a = np.frombuffer(body, dtype=np.uint8)
+    ws = (a == 0x20) | (a == 0x09) | (a == 0x0D)
+    nl = a == 0x0A
+    starts = ~(ws | nl)
+    starts[1:] &= ws[:-1] | nl[:-1]
+    line_id = np.cumsum(nl) - nl  # line index of every byte
+    per_line = np.bincount(line_id[starts])
+    per_line = per_line[per_line > 0]  # blank lines don't count
+    if not len(per_line) or (per_line != per_line[0]).any():
+        return None
+    n_cols = int(per_line[0])
+    if vals.size % n_cols:
+        return None
+    return vals.reshape(-1, n_cols)
 
 
 # ----------------------------------------------------------------------------
@@ -208,16 +305,24 @@ def write_neighborhood(path, nh_idx, nh_dist, nhhd_idx, nhhd_dist,
         "#     id(i) = id/line number of i\n"
         "#   dsqr(i) = squared euclidean distance to i\n#\n"
         "# id(nn)  dsqr(nn) id(nn_hd) dsqr(nn_hd)\n")
-    with open(path, "w") as fh:
-        fh.write(header_comment)
-        for a, b, c, d in zip(nh_idx, nh_dist, nhhd_idx, nhhd_dist):
-            fh.write(f"{int(a)} {fmt_float(b)} {int(c)} {fmt_float(d)}\n")
+    from . import textio_native
+    with open(path, "wb") as fh:
+        fh.write(header_comment.encode())
+        if textio_native.available():
+            fh.write(textio_native.format_nn(nh_idx, nh_dist,
+                                             nhhd_idx, nhhd_dist))
+        else:
+            for a, b, c, d in zip(nh_idx, nh_dist, nhhd_idx, nhhd_dist):
+                fh.write(f"{int(a)} {fmt_float(b)} {int(c)} "
+                         f"{fmt_float(d)}\n".encode())
 
 
 def read_neighborhood(path):
     """Returns (nh_idx, nh_dist, nhhd_idx, nhhd_dist) arrays
     (reference: tools.cpp:101-131)."""
-    data = np.loadtxt(path, comments="#", ndmin=2)
+    data = _read_table_fast(path)
+    if data is None:
+        data = np.loadtxt(path, comments="#", ndmin=2)
     if data.shape[1] < 4:
         print(f"error: malformed neighborhood file '{path}'",
               file=sys.stderr)
@@ -301,21 +406,24 @@ def write_pops(path, pops, header_comment, comments_map):
     """Reference: tools.cpp:50-56."""
     hc = append_comments_map(header_comment, comments_map)
     hc += "#\n# point density of each frame\n"
-    write_single_column(path, [int(p) for p in pops], hc, scientific=False)
+    write_single_column(path, np.asarray(pops, dtype=np.int64), hc,
+                        scientific=False)
 
 
 def write_fes(path, fes, header_comment, comments_map):
     """Reference: tools.cpp:42-48."""
     hc = append_comments_map(header_comment, comments_map)
     hc += "#\n# free energy of each frame\n"
-    write_single_column(path, [float(f) for f in fes], hc, scientific=True)
+    write_single_column(path, np.asarray(fes, dtype=np.float64), hc,
+                        scientific=True)
 
 
 def write_clustered_trajectory(path, traj, header_comment, comments_map):
     """Reference: tools.cpp:63-69."""
     hc = append_comments_map(header_comment, comments_map)
     hc += "#\n# state/cluster id frames are assigned to\n"
-    write_single_column(path, [int(s) for s in traj], hc, scientific=False)
+    write_single_column(path, np.asarray(traj, dtype=np.int64), hc,
+                        scientific=False)
 
 
 def microstate_populations(traj) -> dict:

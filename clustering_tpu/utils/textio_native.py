@@ -1,0 +1,124 @@
+"""ctypes loader for the native ASCII parse/format helpers
+(see native/textio.cpp).
+
+Builds the shared library on first use when a compiler is available;
+callers fall back to numpy/pure-Python paths when loading fails. Parsing
+and formatting are both correctly rounded, hence bit-identical to
+CPython's float()/"%e"/"%g"/str(int) (fuzz-tested in tests/test_io.py).
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libtextio.so")
+
+_I64P = ctypes.POINTER(ctypes.c_longlong)
+_F64P = ctypes.POINTER(ctypes.c_double)
+_U8P = ctypes.POINTER(ctypes.c_char)
+_LL = ctypes.c_longlong
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.count_ws_tokens.restype = _LL
+        lib.count_ws_tokens.argtypes = [_U8P, _LL]
+        lib.parse_f64.restype = _LL
+        lib.parse_f64.argtypes = [_U8P, _LL, _F64P, _LL]
+        lib.parse_i64.restype = _LL
+        lib.parse_i64.argtypes = [_U8P, _LL, _I64P, _LL]
+        lib.format_e.restype = _LL
+        lib.format_e.argtypes = [_F64P, _LL, _U8P, _LL]
+        lib.format_i64.restype = _LL
+        lib.format_i64.argtypes = [_I64P, _LL, _U8P, _LL]
+        lib.format_nn.restype = _LL
+        lib.format_nn.argtypes = [_I64P, _F64P, _I64P, _F64P, _LL, _U8P,
+                                  _LL]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_tokens(body: bytes, np_dtype):
+    """Parse every whitespace-separated token of ``body`` as int64/float64.
+
+    Returns None when any token fails to parse in full (the caller falls
+    back to the exact per-token line-skip loop)."""
+    lib = _load()
+    # over-allocate to the token-count upper bound (every token needs a
+    # separator, so <= len//2 + 1) to skip a separate counting pass; fall
+    # back to exact counting when that would be too large
+    cap = len(body) // 2 + 2
+    if cap * 8 > 1 << 31:
+        cap = int(lib.count_ws_tokens(body, _LL(len(body))))
+        if cap <= 0:
+            return None
+    out = np.empty(cap, dtype=np_dtype)
+    if np_dtype == np.int64:
+        got = lib.parse_i64(body, _LL(len(body)),
+                            out.ctypes.data_as(_I64P), _LL(len(out)))
+    else:
+        got = lib.parse_f64(body, _LL(len(body)),
+                            out.ctypes.data_as(_F64P), _LL(len(out)))
+    if got <= 0:
+        return None
+    return out[:int(got)]
+
+
+def _run_format(fn, arrays, n, per_line):
+    buf = np.empty(n * per_line + 16, dtype=np.uint8)
+    w = fn(*arrays, _LL(n), buf.ctypes.data_as(_U8P), _LL(len(buf)))
+    if w < 0:
+        raise RuntimeError("native text formatting failed")
+    return memoryview(buf)[:int(w)]
+
+
+def format_e(values):
+    """b"%e\\n" per value (bytes-like)."""
+    lib = _load()
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    return _run_format(lib.format_e, [v.ctypes.data_as(_F64P)], len(v), 32)
+
+
+def format_i64(values):
+    """b"%d\\n" per value (bytes-like)."""
+    lib = _load()
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    return _run_format(lib.format_i64, [v.ctypes.data_as(_I64P)], len(v),
+                       24)
+
+
+def format_nn(nh_idx, nh_dist, hd_idx, hd_dist):
+    """b"id dsqr id_hd dsqr_hd\\n" rows with %g distances (bytes-like)."""
+    lib = _load()
+    a = np.ascontiguousarray(nh_idx, dtype=np.int64)
+    b = np.ascontiguousarray(nh_dist, dtype=np.float64)
+    c = np.ascontiguousarray(hd_idx, dtype=np.int64)
+    d = np.ascontiguousarray(hd_dist, dtype=np.float64)
+    return _run_format(lib.format_nn,
+                       [a.ctypes.data_as(_I64P), b.ctypes.data_as(_F64P),
+                        c.ctypes.data_as(_I64P), d.ctypes.data_as(_F64P)],
+                       len(a), 96)
