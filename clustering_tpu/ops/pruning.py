@@ -171,23 +171,26 @@ def tile_list(active, pad_mode="repeat", max_entries=MAX_TILE_ENTRIES):
     return ti, tj
 
 
-def split_tiles_per_device(ti, tj, blocks_local, n_dev, pad_mode="repeat",
-                           max_entries=MAX_TILE_ENTRIES):
-    """Group a global active-tile list by owning device (row-block range),
-    localize row-block indices, and re-chunk every device's list to a
-    common (n_chunks, bucket) shape.
+def split_tiles_balanced(ti, tj, n_dev, pad_mode="repeat",
+                         max_entries=MAX_TILE_ENTRIES):
+    """Round-robin a global active-tile list over devices (balanced to
+    within one tile per device, unlike row-ownership splits that inherit
+    the spatial skew of the pruning) and re-chunk every device's list to
+    a common (n_chunks, bucket) shape.
 
-    Returns (ti_dev, tj_dev) of shape (n_dev, n_chunks, bucket). pad_mode
-    as in :func:`tile_list`; devices with no active tiles get no-op pads
-    ('noop') or redundant re-sweeps of tile (0, 0) ('repeat', harmless for
-    idempotent reductions).
+    Valid whenever any device may compute any tile -- i.e. when partial
+    results merge with a cross-device reduction (psum for counts, min for
+    NN/labels) rather than by row ownership. Keeps ``ti`` GLOBAL row-block
+    indices. Each device's subsequence of the row-major-sorted input stays
+    row-major sorted, preserving the kernels' first-visit-initializes
+    contract. Returns (ti_dev, tj_dev, counts) with counts the per-device
+    real (unpadded) tile counts.
     """
-    ti = np.asarray(ti).reshape(-1)
-    tj = np.asarray(tj).reshape(-1)
-    dev_of = ti // blocks_local
-    per_dev = [(ti[dev_of == d] - d * blocks_local, tj[dev_of == d])
-               for d in range(n_dev)]
-    longest = max(max((len(a) for a, _ in per_dev), default=1), 1)
+    ti = np.asarray(ti, dtype=np.int32).reshape(-1)
+    tj = np.asarray(tj, dtype=np.int32).reshape(-1)
+    per_dev = [(ti[d::n_dev], tj[d::n_dev]) for d in range(n_dev)]
+    counts = np.asarray([len(a) for a, _ in per_dev], dtype=np.int64)
+    longest = max(int(counts.max()) if len(ti) else 0, 1)
     per_chunk = min(longest, max_entries)
     bucket = 1 << int(np.ceil(np.log2(max(per_chunk, 1024))))
     bucket = min(bucket, max_entries)
@@ -199,13 +202,12 @@ def split_tiles_per_device(ti, tj, blocks_local, n_dev, pad_mode="repeat",
         if not len(a):
             continue
         pad = n_chunks * bucket - len(a)
-        pad_i = a[-1]
         pad_j = b[-1] if pad_mode == "repeat" else -1
         ti_dev[d] = np.concatenate(
-            [a, np.full(pad, pad_i)]).reshape(n_chunks, bucket)
+            [a, np.full(pad, a[-1])]).reshape(n_chunks, bucket)
         tj_dev[d] = np.concatenate(
             [b, np.full(pad, pad_j)]).reshape(n_chunks, bucket)
-    return ti_dev, tj_dev
+    return ti_dev, tj_dev, counts
 
 
 def no_skip_words(n_row_blocks, n_col_blocks):

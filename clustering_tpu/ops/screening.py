@@ -371,26 +371,39 @@ class ScreeningEngine:
         previous fixpoint without host round-trips."""
         if self.backend == "pallas" and self.mesh is not None:
             from ..parallel import sharded
+            from .pallas_kernels import DISPATCH_CHUNK_GROUP
             tiles = self._tile_list(row_lo, n_below, max_dist2)
             if tiles is None:
                 return labels_dev
             ti_dev, tj_dev = self._split_tiles_per_device(*tiles)
+            union_size = self._union_size(n_below)
+            if ti_dev.shape[1] > DISPATCH_CHUNK_GROUP:
+                # per-device tile list too long for one device program
+                # (runtime watchdogs): host-driven bounded group sweeps,
+                # same safety valve as the single-chip path below
+                out, iters = sharded._sparse_fixpoint_host_mesh(
+                    self._coords_dev, labels_dev, n_below, max_dist2,
+                    ti_dev, tj_dev, self.mesh,
+                    self.row_block, self.col_block, union_size,
+                    DISPATCH_CHUNK_GROUP)
+                if is_verbose():
+                    logger(f"    [mesh screening fixpoint: {int(iters)}"
+                           f" sweeps (host-driven),"
+                           f" {ti_dev.shape[1] * ti_dev.shape[2]}"
+                           " tiles/device/sweep]")
+                return out
             return sharded._screening_sharded_pallas(
                 self._coords_dev, labels_dev, jnp.int32(n_below),
                 jnp.float32(max_dist2), jnp.asarray(ti_dev),
                 jnp.asarray(tj_dev), self.mesh,
-                row_block=self.row_block, col_block=self.col_block)
+                row_block=self.row_block, col_block=self.col_block,
+                union_size=union_size)
         if self.backend == "pallas":
             tiles = self._tile_list(row_lo, n_below, max_dist2)
             if tiles is None:
                 return labels_dev
             ti, tj = tiles
-            # union prefix: power-of-two col-block count >= n_below keeps
-            # the scatter/gather arrays small at low thresholds while
-            # bounding compile variety
-            nub = 1 << int(np.ceil(np.log2(
-                max(-(-n_below // self.col_block), 1))))
-            union_size = min(nub * self.col_block, self.n_pad)
+            union_size = self._union_size(n_below)
             from .pallas_kernels import DISPATCH_CHUNK_GROUP
             if ti.shape[0] > DISPATCH_CHUNK_GROUP:
                 # tile list too long for one device program (runtime
@@ -435,13 +448,23 @@ class ScreeningEngine:
                               row_lo=row_lo)
         return np.asarray(jax.device_get(out))[:self.n]
 
+    def _union_size(self, n_below):
+        """Union prefix: power-of-two col-block count >= n_below keeps the
+        scatter/gather arrays small at low thresholds while bounding
+        compile variety."""
+        nub = 1 << int(np.ceil(np.log2(
+            max(-(-n_below // self.col_block), 1))))
+        return min(nub * self.col_block, self.n_pad)
+
     def _split_tiles_per_device(self, ti, tj):
-        """Group the global tile chunks by owning device (shared helper;
-        min-label sweeps are idempotent, so repeat-padding is safe)."""
+        """Balance the global tile chunks round-robin over devices (the
+        mesh sweep merges proposals with a pmin, so any device may sweep
+        any tile; min-label sweeps are idempotent, so repeat-padding is
+        safe). Keeps GLOBAL row-block indices."""
         from . import pruning
-        nrb = self.n_pad // self.row_block
-        return pruning.split_tiles_per_device(
-            ti, tj, nrb // self._n_dev, self._n_dev, pad_mode="repeat")
+        ti_dev, tj_dev, _ = pruning.split_tiles_balanced(
+            ti, tj, self._n_dev, pad_mode="repeat")
+        return ti_dev, tj_dev
 
 
 @jax.jit

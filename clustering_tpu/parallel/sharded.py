@@ -59,35 +59,35 @@ def _pops_sharded(coords_padded, radii2, n_valid, mesh,
 def _pops_sharded_sparse(coords_t_padded, radii2, n_valid, ti_dev, tj_dev,
                          mesh, row_block=DEFAULT_ROW_BLOCK,
                          col_block=DEFAULT_COL_BLOCK):
-    """Row-sharded fused Pallas pops over per-device sparse tile lists
-    (local row-block indices, global column indices)."""
+    """Mesh-sharded fused Pallas pops over balanced per-device sparse
+    tile lists (GLOBAL row/col indices; any device may count any tile).
+
+    Each chip produces a full-length partial count vector (unvisited row
+    blocks stay zero via the kernel's aliased init) and the exact total
+    is one int32 ``psum`` over ICI -- the load-balanced analog of the
+    reference's host-side partial sum (density_clustering_cuda.cu:171-181).
+    """
     from ..ops import pallas_kernels as pk
 
     n_pad = coords_t_padded.shape[1]
-    n_dev = mesh_size(mesh)
-    rows_local = n_pad // n_dev
     n_radii = radii2.shape[0]
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(None, None), P(None), P(),
                   P(FRAME_AXIS, None, None), P(FRAME_AXIS, None, None)),
-        out_specs=P(None, FRAME_AXIS), check_vma=False)
+        out_specs=P(None, None), check_vma=False)
     def run(ct, radii2, n_valid, ti_l, tj_l):
-        idx = jax.lax.axis_index(FRAME_AXIS)
-        rows_t = jax.lax.dynamic_slice_in_dim(ct, idx * rows_local,
-                                              rows_local, axis=1)
-
         def body(acc, tt):
             ti_c, tj_c = tt
-            part = pk.pops_tiles_sparse_cross(
-                rows_t, ct, radii2, n_valid, ti_c, tj_c,
+            part = pk.pops_tiles_sparse(
+                ct, radii2, n_valid, ti_c, tj_c,
                 row_block=row_block, col_block=col_block)
             return acc + part, None
 
-        init = jnp.zeros((n_radii, rows_local), dtype=jnp.int32)
+        init = jnp.zeros((n_radii, n_pad), dtype=jnp.int32)
         acc, _ = jax.lax.scan(body, init, (ti_l[0], tj_l[0]))
-        return acc
+        return jax.lax.psum(acc, FRAME_AXIS)
 
     return run(coords_t_padded, radii2, n_valid, ti_dev, tj_dev)
 
@@ -125,8 +125,8 @@ def populations(coords, radii, mesh,
         else:
             active = np.ones((nrb, ncb), dtype=bool)
         ti, tj = np.nonzero(active)
-        ti_dev, tj_dev = pruning.split_tiles_per_device(
-            ti, tj, nrb // n_dev, n_dev, pad_mode="noop")
+        ti_dev, tj_dev, _ = pruning.split_tiles_balanced(
+            ti, tj, n_dev, pad_mode="noop")
         counts = _pops_sharded_sparse(
             jnp.asarray(padded.T), radii2, jnp.int32(n),
             jnp.asarray(ti_dev), jnp.asarray(tj_dev), mesh,
@@ -149,61 +149,72 @@ def _nn_sharded_sparse(coords_t_padded, fe_padded, oid_padded, n_valid,
                        ti_dev, tj_dev, mesh,
                        row_block=DEFAULT_ROW_BLOCK,
                        col_block=DEFAULT_COL_BLOCK):
-    """Row-sharded fused Pallas NN over per-device sparse tile lists."""
+    """Mesh-sharded fused Pallas NN over balanced per-device sparse tile
+    lists (GLOBAL indices). Per-chip full-length partials (unvisited rows
+    stay +inf/IMAX) merge with an exact lexicographic (d, j) minimum over
+    ICI: pmin on distances, then pmin on the indices that achieve them --
+    the load-balanced analog of the reference's overwrite-merge
+    (density_clustering_cuda.cu:311-327)."""
     from ..ops import pallas_kernels as pk
 
     n_pad = coords_t_padded.shape[1]
-    n_dev = mesh_size(mesh)
-    rows_local = n_pad // n_dev
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(None, None), P(None, None), P(None, None), P(),
                   P(FRAME_AXIS, None, None), P(FRAME_AXIS, None, None)),
-        out_specs=(P(None, FRAME_AXIS), P(None, FRAME_AXIS)),
+        out_specs=(P(None, None), P(None, None)),
         check_vma=False)
     def run(ct, fe_all, oid_all, n_valid, ti_l, tj_l):
-        idx = jax.lax.axis_index(FRAME_AXIS)
-        rows_t = jax.lax.dynamic_slice_in_dim(ct, idx * rows_local,
-                                              rows_local, axis=1)
-        fe_rows = jax.lax.dynamic_slice_in_dim(fe_all, idx * rows_local,
-                                               rows_local, axis=1)
-
         def body(acc, tt):
             ti_c, tj_c = tt
-            d1, j1 = pk.nn_tiles_sparse_cross(
-                rows_t, fe_rows, ct, fe_all, oid_all, n_valid, ti_c, tj_c,
+            d1, j1 = pk.nn_tiles_sparse(
+                ct, fe_all, oid_all, n_valid, ti_c, tj_c,
                 row_block=row_block, col_block=col_block)
             d0, j0 = acc
             upd = (d1 < d0) | ((d1 == d0) & (j1 < j0))
             return (jnp.where(upd, d1, d0), jnp.where(upd, j1, j0)), None
 
-        init = (jnp.full((2, rows_local), jnp.inf, dtype=jnp.float32),
-                jnp.full((2, rows_local), jnp.int32(2**31 - 1),
+        init = (jnp.full((2, n_pad), jnp.inf, dtype=jnp.float32),
+                jnp.full((2, n_pad), jnp.int32(2**31 - 1),
                          dtype=jnp.int32))
-        acc, _ = jax.lax.scan(body, init, (ti_l[0], tj_l[0]))
-        return acc
+        (d_loc, j_loc), _ = jax.lax.scan(body, init, (ti_l[0], tj_l[0]))
+        d_min = jax.lax.pmin(d_loc, FRAME_AXIS)
+        j_cand = jnp.where(d_loc == d_min, j_loc, jnp.int32(2**31 - 1))
+        j_min = jax.lax.pmin(j_cand, FRAME_AXIS)
+        return d_min, j_min
 
     return run(coords_t_padded, fe_padded, oid_padded, n_valid,
                ti_dev, tj_dev)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "row_block", "col_block"))
+                   static_argnames=("mesh", "row_block", "col_block",
+                                    "union_size"))
 def _screening_sharded_pallas(coords_t, labels0, n_below, max_dist2,
                               ti_dev, tj_dev, mesh,
                               row_block=DEFAULT_ROW_BLOCK,
-                              col_block=DEFAULT_COL_BLOCK):
-    """Mesh-sharded sparse-tile screening fixpoint: each chip sweeps its
-    own active tiles, proposals are exchanged with an all_gather over ICI
-    and the scatter-min union runs replicated."""
+                              col_block=DEFAULT_COL_BLOCK,
+                              union_size=None):
+    """Mesh-sharded sparse-tile screening fixpoint over balanced per-device
+    tile lists (GLOBAL indices; any chip may sweep any tile).
+
+    Each sweep: per-chip Gauss-Seidel scan over its chunks, one int32
+    ``pmin`` over ICI merges the proposals, then the scatter-min union +
+    pointer jumping run replicated -- the parallel analog of the
+    reference's host merge (src/density_clustering_cuda.cu:501-572).
+    ``union_size`` (static, multiple of col_block, >= n_below) bounds the
+    union to the prefix that can actually change, exactly as in the
+    single-chip fixpoint (ops/screening.py::_sparse_fixpoint).
+    """
     from ..ops import pallas_kernels as pk
     from ..ops.screening import union_rebase
 
     n_pad = coords_t.shape[1]
-    n_dev = mesh_size(mesh)
-    rows_local = n_pad // n_dev
-    blocks_local = rows_local // row_block
+    ncb = n_pad // col_block
+    if union_size is None:
+        union_size = n_pad
+    nub = union_size // col_block
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -211,12 +222,8 @@ def _screening_sharded_pallas(coords_t, labels0, n_below, max_dist2,
                   P(FRAME_AXIS, None, None), P(FRAME_AXIS, None, None)),
         out_specs=P(None), check_vma=False)
     def run(ct, labels0, nb, md2, ti_l, tj_l):
-        idx = jax.lax.axis_index(FRAME_AXIS)
-        rows_t = jax.lax.dynamic_slice_in_dim(ct, idx * rows_local,
-                                              rows_local, axis=1)
         ti = ti_l[0]  # (n_chunks, bucket)
         tj = tj_l[0]
-        off_blocks = idx.astype(jnp.int32) * blocks_local
 
         def cond(state):
             return state[1]
@@ -224,33 +231,112 @@ def _screening_sharded_pallas(coords_t, labels0, n_below, max_dist2,
         def body(state):
             labels_in, _, dirty = state
 
-            def chunk_body(m, tt):
+            def chunk_body(labels_cur, tt):
                 ti_c, tj_c = tt
-                mi = pk.label_min_sparse_cross(
-                    rows_t, ct, labels_in.reshape(1, -1), nb, md2,
-                    ti_c, tj_c, off_blocks, dirty=dirty,
+                mi = pk.label_min_sparse(
+                    ct, labels_cur.reshape(1, -1), nb, md2,
+                    ti_c, tj_c, dirty=dirty,
                     row_block=row_block, col_block=col_block)[0]
-                return jnp.minimum(m, mi), None
+                # Gauss-Seidel across this chip's chunks
+                return jnp.minimum(labels_cur, mi), None
 
-            m_loc, _ = jax.lax.scan(
-                chunk_body,
-                jnp.full((rows_local,), jnp.int32(2**31 - 1),
-                         dtype=jnp.int32), (ti, tj))
-            m_full = jax.lax.all_gather(m_loc, FRAME_AXIS, tiled=True)
-            labels_cur = jnp.minimum(labels_in, m_full)
-            labels_out = union_rebase(labels_in, labels_cur)
-            changed = labels_out != labels_in
+            swept_loc, _ = jax.lax.scan(chunk_body, labels_in, (ti, tj))
+            labels_cur = jax.lax.pmin(swept_loc, FRAME_AXIS)
+            head_in = labels_in[:union_size]
+            head_out = union_rebase(head_in, labels_cur[:union_size])
+            changed = head_out != head_in
+            labels_out = (head_out if union_size == n_pad else
+                          jnp.concatenate([head_out,
+                                           labels_in[union_size:]]))
             # clean column blocks can only re-propose known equivalences
-            dirty_next = jnp.any(changed.reshape(-1, col_block),
+            dirty_head = jnp.any(changed.reshape(nub, col_block),
                                  axis=1).astype(jnp.int32)
+            dirty_next = (dirty_head if nub == ncb else
+                          jnp.concatenate([dirty_head,
+                                           jnp.zeros(ncb - nub,
+                                                     jnp.int32)]))
             return (labels_out, jnp.any(changed), dirty_next)
 
         labels, _, _ = jax.lax.while_loop(
             cond, body, (labels0, jnp.bool_(True),
-                         jnp.ones((n_pad // col_block,), dtype=jnp.int32)))
+                         jnp.ones((ncb,), dtype=jnp.int32)))
         return labels
 
     return run(coords_t, labels0, n_below, max_dist2, ti_dev, tj_dev)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "row_block", "col_block"))
+def _sweep_group_sharded(coords_t, labels, n_below, max_dist2,
+                         ti_dev, tj_dev, dirty, mesh,
+                         row_block=DEFAULT_ROW_BLOCK,
+                         col_block=DEFAULT_COL_BLOCK):
+    """One bounded group of mesh sweep chunks: per-chip Gauss-Seidel scan,
+    pmin merge. Building block of the host-driven mesh fixpoint (the mesh
+    analog of ops/screening.py::_sweep_group)."""
+    from ..ops import pallas_kernels as pk
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, None), P(None), P(), P(),
+                  P(FRAME_AXIS, None, None), P(FRAME_AXIS, None, None),
+                  P(None)),
+        out_specs=P(None), check_vma=False)
+    def run(ct, labels, nb, md2, ti_l, tj_l, dirty):
+        def chunk_body(labels_cur, tt):
+            ti_c, tj_c = tt
+            mi = pk.label_min_sparse(
+                ct, labels_cur.reshape(1, -1), nb, md2, ti_c, tj_c,
+                dirty=dirty, row_block=row_block, col_block=col_block)[0]
+            return jnp.minimum(labels_cur, mi), None
+
+        swept, _ = jax.lax.scan(chunk_body, labels, (ti_l[0], tj_l[0]))
+        return jax.lax.pmin(swept, FRAME_AXIS)
+
+    return run(coords_t, labels, n_below, max_dist2, ti_dev, tj_dev, dirty)
+
+
+def _sparse_fixpoint_host_mesh(coords_t, labels0, n_below, max_dist2,
+                               ti_dev, tj_dev, mesh, row_block, col_block,
+                               union_size, group):
+    """Host-driven mesh fixpoint for tile lists too long for one device
+    program (runtime watchdogs): each sweep is a series of bounded group
+    dispatches over the mesh, convergence is one scalar readback per
+    sweep. Mirrors ops/screening.py::_sparse_fixpoint_host."""
+    from ..ops.screening import _union_step
+
+    ti_dev = np.asarray(ti_dev, dtype=np.int32)
+    tj_dev = np.asarray(tj_dev, dtype=np.int32)
+    n_pad = coords_t.shape[1]
+    ncb = n_pad // col_block
+    nb = jnp.int32(n_below)
+    md2 = jnp.float32(max_dist2)
+    labels = labels0
+    dirty = jnp.ones((ncb,), dtype=jnp.int32)
+    n_chunks = ti_dev.shape[1]
+    iters = 0
+    while True:
+        swept = labels
+        for lo in range(0, n_chunks, group):
+            ti_g = ti_dev[:, lo:lo + group]
+            tj_g = tj_dev[:, lo:lo + group]
+            if ti_g.shape[1] < group:
+                pad = group - ti_g.shape[1]
+                ti_g = np.concatenate(
+                    [ti_g, np.repeat(ti_g[:, -1:], pad, axis=1)], axis=1)
+                tj_g = np.concatenate(
+                    [tj_g, np.repeat(tj_g[:, -1:], pad, axis=1)], axis=1)
+            swept = _sweep_group_sharded(
+                coords_t, swept, nb, md2, jnp.asarray(ti_g),
+                jnp.asarray(tj_g), dirty, mesh,
+                row_block=row_block, col_block=col_block)
+        labels, changed, dirty = _union_step(labels, swept,
+                                             union_size=union_size,
+                                             col_block=col_block)
+        iters += 1
+        if not bool(changed):
+            break
+    return labels, iters
 
 
 @functools.partial(jax.jit,
@@ -325,12 +411,11 @@ def _nearest_neighbors_pallas_mesh(coords, free_energy, mesh, row_block,
     fe_dev = jnp.asarray(fe_padded).reshape(1, n_pad)
     oid_dev = jnp.asarray(oid).reshape(1, n_pad)
     nrb, ncb = n_pad // row_block, n_pad // col_block
-    blocks_local = nrb // n_dev
 
     def run(active):
         ti, tj = np.nonzero(active)
-        ti_dev, tj_dev = pruning.split_tiles_per_device(
-            ti, tj, blocks_local, n_dev, pad_mode="repeat")
+        ti_dev, tj_dev, _ = pruning.split_tiles_balanced(
+            ti, tj, n_dev, pad_mode="repeat")
         return _nn_sharded_sparse(ct, fe_dev, oid_dev, jnp.int32(n),
                                   jnp.asarray(ti_dev),
                                   jnp.asarray(tj_dev), mesh,
@@ -438,8 +523,8 @@ def screening_labels(coords_sorted, initial_labels, n_below, max_dist2,
         ti, tj = np.nonzero(active)
         # devices with no active tiles redundantly re-sweep tile (0, 0)
         # -- harmless under the idempotent min ('repeat' pad mode)
-        ti_dev, tj_dev = pruning.split_tiles_per_device(
-            ti, tj, nrb // n_dev, n_dev, pad_mode="repeat")
+        ti_dev, tj_dev, _ = pruning.split_tiles_balanced(
+            ti, tj, n_dev, pad_mode="repeat")
         out = _screening_sharded_pallas(
             jnp.asarray(padded.T), jnp.asarray(labels), jnp.int32(n_below),
             jnp.float32(max_dist2), jnp.asarray(ti_dev),

@@ -113,3 +113,106 @@ def test_sharded_pallas_screening(mesh8, blobs):
             cs, labels0, nb, t, mesh8, row_block=8, col_block=16,
             backend="pallas")
         np.testing.assert_array_equal(want, got)
+
+
+def _series_inputs(blobs):
+    pops = ops.populations(blobs, [0.4], row_block=32, col_block=64)[0.4]
+    fe = ops.free_energies(pops)
+    nn = ops.nearest_neighbors(blobs, fe, row_block=32, col_block=64)
+    from clustering_tpu.ops import neighbors as nbr
+    max_dist2 = np.float32(4.0 * nbr.compute_sigma2(nn[1]))
+    return fe, nn, max_dist2
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_threshold_series_mesh_matches_single_chip(mesh8, blobs, backend):
+    """The production multi-chip series path (ThresholdSeriesScreener +
+    mesh + pallas, incremental row_lo tile lists) must reproduce the
+    single-chip series exactly (VERDICT round-1 item 5)."""
+    from clustering_tpu.ops.screening import ThresholdSeriesScreener
+    fe, nn, max_dist2 = _series_inputs(blobs)
+    thresholds = [np.float32(t) for t in (0.1, 0.3, 0.6)]
+    single = ThresholdSeriesScreener(blobs, fe, thresholds,
+                                     row_block=8, col_block=16,
+                                     backend="xla")
+    meshed = ThresholdSeriesScreener(blobs, fe, thresholds,
+                                     row_block=8, col_block=16,
+                                     backend=backend, mesh=mesh8,
+                                     hd_neighbors=(nn[2], nn[3]))
+    c_s = c_m = None
+    for k in range(len(thresholds)):
+        c_s = single.step(c_s, k, max_dist2)
+        c_m = meshed.step(c_m, k, max_dist2)
+        np.testing.assert_array_equal(c_s, c_m, err_msg=f"threshold {k}")
+
+
+def test_threshold_series_mesh_pallas_host_driven(mesh8, blobs,
+                                                  monkeypatch):
+    """Force tiny dispatch groups and tile chunks so the mesh pallas path
+    takes the host-driven bounded-dispatch fixpoint (the safety valve the
+    single-chip path grew in ef787f5)."""
+    from clustering_tpu.ops import pallas_kernels as pk
+    from clustering_tpu.ops import pruning
+    from clustering_tpu.ops.screening import ThresholdSeriesScreener
+    fe, nn, max_dist2 = _series_inputs(blobs)
+    thresholds = [np.float32(t) for t in (0.3, 0.6)]
+    single = ThresholdSeriesScreener(blobs, fe, thresholds,
+                                     row_block=8, col_block=16,
+                                     backend="xla")
+    want = []
+    c = None
+    for k in range(len(thresholds)):
+        c = single.step(c, k, max_dist2)
+        want.append(c)
+    monkeypatch.setattr(pk, "DISPATCH_CHUNK_GROUP", 2)
+    orig_split = pruning.split_tiles_balanced
+    monkeypatch.setattr(
+        pruning, "split_tiles_balanced",
+        lambda ti, tj, n_dev, pad_mode="repeat", max_entries=None:
+            orig_split(ti, tj, n_dev, pad_mode=pad_mode, max_entries=8))
+    from clustering_tpu.parallel import sharded as sh
+    host_calls = []
+    orig_host = sh._sparse_fixpoint_host_mesh
+    monkeypatch.setattr(
+        sh, "_sparse_fixpoint_host_mesh",
+        lambda *a, **k: host_calls.append(1) or orig_host(*a, **k))
+    meshed = ThresholdSeriesScreener(blobs, fe, thresholds,
+                                     row_block=8, col_block=16,
+                                     backend="pallas", mesh=mesh8)
+    c = None
+    for k in range(len(thresholds)):
+        c = meshed.step(c, k, max_dist2)
+        np.testing.assert_array_equal(want[k], c, err_msg=f"threshold {k}")
+    assert host_calls, "host-driven mesh fixpoint was never exercised"
+
+
+def test_balanced_tile_split_on_skewed_data(mesh8):
+    """Spatially-skewed data concentrates active tiles in few row blocks;
+    the balanced splitter must still hand every device an equal share
+    (VERDICT round-1 item 4)."""
+    from clustering_tpu.ops import pruning
+    rng = np.random.default_rng(5)
+    # 90% of frames in one tight cluster -> most tiles in one corner
+    dense = rng.normal((0.0, 0.0), 0.02, size=(360, 2))
+    sparse = rng.uniform(-50.0, 50.0, size=(40, 2))
+    coords = np.concatenate([dense, sparse]).astype(np.float32)
+    single = ops.populations(coords, [0.1], row_block=8, col_block=16)[0.1]
+    sharded = parallel.sharded.populations(coords, [0.1], mesh8,
+                                           row_block=8, col_block=16,
+                                           backend="pallas")
+    np.testing.assert_array_equal(single, sharded[0.1])
+    # balance metric: per-device real tile counts within one tile
+    order = pruning.morton_order(coords)
+    n_pad = 8 * 16 * -(-len(coords) // (8 * 16))
+    padded = np.full((n_pad, 2), 3e38, dtype=np.float32)
+    padded[:len(coords)] = coords[order]
+    rmin, rmax = pruning.block_bboxes(padded, 8)
+    cmin, cmax = pruning.block_bboxes(padded, 16)
+    active = pruning.bbox_dist2(rmin, rmax, cmin, cmax) <= np.float32(0.01)
+    ti, tj = np.nonzero(active)
+    _, _, counts = pruning.split_tiles_balanced(ti, tj, 8)
+    assert counts.max() - counts.min() <= 1
+    # the row-ownership split this replaces was badly skewed here
+    nrb = n_pad // 8
+    row_counts = np.bincount(ti // (nrb // 8), minlength=8)
+    assert row_counts.max() > 2 * max(int(row_counts.min()), 1)
