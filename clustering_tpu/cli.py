@@ -274,6 +274,12 @@ def _setup_jax_runtime():
     import os
     try:
         import jax
+        # honor JAX_PLATFORMS even under out-of-tree platform plugins that
+        # ignore the environment variable (the env alone does not disable
+        # them; the config update does)
+        plat = os.environ.get("JAX_PLATFORMS")
+        if plat:
+            jax.config.update("jax_platforms", plat)
         # opt-in: some TPU runtimes (remote-compile tunnels) serialize
         # executables so slowly that the cache costs more than it saves
         cache_dir = os.environ.get("CLUSTERING_TPU_CACHE")
@@ -285,9 +291,24 @@ def _setup_jax_runtime():
             jax.config.update("jax_persistent_cache_min_compile_time_secs",
                               0.5)
         if os.environ.get("CLUSTERING_TPU_DISTRIBUTED"):
-            # multi-host pods: coordinator/process env handled by
-            # jax.distributed (DCN between hosts, ICI within)
-            jax.distributed.initialize()
+            # multi-host pods (DCN between hosts, ICI within). On cloud
+            # TPU pods jax.distributed auto-detects; elsewhere pass the
+            # coordinator explicitly:
+            #   CLUSTERING_TPU_COORDINATOR=host:port
+            #   CLUSTERING_TPU_NUM_PROCESSES=N
+            #   CLUSTERING_TPU_PROCESS_ID=i
+            # (exercised by tests/test_distributed.py on a two-process
+            # CPU cluster)
+            kwargs = {}
+            coord = os.environ.get("CLUSTERING_TPU_COORDINATOR")
+            if coord:
+                kwargs = dict(
+                    coordinator_address=coord,
+                    num_processes=int(
+                        os.environ["CLUSTERING_TPU_NUM_PROCESSES"]),
+                    process_id=int(
+                        os.environ["CLUSTERING_TPU_PROCESS_ID"]))
+            jax.distributed.initialize(**kwargs)
         profile_dir = os.environ.get("CLUSTERING_TPU_PROFILE")
         if profile_dir:
             # whole-run device trace (stage_timer scopes appear as

@@ -28,7 +28,9 @@ from .pairwise import sq_dists, pad_rows
 DEFAULT_ROW_BLOCK = 1024
 DEFAULT_COL_BLOCK = 4096
 
-_INF = jnp.float32(np.inf)
+# numpy scalar: a jnp constant here would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize()
+_INF = np.float32(np.inf)
 
 
 def nn_rows(rows, fe_rows, col_blocks, fe_col_blocks, n_valid_cols):

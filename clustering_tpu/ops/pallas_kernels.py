@@ -48,7 +48,16 @@ DEFAULT_ROW_BLOCK = 128
 DEFAULT_COL_BLOCK = 4096
 
 # CPU backends run the kernels through the Pallas interpreter (tests)
-INTERPRET = jax.default_backend() == "cpu"
+# resolved lazily: touching the backend at import time would break
+# jax.distributed.initialize() (must run before any XLA-backend call)
+_INTERPRET = None
+
+
+def INTERPRET_MODE():
+    global _INTERPRET
+    if _INTERPRET is None:
+        _INTERPRET = jax.default_backend() == "cpu"
+    return _INTERPRET
 
 _IMAX = np.int32(np.iinfo(np.int32).max)
 _INF = np.float32(np.inf)
@@ -143,7 +152,7 @@ def pops_tiles_cross(rows_t, cols_t, radii2, n_valid, skip_words,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_radii, r_pad), jnp.int32),
-        interpret=INTERPRET,
+        interpret=INTERPRET_MODE(),
     )(jnp.asarray([n_valid], dtype=jnp.int32),
       jnp.asarray(skip_words, dtype=jnp.int32),
       rows_t, cols_t,
@@ -237,7 +246,7 @@ def pops_tiles_sparse_cross(rows_t, cols_t, radii2, n_valid, tile_i, tile_j,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_radii, r_pad), jnp.int32),
         input_output_aliases={7: 0},
-        interpret=INTERPRET,
+        interpret=INTERPRET_MODE(),
     )(jnp.asarray([n_valid], dtype=jnp.int32),
       jnp.asarray(tile_i, dtype=jnp.int32),
       jnp.asarray(tile_j, dtype=jnp.int32),
@@ -363,7 +372,7 @@ def nn_tiles_cross(rows_t, fe_rows, cols_t, fe_cols, orig_ids, n_valid,
             jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
         ],
-        interpret=INTERPRET,
+        interpret=INTERPRET_MODE(),
     )(jnp.asarray([n_valid], dtype=jnp.int32),
       jnp.asarray(skip_words, dtype=jnp.int32),
       rows_t, cols_t, fe_rows, fe_cols, orig_ids)
@@ -598,7 +607,7 @@ def nn_tiles_sparse_cross(rows_t, fe_rows, cols_t, fe_cols, orig_ids,
             jax.ShapeDtypeStruct((2, r_pad), jnp.int32),
         ],
         input_output_aliases={8: 0, 9: 1},
-        interpret=INTERPRET,
+        interpret=INTERPRET_MODE(),
     )(jnp.asarray([n_valid], dtype=jnp.int32),
       jnp.asarray(tile_i, dtype=jnp.int32),
       jnp.asarray(tile_j, dtype=jnp.int32),
@@ -709,7 +718,7 @@ def label_min_sparse_cross(rows_t, cols_t, labels, n_below, max_dist2,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
         input_output_aliases={8: 0},  # init buffer -> output
-        interpret=INTERPRET,
+        interpret=INTERPRET_MODE(),
     )(window,
       jnp.asarray([max_dist2], dtype=jnp.float32),
       jnp.asarray(tile_i, dtype=jnp.int32),

@@ -45,7 +45,9 @@ from ..utils.logger import logger, is_verbose
 DEFAULT_ROW_BLOCK = 128
 DEFAULT_COL_BLOCK = 4096
 
-_IMAX = jnp.int32(np.iinfo(np.int32).max)
+# numpy scalar: a jnp constant here would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize()
+_IMAX = np.int32(np.iinfo(np.int32).max)
 
 
 def sweep_row_range(coords_all, labels, row_offset, n_rows_local, n_below,
@@ -323,10 +325,12 @@ class ScreeningEngine:
         padded[:self.n] = coords_sorted
         padded[self.n:] = np.float32(3e38)
         self._padded_host = padded
-        if backend == "pallas":
-            self._coords_dev = jnp.asarray(padded.T)
+        dev = padded.T if backend == "pallas" else padded
+        if mesh is not None:
+            from ..parallel.mesh import replicated
+            self._coords_dev = replicated(dev, mesh)
         else:
-            self._coords_dev = jnp.asarray(padded)
+            self._coords_dev = jnp.asarray(dev)
         self._bbox_d2 = None
 
     def _tile_list(self, row_lo, n_below, max_dist2):
@@ -375,7 +379,10 @@ class ScreeningEngine:
             tiles = self._tile_list(row_lo, n_below, max_dist2)
             if tiles is None:
                 return labels_dev
+            from ..parallel.mesh import replicated
             ti_dev, tj_dev = self._split_tiles_per_device(*tiles)
+            ti_dev = replicated(ti_dev, self.mesh)
+            tj_dev = replicated(tj_dev, self.mesh)
             union_size = self._union_size(n_below)
             if ti_dev.shape[1] > DISPATCH_CHUNK_GROUP:
                 # per-device tile list too long for one device program
@@ -394,8 +401,7 @@ class ScreeningEngine:
                 return out
             return sharded._screening_sharded_pallas(
                 self._coords_dev, labels_dev, jnp.int32(n_below),
-                jnp.float32(max_dist2), jnp.asarray(ti_dev),
-                jnp.asarray(tj_dev), self.mesh,
+                jnp.float32(max_dist2), ti_dev, tj_dev, self.mesh,
                 row_block=self.row_block, col_block=self.col_block,
                 union_size=union_size)
         if self.backend == "pallas":
@@ -425,8 +431,9 @@ class ScreeningEngine:
             return out
         if self.mesh is not None:
             from ..parallel import sharded
+            from ..parallel.mesh import replicated
             return sharded._screening_sharded(
-                jnp.asarray(self._padded_host), labels_dev,
+                replicated(self._padded_host, self.mesh), labels_dev,
                 jnp.int32(n_below), jnp.float32(max_dist2), self.mesh,
                 row_block=self.row_block, col_block=self.col_block)
         out, _ = _screening_fixpoint(
@@ -444,9 +451,9 @@ class ScreeningEngine:
         if self.n_pad != self.n:
             labels = np.concatenate(
                 [labels, np.arange(self.n, self.n_pad, dtype=np.int32)])
-        out = self.run_device(jnp.asarray(labels), n_below, max_dist2,
+        out = self.run_device(self._upload(labels), n_below, max_dist2,
                               row_lo=row_lo)
-        return np.asarray(jax.device_get(out))[:self.n]
+        return self._fetch(out)[:self.n]
 
     def _union_size(self, n_below):
         """Union prefix: power-of-two col-block count >= n_below keeps the
@@ -455,6 +462,20 @@ class ScreeningEngine:
         nub = 1 << int(np.ceil(np.log2(
             max(-(-n_below // self.col_block), 1))))
         return min(nub * self.col_block, self.n_pad)
+
+    def _upload(self, labels):
+        """Host labels -> device, replicated over the mesh when present
+        (multi-process safe)."""
+        if self.mesh is not None:
+            from ..parallel.mesh import replicated
+            return replicated(np.asarray(labels), self.mesh)
+        return jnp.asarray(labels)
+
+    def _fetch(self, labels_dev):
+        if self.mesh is not None:
+            from ..parallel.mesh import fetch
+            return fetch(labels_dev)
+        return np.asarray(jax.device_get(labels_dev))
 
     def _split_tiles_per_device(self, ti, tj):
         """Balance the global tile chunks round-robin over devices (the
@@ -586,7 +607,7 @@ class ThresholdSeriesScreener:
             seeds = self._seed_vals(0, nb, max_dist2)
             if seeds is not None:
                 labels0[:nb] = seeds
-            labels_dev = jnp.asarray(labels0)
+            labels_dev = self.engine._upload(labels0)
         else:
             # generic host seed path (arbitrary previous clustering):
             # rebuild first-occurrence pointers from the state names.
@@ -616,7 +637,7 @@ class ThresholdSeriesScreener:
                 seg = labels0[prev_last:nb]
                 unassigned = seg == np.arange(prev_last, nb)
                 seg[unassigned] = seeds[unassigned]
-            labels_dev = jnp.asarray(labels0.astype(np.int32))
+            labels_dev = self.engine._upload(labels0.astype(np.int32))
             prev_last = 0  # full sweep; seed labels are equivalences only
         if prev_last >= nb:
             # nothing new below this threshold: keep the previous result
@@ -629,7 +650,7 @@ class ThresholdSeriesScreener:
             return out
         labels_dev = self.engine.run_device(labels_dev, nb, max_dist2,
                                             row_lo=prev_last)
-        final = np.asarray(jax.device_get(labels_dev))[:n]
+        final = self.engine._fetch(labels_dev)[:n]
         # normalize names by each component's minimal FE-sorted rank
         comp = final[:nb].astype(np.int64)
         comp_vals, comp_idx = np.unique(comp, return_inverse=True)

@@ -32,3 +32,26 @@ def make_mesh(n_devices=None, devices=None):
 
 def mesh_size(mesh) -> int:
     return int(np.prod(list(mesh.shape.values())))
+
+
+def replicated(x, mesh):
+    """Place a host array on the mesh fully replicated.
+
+    Uses an explicit NamedSharding so the placement is valid on
+    multi-host (DCN) meshes as well -- a plain ``jnp.asarray`` commits to
+    the process-local default device, which a multi-process jit rejects.
+    """
+    spec = jax.sharding.PartitionSpec(*([None] * np.ndim(x)))
+    return jax.device_put(x, jax.sharding.NamedSharding(mesh, spec))
+
+
+def fetch(x):
+    """Fully-replicated device array -> host numpy, multi-process safe.
+
+    Every process holds a complete copy of a replicated output, so one
+    addressable shard is the whole array (no cross-host gather needed).
+    """
+    x = jax.block_until_ready(x)
+    if jax.process_count() == 1 or not hasattr(x, "addressable_shards"):
+        return np.array(jax.device_get(x))  # writable copy
+    return np.array(x.addressable_shards[0].data)

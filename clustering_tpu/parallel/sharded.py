@@ -27,8 +27,7 @@ from jax.sharding import PartitionSpec as P
 from ..ops import density as dops
 from ..ops import neighbors as nops
 from ..ops import screening as sops
-from ..ops.pairwise import pad_rows
-from .mesh import FRAME_AXIS, mesh_size
+from .mesh import FRAME_AXIS, fetch, mesh_size, replicated
 
 DEFAULT_ROW_BLOCK = 1024
 DEFAULT_COL_BLOCK = 4096
@@ -46,10 +45,13 @@ def _pops_sharded(coords_padded, radii2, n_valid, mesh,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(FRAME_AXIS, None), P(None, None), P(None), P()),
-        out_specs=P(None, FRAME_AXIS), check_vma=False)
+        out_specs=P(None, None), check_vma=False)
     def run(rows_shard, coords_all, radii2, n_valid):
-        return dops.counts_row_range(rows_shard, coords_all, radii2,
+        part = dops.counts_row_range(rows_shard, coords_all, radii2,
                                      n_valid, row_block, col_block)
+        # replicate so hosts of a multi-process (DCN) mesh can read the
+        # result without a cross-host gather
+        return jax.lax.all_gather(part, FRAME_AXIS, axis=1, tiled=True)
 
     return run(coords_padded, coords_padded, radii2, n_valid)
 
@@ -128,18 +130,21 @@ def populations(coords, radii, mesh,
         ti_dev, tj_dev, _ = pruning.split_tiles_balanced(
             ti, tj, n_dev, pad_mode="noop")
         counts = _pops_sharded_sparse(
-            jnp.asarray(padded.T), radii2, jnp.int32(n),
-            jnp.asarray(ti_dev), jnp.asarray(tj_dev), mesh,
+            replicated(padded.T, mesh), radii2, jnp.int32(n),
+            replicated(ti_dev, mesh), replicated(tj_dev, mesh), mesh,
             row_block=row_block, col_block=col_block)
-        counts = np.asarray(jax.device_get(counts))[:, :n]
+        counts = fetch(counts)[:, :n]
         unsorted = np.empty_like(counts)
         unsorted[:, order] = counts
         return {r: unsorted[i].astype(np.int64)
                 for i, r in enumerate(radii)}
-    padded = pad_rows(jnp.asarray(coords), block)
+    n_pad = -(-n // block) * block
+    padded_np = np.zeros((n_pad, coords.shape[1]), dtype=np.float32)
+    padded_np[:n] = coords
+    padded = replicated(padded_np, mesh)
     counts = _pops_sharded(padded, radii2, jnp.int32(n), mesh,
                            row_block=row_block, col_block=col_block)
-    counts = np.asarray(jax.device_get(counts))[:, :n].astype(np.int64)
+    counts = fetch(counts)[:, :n].astype(np.int64)
     return {r: counts[i] for i, r in enumerate(radii)}
 
 
@@ -347,11 +352,12 @@ def _nn_sharded(coords_padded, fe_padded, n_valid, mesh,
         jax.shard_map, mesh=mesh,
         in_specs=(P(FRAME_AXIS, None), P(FRAME_AXIS), P(None, None),
                   P(None), P()),
-        out_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS),
-                   P(FRAME_AXIS)), check_vma=False)
+        out_specs=(P(None), P(None), P(None), P(None)), check_vma=False)
     def run(rows_shard, fe_shard, coords_all, fe_all, n_valid):
-        return nops.nn_row_range(rows_shard, fe_shard, coords_all, fe_all,
-                                 n_valid, row_block, col_block)
+        parts = nops.nn_row_range(rows_shard, fe_shard, coords_all, fe_all,
+                                  n_valid, row_block, col_block)
+        return tuple(jax.lax.all_gather(p, FRAME_AXIS, tiled=True)
+                     for p in parts)
 
     return run(coords_padded, fe_padded, coords_padded, fe_padded, n_valid)
 
@@ -367,19 +373,24 @@ def nearest_neighbors(coords, free_energy, mesh,
         return _nearest_neighbors_pallas_mesh(coords, free_energy, mesh,
                                               row_block, col_block,
                                               prune, band_blocks)
-    coords = jnp.asarray(coords, dtype=jnp.float32)
-    fe = jnp.asarray(free_energy, dtype=jnp.float32)
+    coords = np.asarray(coords, dtype=np.float32)
+    fe = np.asarray(free_energy, dtype=np.float32)
     n = coords.shape[0]
     block = _pad_block(n, mesh_size(mesh), row_block, col_block)
-    padded = pad_rows(coords, block)
-    fe_padded = pad_rows(fe, block, fill=np.inf)
-    nh_d, nh_j, hd_d, hd_j = _nn_sharded(padded, fe_padded, jnp.int32(n),
+    n_pad = -(-n // block) * block
+    padded_np = np.zeros((n_pad, coords.shape[1]), dtype=np.float32)
+    padded_np[:n] = coords
+    fe_np = np.full(n_pad, np.inf, dtype=np.float32)
+    fe_np[:n] = fe
+    nh_d, nh_j, hd_d, hd_j = _nn_sharded(replicated(padded_np, mesh),
+                                         replicated(fe_np, mesh),
+                                         jnp.int32(n),
                                          mesh, row_block=row_block,
                                          col_block=col_block)
-    nh_d = np.array(jax.device_get(nh_d))[:n]
-    nh_j = np.array(jax.device_get(nh_j))[:n].astype(np.int64)
-    hd_d = np.array(jax.device_get(hd_d))[:n]
-    hd_j = np.array(jax.device_get(hd_j))[:n].astype(np.int64)
+    nh_d = fetch(nh_d)[:n]
+    nh_j = fetch(nh_j)[:n].astype(np.int64)
+    hd_d = fetch(hd_d)[:n]
+    hd_j = fetch(hd_j)[:n].astype(np.int64)
     no_nh = ~np.isfinite(nh_d)
     nh_d[no_nh] = 0.0
     nh_j[no_nh] = 0
@@ -407,9 +418,9 @@ def _nearest_neighbors_pallas_mesh(coords, free_energy, mesh, row_block,
     fe_padded[:n] = fe[order]
     oid = np.full(n_pad, np.iinfo(np.int32).max, dtype=np.int32)
     oid[:n] = order
-    ct = jnp.asarray(padded.T)
-    fe_dev = jnp.asarray(fe_padded).reshape(1, n_pad)
-    oid_dev = jnp.asarray(oid).reshape(1, n_pad)
+    ct = replicated(padded.T, mesh)
+    fe_dev = replicated(fe_padded.reshape(1, n_pad), mesh)
+    oid_dev = replicated(oid.reshape(1, n_pad), mesh)
     nrb, ncb = n_pad // row_block, n_pad // col_block
 
     def run(active):
@@ -417,15 +428,15 @@ def _nearest_neighbors_pallas_mesh(coords, free_energy, mesh, row_block,
         ti_dev, tj_dev, _ = pruning.split_tiles_balanced(
             ti, tj, n_dev, pad_mode="repeat")
         return _nn_sharded_sparse(ct, fe_dev, oid_dev, jnp.int32(n),
-                                  jnp.asarray(ti_dev),
-                                  jnp.asarray(tj_dev), mesh,
+                                  replicated(ti_dev, mesh),
+                                  replicated(tj_dev, mesh), mesh,
                                   row_block=row_block,
                                   col_block=col_block)
 
     if prune and ncb > 2 * band_blocks:
         out1 = run(pruning.band_mask(nrb, ncb, row_block, col_block,
                                      band_blocks * col_block))
-        out1_d = np.asarray(out1[0])
+        out1_d = fetch(out1[0])
         row_ub = np.maximum(out1_d[0], out1_d[1]).reshape(
             nrb, row_block).max(axis=1)
         rmin, rmax = pruning.block_bboxes(padded, row_block)
@@ -435,8 +446,8 @@ def _nearest_neighbors_pallas_mesh(coords, free_energy, mesh, row_block,
     else:
         active = np.ones((nrb, ncb), dtype=bool)
     out = run(active)
-    out_d = np.array(jax.device_get(out[0]))
-    out_j = np.array(jax.device_get(out[1]))
+    out_d = fetch(out[0])
+    out_j = fetch(out[1])
     nh_d, hd_d = out_d[0, :n], out_d[1, :n]
     nh_j = out_j[0, :n].astype(np.int64)
     hd_j = out_j[1, :n].astype(np.int64)
@@ -526,14 +537,17 @@ def screening_labels(coords_sorted, initial_labels, n_below, max_dist2,
         ti_dev, tj_dev, _ = pruning.split_tiles_balanced(
             ti, tj, n_dev, pad_mode="repeat")
         out = _screening_sharded_pallas(
-            jnp.asarray(padded.T), jnp.asarray(labels), jnp.int32(n_below),
-            jnp.float32(max_dist2), jnp.asarray(ti_dev),
-            jnp.asarray(tj_dev), mesh,
+            replicated(padded.T, mesh), replicated(labels, mesh),
+            jnp.int32(n_below),
+            jnp.float32(max_dist2), replicated(ti_dev, mesh),
+            replicated(tj_dev, mesh), mesh,
             row_block=row_block, col_block=col_block)
-        return np.asarray(jax.device_get(out))[:n]
-    coords_padded = pad_rows(jnp.asarray(coords_sorted), block)
-    out = _screening_sharded(coords_padded, jnp.asarray(labels),
+        return fetch(out)[:n]
+    padded_np = np.zeros((n_pad, coords_sorted.shape[1]), dtype=np.float32)
+    padded_np[:n] = coords_sorted
+    out = _screening_sharded(replicated(padded_np, mesh),
+                             replicated(labels, mesh),
                              jnp.int32(n_below),
                              jnp.float32(max_dist2), mesh,
                              row_block=row_block, col_block=col_block)
-    return np.asarray(jax.device_get(out))[:n]
+    return fetch(out)[:n]

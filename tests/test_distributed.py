@@ -1,0 +1,159 @@
+"""Multi-host (DCN) path: a real two-process jax.distributed CPU cluster
+must initialize through the CLI's CLUSTERING_TPU_DISTRIBUTED hook and
+produce bit-identical results to a single process.
+
+The reference's multi-node story is the MPI backend
+(/root/reference/src/density_clustering_mpi.cpp:392-505, rank
+decomposition + gather/Bcast at :155-181, 247-292); here the SAME
+shard_map program spans processes -- the mesh simply includes other
+hosts' devices and the psum/pmin/all_gather collectives ride DCN.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+import numpy as np
+
+# 4 local CPU devices per process BEFORE jax initializes
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=4 "
+                           + os.environ.get("XLA_FLAGS", ""))
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+# the CLI's distributed hook (CLUSTERING_TPU_DISTRIBUTED=1 + coordinator
+# env vars are set by the parent test)
+from clustering_tpu import cli
+cli._setup_jax_runtime()
+
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 8, jax.device_count()
+assert len(jax.local_devices()) == 4
+
+from clustering_tpu import ops, parallel
+from clustering_tpu.models import density as density_model
+from clustering_tpu.ops import neighbors as nbr
+from clustering_tpu.ops.screening import ThresholdSeriesScreener
+
+mesh = parallel.make_mesh()  # spans both processes
+
+rng = np.random.default_rng(21)
+coords = np.concatenate([
+    rng.normal((0.0, 0.0), 0.15, size=(90, 2)),
+    rng.normal((1.5, 0.4), 0.2, size=(70, 2)),
+]).astype(np.float32)
+
+pops = parallel.sharded.populations(coords, [0.3, 0.6], mesh,
+                                    row_block=8, col_block=16)
+fe = ops.free_energies(pops[0.6])
+nn = parallel.sharded.nearest_neighbors(coords, fe, mesh,
+                                        row_block=8, col_block=16)
+max_dist2 = np.float32(4.0 * nbr.compute_sigma2(nn[1]))
+order = density_model.sorted_fe_order(fe)
+labels0 = np.arange(len(coords), dtype=np.int32)
+labels = parallel.sharded.screening_labels(
+    coords[order], labels0, n_below=120, max_dist2=float(max_dist2),
+    mesh=mesh, row_block=8, col_block=16)
+series = ThresholdSeriesScreener(coords, fe,
+                                 [np.float32(0.4), np.float32(0.9)],
+                                 row_block=8, col_block=16,
+                                 backend="xla", mesh=mesh)
+c = None
+clusterings = []
+for k in range(2):
+    c = series.step(c, k, max_dist2)
+    clusterings.append(c)
+
+np.savez(sys.argv[1], pops3=pops[0.3], pops6=pops[0.6],
+         nh=nn[0], nhd=nn[1], hd=nn[2], hdd=nn[3], labels=labels,
+         clust0=clusterings[0], clust1=clusterings[1])
+print("WORKER_OK", jax.process_index())
+"""
+
+
+@pytest.mark.timeout(600)
+def test_two_process_dcn_matches_single_process(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))
+        env.update({
+            "PYTHONPATH": repo_root + os.pathsep
+            + env.get("PYTHONPATH", ""),
+            "CLUSTERING_TPU_DISTRIBUTED": "1",
+            "CLUSTERING_TPU_COORDINATOR": f"localhost:{port}",
+            "CLUSTERING_TPU_NUM_PROCESSES": "2",
+            "CLUSTERING_TPU_PROCESS_ID": str(pid),
+            "JAX_PLATFORMS": "cpu",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker), str(tmp_path / f"out{pid}.npz")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=480)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+            pytest.fail(f"distributed worker timed out\n{out}\n{err}")
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed (rc={rc}):\n{out}\n{err}"
+        assert "WORKER_OK" in out
+
+    # single-process reference on the in-process 8-device mesh
+    from clustering_tpu import ops, parallel
+    from clustering_tpu.models import density as density_model
+    from clustering_tpu.ops import neighbors as nbr
+    from clustering_tpu.ops.screening import ThresholdSeriesScreener
+    mesh = parallel.make_mesh()
+    rng = np.random.default_rng(21)
+    coords = np.concatenate([
+        rng.normal((0.0, 0.0), 0.15, size=(90, 2)),
+        rng.normal((1.5, 0.4), 0.2, size=(70, 2)),
+    ]).astype(np.float32)
+    pops = parallel.sharded.populations(coords, [0.3, 0.6], mesh,
+                                        row_block=8, col_block=16)
+    fe = ops.free_energies(pops[0.6])
+    nn = parallel.sharded.nearest_neighbors(coords, fe, mesh,
+                                            row_block=8, col_block=16)
+    max_dist2 = np.float32(4.0 * nbr.compute_sigma2(nn[1]))
+    order = density_model.sorted_fe_order(fe)
+    labels0 = np.arange(len(coords), dtype=np.int32)
+    labels = parallel.sharded.screening_labels(
+        coords[order], labels0, n_below=120, max_dist2=float(max_dist2),
+        mesh=mesh, row_block=8, col_block=16)
+    series = ThresholdSeriesScreener(coords, fe,
+                                     [np.float32(0.4), np.float32(0.9)],
+                                     row_block=8, col_block=16,
+                                     backend="xla", mesh=mesh)
+    c = None
+    clusterings = []
+    for k in range(2):
+        c = series.step(c, k, max_dist2)
+        clusterings.append(c)
+    want = {"pops3": pops[0.3], "pops6": pops[0.6], "nh": nn[0],
+            "nhd": nn[1], "hd": nn[2], "hdd": nn[3], "labels": labels,
+            "clust0": clusterings[0], "clust1": clusterings[1]}
+    for pid in range(2):
+        got = np.load(tmp_path / f"out{pid}.npz")
+        for key, val in want.items():
+            np.testing.assert_array_equal(
+                got[key], val, err_msg=f"process {pid}, field {key}")
