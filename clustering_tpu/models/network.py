@@ -337,29 +337,43 @@ def main(args, header_comment, comments_map):
 
     logger("~~~ remapping cluster files and generating network")
     d = d_min
-    while d < d_max - prec and os.path.exists(fname_next):
-        logger("    " + fname_next + " -> "
-               + io.stringprintf(remapped_name, float(d)))
-        cl_now = cl_next
-        fname_next = io.stringprintf(basename, float(d + d_step))
-        io.write_clustered_trajectory(io.stringprintf(remapped_name,
-                                                      float(d)),
-                                      cl_now, header_comment, comments_map)
-        if os.path.exists(fname_next):
-            cl_next = io.read_clustered_trajectory(fname_next)
-            max_id = int(cl_now.max())
-            nz = cl_next != 0
-            cl_next = np.where(nz, cl_next + max_id, cl_next)
-            both = nz & (cl_now != 0)
-            for i in np.flatnonzero(both):
-                network[int(cl_now[i])] = int(cl_next[i])
-            vals, counts = np.unique(cl_now[both], return_counts=True)
-            for v, c in zip(vals.tolist(), counts.tolist()):
-                pops[v] = pops.get(v, 0) + c
-                free_energies[v] = float(d)
-        d = np.float32(d + d_step)
+    # overlap writing level d with reading/processing level d+1 (the
+    # reference pipelines the same way with 2 OpenMP threads,
+    # network_builder.cpp:438-464); files are distinct, so all writes can
+    # be in flight at once
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = []
+        while d < d_max - prec and os.path.exists(fname_next):
+            logger("    " + fname_next + " -> "
+                   + io.stringprintf(remapped_name, float(d)))
+            cl_now = cl_next
+            fname_next = io.stringprintf(basename, float(d + d_step))
+            pending.append(pool.submit(
+                io.write_clustered_trajectory,
+                io.stringprintf(remapped_name, float(d)),
+                cl_now, header_comment, comments_map))
+            if os.path.exists(fname_next):
+                cl_next = io.read_clustered_trajectory(fname_next)
+                max_id = int(cl_now.max())
+                nz = cl_next != 0
+                cl_next = np.where(nz, cl_next + max_id, cl_next)
+                both = nz & (cl_now != 0)
+                idx = np.flatnonzero(both)
+                # row order, later rows win -- dict() keeps the last
+                # occurrence, matching the reference's sequential stores
+                network.update(zip(cl_now[idx].tolist(),
+                                   cl_next[idx].tolist()))
+                vals, counts = np.unique(cl_now[both], return_counts=True)
+                for v, c in zip(vals.tolist(), counts.tolist()):
+                    pops[v] = pops.get(v, 0) + c
+                    free_energies[v] = float(d)
+            d = np.float32(d + d_step)
+        for fut in pending:
+            fut.result()
     d_max = np.float32(d - d_step)
 
+    # only after every in-flight write captured the pre-network metadata
     comments_map["minimal_population"] = float(minpop)
     if minpop > 1:
         logger(f"\n~~~ removing states with population p < {minpop}")
