@@ -9,6 +9,8 @@ resident across the whole mode run.
 """
 
 import functools
+import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +48,94 @@ def _ub_tiers(stacked_d, n, qs):
     return tier, taus
 
 
+@functools.partial(jax.jit, static_argnames=("row_block", "n_tiers"))
+def _tiered_layout(coords_t, fe_w, tier_w, cmin, cmax, taus, row_block,
+                   n_tiers):
+    """Device-side tiered phase-2 layout: stable-sort rows by (tier,
+    spatial position), compute the permuted row-block bboxes and the
+    active-tile mask against the cached column bboxes -- no host sort, no
+    re-upload of the frame matrix (the host round-trip dominated the
+    tiered path through remote-TPU tunnels).
+
+    Returns (rows_t (D, N_pad) permuted, fe_rows (N_pad,), perm_rows,
+    active (nrb, ncb) bool)."""
+    n_dim, n_pad = coords_t.shape
+    # composite key = (tier, position): unique keys make argsort a stable
+    # sort by tier with spatial order preserved inside each tier (int32
+    # holds tier * n_pad + pos for any n_pad < 2^31 / (n_tiers + 1))
+    key = (tier_w.astype(jnp.int32) * jnp.int32(n_pad)
+           + jnp.arange(n_pad, dtype=jnp.int32))
+    perm_rows = jnp.argsort(key).astype(jnp.int32)
+    rows_t = coords_t[:, perm_rows]
+    fe_rows = fe_w[perm_rows]
+    tiers_p = tier_w[perm_rows].reshape(-1, row_block)
+    rblk = rows_t.reshape(n_dim, -1, row_block)
+    rmin = rblk.min(axis=2)  # (D, nrb)
+    rmax = rblk.max(axis=2)
+    # bbox distance lower bounds with the same downward margin as the
+    # host pruning (pruning.bbox_dist2): fp32 rounding must never push a
+    # bound past the threshold and prune a tile holding a true minimum
+    gap1 = rmin.T[:, None, :] - cmax[None, :, :]
+    gap2 = cmin[None, :, :] - rmax.T[:, None, :]
+    gap = jnp.maximum(jnp.maximum(gap1, gap2), 0.0)
+    margin = jnp.float32(1.0 - (n_dim + 8) * 2.0 ** -23)
+    big = jnp.float32(np.finfo(np.float32).max) * margin
+    d2b = jnp.minimum(jnp.sum(gap * gap, axis=2), big) * margin
+    bounds = jnp.concatenate([taus.astype(jnp.float32),
+                              jnp.asarray([np.inf], dtype=jnp.float32)])
+    blk_bound = bounds[jnp.minimum(tiers_p.max(axis=1), n_tiers - 1)]
+    has_real = tiers_p.min(axis=1) < n_tiers
+    active = (d2b <= blk_bound[:, None]) & has_real[:, None]
+    return rows_t, fe_rows, perm_rows, active
+
+
+@jax.jit
+def _unpermute_cols(out_j, perm_rows):
+    """Scatter columns back to pre-permutation positions on device."""
+    inv = jnp.zeros_like(perm_rows).at[perm_rows].set(
+        jnp.arange(perm_rows.shape[0], dtype=perm_rows.dtype))
+    return out_j[:, inv]
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _nn_finish_idx(out_j, inv_pos, n):
+    """Re-lay the stacked (2, N_pad) neighbor ids to original frame
+    positions on device (fused into the result fetch; saves the host-side
+    inverse-permutation gathers). Returns (2, n) int32."""
+    return out_j[:, inv_pos[:n]]
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _nn_finish(out_j, inv_pos, coords_t, n):
+    """All-device NN finish: re-lay the stacked (2, N_pad) neighbor ids
+    to original frame positions and recompute their fp32 squared
+    distances with the kernel's own per-dimension ascending mul-then-add
+    accumulation (two roundings per term -- the VPU has no fp32 fma, so
+    this matches the sweep kernel bit-for-bit; verified bit-identical to
+    the host numpy recompute on v5e).
+
+    Default finish mode: downloads (2, n) f32 distances alongside the
+    ids instead of recomputing them on host. Wins on locally-attached
+    chips (PCIe makes the extra 8MB at N=2^20 ~1ms) and measured faster
+    even through the remote tunnel (paired A/B: 2.20s vs 2.59s total NN
+    -- the in-situ numpy recompute pays heavy page-fault cost at
+    production N). CLUSTERING_TPU_NN_FINISH=host opts out.
+
+    ``inv_pos`` maps original position -> position in ``out_j``'s layout;
+    ``coords_t`` is the (D, N_pad) original-order frame matrix. Returns
+    (ids (2, n) int32 with int32-max where absent, d2 (2, n) f32 zeroed
+    where absent)."""
+    j = out_j[:, inv_pos[:n]]
+    imax = jnp.int32(np.iinfo(np.int32).max)
+    absent = j == imax
+    j_safe = jnp.where(absent, 0, j)
+    acc = jnp.zeros(j.shape, dtype=jnp.float32)
+    for k in range(coords_t.shape[0]):
+        diff = coords_t[k, :n][None, :] - coords_t[k, j_safe]
+        acc = acc + diff * diff
+    return j, jnp.where(absent, jnp.float32(0.0), acc)
+
+
 def _host_pair_d2(coords, idx):
     """fp32 squared distances coords[i] -> coords[idx[i]], accumulated per
     dimension in ascending order with numpy ops (one rounding per multiply
@@ -66,6 +156,15 @@ def _row_ub(stacked_d, perm, row_block):
     return ub[perm].reshape(-1, row_block).max(axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("row_block",))
+def _row_ub2(stacked_d, perm_a, perm_b, row_block):
+    """Both candidate orders' row-block bounds in one dispatch/readback
+    (each device->host round-trip costs real latency through remote-TPU
+    tunnels). Returns (2, N_pad // row_block)."""
+    return jnp.stack([_row_ub(stacked_d, perm_a, row_block),
+                      _row_ub(stacked_d, perm_b, row_block)])
+
+
 class DensityEngine:
     def __init__(self, coords, row_block=DEFAULT_ROW_BLOCK,
                  col_block=DEFAULT_COL_BLOCK, backend="auto", mesh=None):
@@ -84,6 +183,11 @@ class DensityEngine:
         self._orders = {}       # name -> (order, padded_host)
         self._dev = {}          # name -> device array ((D, N_pad) or (N_pad, D))
         self._bboxes = {}       # name -> bbox distance matrix
+        # per-stage compute accounting (computed = post-pruning tiles
+        # actually swept; effective = the N^2 the algorithm replaces) --
+        # populated by populations()/nearest_neighbors(), consumed by
+        # bench.py's MFU reporting and verbose logs
+        self.last_stats = {}
 
     # -- cached layouts ----------------------------------------------------
 
@@ -169,6 +273,21 @@ class DensityEngine:
             self._dev[key] = jnp.asarray(perm)
         return self._dev[key]
 
+    def _log_stats(self, stage, st):
+        """Verbose compute accounting: computed (post-pruning) tiles vs the
+        full N^2 the stage replaces -- the bench's MFU numbers, surfaced in
+        the CLI's -v logs."""
+        from ..utils.logger import is_verbose, logger
+        if not is_verbose():
+            return
+        computed = st["computed_tiles"] * float(st["tile_pairs"])
+        frac = computed / st["effective_pairs"] if st["effective_pairs"] else 0.0
+        mode = f", {st['mode']} phase 2" if "mode" in st else ""
+        # tiles cover the padded grid, so the fraction can exceed 100% on
+        # toy inputs smaller than one tile row
+        logger(f"    [{stage}: {st['computed_tiles']} tiles computed ="
+               f" {frac:.1%} of N^2 incl. padding{mode}]")
+
     def _best_sort(self, thresh2):
         """Pick the ordering (dim0 vs morton) with the higher measured tile
         skip fraction at this radius."""
@@ -226,6 +345,12 @@ class DensityEngine:
         else:
             rmask = np.where(tiles[1] >= 0,
                              np.int32((1 << len(radii)) - 1), np.int32(0))
+        self.last_stats["populations"] = {
+            "computed_tiles": int((tiles[1] >= 0).sum()),
+            "tile_pairs": self.row_block * self.col_block,
+            "effective_pairs": float(self.n) * self.n,
+        }
+        self._log_stats("pops", self.last_stats["populations"])
         acc = pk.pops_tiles_sparse_all(self._device(name), radii2,
                                        np.int32(self.n),
                                        tiles[0], tiles[1], rmask=rmask,
@@ -250,63 +375,69 @@ class DensityEngine:
                                       row_block=self.row_block,
                                       col_block=self.col_block)
 
-    def _nn_tiered(self, winner, band_name, band_out, fe, layout, tier_qs):
-        """Tier-ordered phase 2: rows re-sorted by (ub-quantile tier,
-        ``winner`` spatial position) so each row block is tier-homogeneous
-        and carries its tier's quantile as the bound -- one cross sweep,
-        one download, ~3.5x fewer swept pairs than per-row-block max-ub
-        bounds on metastable data. Exact: every frame's bound dominates
-        its true ub, so all tiles that can hold its minima stay active.
-        Returns (2, N_pad) int32 neighbor ids in winner-position space."""
+    def _nn_tiered_plan(self, winner, band_name, band_out, fe, layout,
+                        tier_qs):
+        """Plan the tier-ordered phase 2: rows re-sorted by (ub-quantile
+        tier, ``winner`` spatial position) so each row block is
+        tier-homogeneous and carries its tier's quantile as the bound --
+        one cross sweep, one download, ~3.5x fewer swept pairs than
+        per-row-block max-ub bounds on metastable data. Exact: every
+        frame's bound dominates its true ub, so all tiles that can hold
+        its minima stay active.
+
+        Returns (n_active_tiles, run) where run() executes the sweep and
+        returns (2, N_pad) int32 neighbor ids in winner-position space --
+        so the caller can compare the tile count against the
+        block-bounded plan before paying for the sweep.
+        """
         from . import pallas_kernels as pk
         n, n_pad = self.n, self.n_pad
         rb = self.row_block
         n_tiers = len(tier_qs) + 1
         tier_dev, taus_dev = _ub_tiers(band_out[0], jnp.int32(n),
                                        qs=tuple(tier_qs))
-        tier_b = np.asarray(jax.device_get(tier_dev))
-        taus = np.asarray(jax.device_get(taus_dev), dtype=np.float32)
-        perm = self._host_perm(band_name, winner)
-        tier_w = np.full(n_pad, n_tiers, dtype=np.int64)  # pads last
-        tier_w[:n] = tier_b[perm[:n]]
-        order_w, padded_w = self._padded(winner)
         _, _, fe_dev_w, oid_dev_w = layout(winner)
-        fe_w = np.full(n_pad, np.inf, dtype=np.float32)
-        fe_w[:n] = fe if order_w is None else fe[order_w]
-        # stable sort by tier keeps winner-order spatial locality inside
-        # each tier; pads sink to the tail
-        perm_rows = np.argsort(tier_w, kind="stable")
-        rows = padded_w[perm_rows]
-        fe_rows = fe_w[perm_rows]
-        rmin, rmax = pruning.block_bboxes(rows, rb)
+        # tier per winner position (device gather through the cached
+        # permutation; pads take the extra last tier)
+        tier_w = jnp.where(
+            jnp.arange(n_pad) < n,
+            tier_dev[self._ub_perm(band_name, winner)].astype(jnp.int32),
+            jnp.int32(n_tiers))
         cmin, cmax = self._col_bboxes(winner)
-        d2b = pruning.bbox_dist2(rmin, rmax, cmin, cmax)
-        # per-row-block bound = its worst member's tier quantile (blocks
-        # straddling a tier boundary take the larger tier's bound; the
-        # top tier and any pad members mean "unbounded"); blocks with no
-        # real member at all are dropped
-        tiers_blk = tier_w[perm_rows].reshape(-1, rb)
-        bounds = np.concatenate([taus.astype(np.float32),
-                                 [np.float32(np.inf)]])
-        blk_bound = bounds[np.minimum(tiers_blk.max(axis=1), len(tier_qs))]
-        has_real = tiers_blk.min(axis=1) < n_tiers
-        active = (d2b <= blk_bound[:, None]) & has_real[:, None]
-        tiles = pruning.tile_list(active)
-        imax = np.iinfo(np.int32).max
-        out_j = np.full((2, n_pad), imax, dtype=np.int32)
-        if tiles is None:
-            return out_j
-        outk = pk.nn_tiles_sparse_all_cross(
-            jnp.asarray(rows.T), jnp.asarray(fe_rows).reshape(1, n_pad),
-            self._device(winner), fe_dev_w, oid_dev_w, np.int32(n),
-            jnp.asarray(tiles[0]), jnp.asarray(tiles[1]),
-            row_block=rb, col_block=self.col_block)
-        jk = np.asarray(jax.device_get(outk[1]))
-        out_j[:, perm_rows] = jk
-        return out_j
+        rows_t, fe_rows, perm_rows, active_dev = _tiered_layout(
+            self._device(winner), fe_dev_w[0], tier_w,
+            jnp.asarray(cmin), jnp.asarray(cmax), taus_dev,
+            row_block=rb, n_tiers=n_tiers)
+        # the only host round-trip of the plan: the (nrb, ncb) bool mask
+        active = np.asarray(jax.device_get(active_dev))
+        n_active = int(active.sum())
+
+        def run():
+            tiles = pruning.tile_list(active)
+            if tiles is None:
+                return None
+            outk = pk.nn_tiles_sparse_all_cross(
+                rows_t, fe_rows.reshape(1, n_pad),
+                self._device(winner), fe_dev_w, oid_dev_w, np.int32(n),
+                jnp.asarray(tiles[0]), jnp.asarray(tiles[1]),
+                row_block=rb, col_block=self.col_block)
+            # device (2, N_pad) ids back at winner positions
+            return _unpermute_cols(outk[1], perm_rows)
+
+        return n_active, run
+
+    # auto mode runs the tiered phase 2 when the tiles it prunes off the
+    # block-bounded plan are worth more than the tiered path's fixed
+    # overhead (one extra device sort/gather program, a 2MB mask
+    # readback and the plan dispatches -- measured ~0.3-0.5s through the
+    # remote tunnel, i.e. ~5e10 pairs at the v5e kernel ceiling; local
+    # chips could lower this)
+    TIERED_MIN_SAVED_PAIRS = 6.0e10
+    TIERED_MIN_FRAMES = 1 << 19
+    TIER_QS_DEFAULT = (0.5, 0.9, 0.99)
 
     def nearest_neighbors(self, free_energy, prune=True, band_blocks=4,
-                          order_name="morton", tier_qs=None):
+                          order_name="morton", tier_qs="auto"):
         """Joint NN / NN-higher-density search with two-phase exact
         pruning in Morton (spatially local) frame order:
 
@@ -321,9 +452,11 @@ class DensityEngine:
         quantile bound, so boundary frames with distant higher-density
         neighbors stop widening whole row blocks (per-block max-ub
         inflates swept pairs ~3.5x on metastable trajectories). Exact
-        either way. Default None (single per-row-block-bounded pass):
-        the tiered path's extra dispatches/transfers only pay off when
-        host<->device latency is low (local chips, not remote tunnels).
+        either way. "auto" (default) plans both phase-2 variants and
+        takes the tiered one only when its measured tile count saves
+        more than the tiered path's fixed dispatch/transfer overhead
+        (TIERED_MIN_SAVING, TIERED_MIN_FRAMES); None forces the single
+        per-row-block-bounded pass.
 
         The kernel breaks distance ties by smallest *original* index, so
         results are identical to the reference's original-order scan.
@@ -363,43 +496,85 @@ class DensityEngine:
         nrb, ncb = n_pad // self.row_block, n_pad // self.col_block
         order, padded, fe_dev, oid_dev = layout(order_name)
         band_name, band_out = None, None
-        out_j = None
+        out_idx_dev = None
+        stats = {"effective_pairs": float(n) * n,
+                 "tile_pairs": self.row_block * self.col_block,
+                 "band_tiles": 0, "phase2_tiles": 0, "mode": "dense"}
+        # sub-stage wall clocks (each segment ends at a host sync, so the
+        # deltas are real): band = banded pass + row-ub readback, plan =
+        # phase-2 planning incl. tiered-mask readback, sweep = phase-2
+        # kernel + index download, host = unpermute + distance recompute
+        t0 = time.perf_counter()
         if prune and ncb > 2 * band_blocks:
             # phase 1: banded pass over sort-neighbors -> per-frame upper
             # bounds (order-independent values)
             band_active = pruning.band_mask(
                 nrb, ncb, self.row_block, self.col_block,
                 band_blocks * self.col_block)
+            stats["band_tiles"] = int(band_active.sum())
             out1 = self._nn_sparse_chunks(order_name, fe_dev, oid_dev,
                                           band_active)
             # keep the per-frame bounds on device; per candidate order,
             # permute + reduce there and download only the per-row-block
             # maxima (device->host is the slow, flaky direction through
             # remote-TPU tunnels: nrb floats instead of N)
+            names = ("dim0", "morton")
+            row_ubs = np.asarray(jax.device_get(_row_ub2(
+                out1[0], self._ub_perm(order_name, names[0]),
+                self._ub_perm(order_name, names[1]),
+                row_block=self.row_block)))
             best = None
-            for name in ("dim0", "morton"):
-                row_ub = np.asarray(jax.device_get(_row_ub(
-                    out1[0], self._ub_perm(order_name, name),
-                    row_block=self.row_block)))
+            for name, row_ub in zip(names, row_ubs):
                 act = self._bbox(name) <= row_ub[:, None]
                 work = float((act & ~band_active).mean()
                              if name == order_name else act.mean())
                 if best is None or work < best[0]:
                     best = (work, name, act)
             band_name, band_out = order_name, out1
+            stats["t_band"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
             _, order_name, active = best
             order, padded, fe_dev, oid_dev = layout(order_name)
-            if tier_qs is not None:
-                out_j = self._nn_tiered(order_name, band_name, band_out,
-                                        fe, layout, tier_qs)
-            elif order_name == band_name:
-                # the band's minima are exact within its tiles and the merge
-                # is an idempotent lexicographic min: skip re-sweeping them
-                # and fold the band result in afterwards
+            if order_name == band_name:
+                # the band's minima are exact within its tiles and the
+                # merge is an idempotent lexicographic min: skip
+                # re-sweeping them and fold the band result in afterwards
                 active = active & ~band_active
+            block_tiles = int(active.sum())
+            tile_pairs = self.row_block * self.col_block
+            plan = None
+            # planning the tiered layout itself costs dispatches + a mask
+            # readback (~0.3-0.5s through the remote tunnel), so only plan
+            # when even a typical-best (~3.5x, measured on metastable
+            # data) reduction of the block-bound work could clear the
+            # profitability threshold
+            plan_worthwhile = (
+                block_tiles * float(tile_pairs) * (1.0 - 1.0 / 3.5)
+                > self.TIERED_MIN_SAVED_PAIRS)
+            if (tier_qs == "auto" and n >= self.TIERED_MIN_FRAMES
+                    and plan_worthwhile):
+                est, run_tiered = self._nn_tiered_plan(
+                    order_name, band_name, band_out, fe, layout,
+                    self.TIER_QS_DEFAULT)
+                if ((block_tiles - est) * float(tile_pairs)
+                        > self.TIERED_MIN_SAVED_PAIRS):
+                    plan = (est, run_tiered)
+            elif tier_qs not in (None, "auto"):
+                plan = self._nn_tiered_plan(order_name, band_name,
+                                            band_out, fe, layout, tier_qs)
+            stats["t_plan"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            if plan is not None:
+                stats["phase2_tiles"], run_tiered = plan
+                stats["mode"] = "tiered"
+                out_idx_dev = run_tiered()
+            else:
+                stats["phase2_tiles"] = block_tiles
+                stats["mode"] = "block-bound"
         else:
             active = np.ones((nrb, ncb), dtype=bool)
-        if out_j is None:
+            stats["phase2_tiles"] = int(active.sum())
+        if out_idx_dev is None and stats["mode"] != "tiered":
             merge_band = band_out is not None and order_name == band_name
             if not active.any():
                 out = None
@@ -411,30 +586,47 @@ class DensityEngine:
                 out = _lex_merge(band_out[0], band_out[1], out[0], out[1])
             elif merge_band:
                 out = band_out
-            if out is None:
-                out_j = np.full((2, n_pad), np.iinfo(np.int32).max,
-                                dtype=np.int32)
-            else:
-                # download indices only; distances are recomputed on the
-                # host (numpy's per-dimension fp32 accumulation rounds the
-                # square and the add separately, exactly like the TPU
-                # kernel, so the values are bit-identical at half the
-                # transfer volume)
-                out_j = np.array(jax.device_get(out[1]))
-        nh_j = out_j[0, :n].astype(np.int64)
-        hd_j = out_j[1, :n].astype(np.int64)
-        if order is not None:
-            inv = np.empty_like(order)
-            inv[order] = np.arange(n)
-            nh_j = nh_j[inv]
-            hd_j = hd_j[inv]
+            if out is not None:
+                out_idx_dev = out[1]
         imax = np.iinfo(np.int32).max
+        dd = None
+        if out_idx_dev is None:
+            jj = np.full((2, n), imax, dtype=np.int32)
+            dd = np.zeros((2, n), dtype=np.float32)
+        elif os.environ.get("CLUSTERING_TPU_NN_FINISH") == "host":
+            # device re-layout, ids-only download; distances recomputed on
+            # host (halves the fresh-download volume for hosts where the
+            # numpy recompute is cheaper than the extra transfer)
+            jj = np.asarray(jax.device_get(_nn_finish_idx(
+                out_idx_dev, self._ub_perm(order_name, "orig"), n)))
+        else:
+            # all-device finish (default): ids + distances in one fused
+            # fetch -- paired A/B at N=2^20 through the remote tunnel
+            # measured 2.20s vs 2.59s for the host recompute, and on
+            # locally-attached chips the extra 8MB costs ~1ms (see
+            # _nn_finish)
+            j_dev, d_dev = _nn_finish(out_idx_dev,
+                                      self._ub_perm(order_name, "orig"),
+                                      self._device("orig"), n)
+            jj, dd = jax.device_get((j_dev, d_dev))
+        stats["t_sweep"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        nh_j = jj[0].astype(np.int64)
+        hd_j = jj[1].astype(np.int64)
         no_nh = nh_j == imax
         nh_j[no_nh] = 0
         no_hd = hd_j == imax
         hd_j[no_hd] = 0
-        nh_d = _host_pair_d2(self.coords, nh_j)
-        hd_d = _host_pair_d2(self.coords, hd_j)
-        nh_d[no_nh] = 0.0
-        hd_d[no_hd] = 0.0
+        if dd is None:
+            nh_d = _host_pair_d2(self.coords, nh_j)
+            hd_d = _host_pair_d2(self.coords, hd_j)
+            nh_d[no_nh] = 0.0
+            hd_d[no_hd] = 0.0
+        else:
+            nh_d = np.asarray(dd[0])
+            hd_d = np.asarray(dd[1])
+        stats["t_host"] = time.perf_counter() - t0
+        stats["computed_tiles"] = stats["band_tiles"] + stats["phase2_tiles"]
+        self.last_stats["nn"] = stats
+        self._log_stats("nn", stats)
         return nh_j, nh_d, hd_j, hd_d

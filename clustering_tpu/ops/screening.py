@@ -332,6 +332,7 @@ class ScreeningEngine:
         else:
             self._coords_dev = jnp.asarray(dev)
         self._bbox_d2 = None
+        self.last_stats = {}  # sweep/tile accounting of the last fixpoint
 
     def _tile_list(self, row_lo, n_below, max_dist2):
         """Active tiles: bbox distance below the linking distance, at least
@@ -425,6 +426,14 @@ class ScreeningEngine:
                     jnp.asarray(ti), jnp.asarray(tj),
                     row_block=self.row_block, col_block=self.col_block,
                     union_size=union_size)
+            # compute accounting: real tiles per sweep x sweep count
+            # (dirty-block skipping makes later sweeps cheaper -- this is
+            # an upper bound on the computed work)
+            self.last_stats = {
+                "sweeps": int(iters),
+                "tiles_per_sweep": int(ti.shape[0] * ti.shape[1]),
+                "tile_pairs": self.row_block * self.col_block,
+            }
             if is_verbose():
                 logger(f"    [screening fixpoint: {int(iters)} sweeps,"
                        f" {ti.shape[0] * ti.shape[1]} tiles/sweep]")
