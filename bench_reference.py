@@ -1,0 +1,112 @@
+"""Measured baseline: the reference's own CPU density code on this host.
+
+Compiles the reference's density core (via tests/refstub, same route as
+the golden-parity oracle) with the reference's production optimization
+flags (CMakeLists.txt:41-43: -O3 -ffast-math -ftree-vectorize, plus
+-march=native standing in for its SSE/AVX options) and times pops / NN /
+screening on the same synthetic landscape bench.py uses, at a size the
+CPU can finish. Prints one JSON line with per-stage pair rates.
+
+This turns BASELINE.md's roofline *estimate* into a measured number for
+the CPU backend; the CUDA backend stays an estimate (no NVIDIA hardware
+here). Note this VM exposes a single core, so OpenMP parallelism ~1x;
+scale by core count when comparing to multicore deployments.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+REF_SRC = "/root/reference/src"
+STUB = os.path.join(REPO, "tests", "refstub")
+ORACLE_SRC = os.path.join(REPO, "tests", "density_oracle.cpp")
+
+N = int(os.environ.get("REFBENCH_N", 1 << 16))
+D = int(os.environ.get("REFBENCH_D", 4))
+RADII = [0.10, 0.15, 0.20]
+THRESHOLDS = [0.5, 1.0, 1.5, 2.0]
+
+
+def build(outdir):
+    cxx = shutil.which("g++")
+    exe = os.path.join(outdir, "density_oracle_o3")
+    subprocess.run(
+        [cxx, "-O3", "-ffast-math", "-ftree-vectorize", "-march=native",
+         "-fopenmp", "-std=c++11", "-I", STUB, "-I", REF_SRC, ORACLE_SRC,
+         os.path.join(REF_SRC, "density_clustering.cpp"),
+         os.path.join(REF_SRC, "density_clustering_common.cpp"),
+         os.path.join(REF_SRC, "tools.cpp"),
+         os.path.join(REF_SRC, "logger.cpp"),
+         "-o", exe],
+        check=True, capture_output=True)
+    return exe
+
+
+def main():
+    sys.path.insert(0, REPO)
+    from bench import synthetic_fel
+
+    workdir = tempfile.mkdtemp(prefix="refbench_")
+    exe = build(workdir)
+    coords = synthetic_fel(N, D)
+    coords_path = os.path.join(workdir, "coords.dat")
+    np.savetxt(coords_path, coords, fmt="%.6f")
+
+    def run(args):
+        t0 = time.perf_counter()
+        out = subprocess.run([exe] + args, check=True, capture_output=True,
+                             text=True).stdout
+        return time.perf_counter() - t0, out
+
+    # pops (the reference CPU path applies its box-grid pruning here)
+    t_pops, out = run(["pops", coords_path] + [str(r) for r in RADII])
+    pops = np.array([int(l) for l in out.splitlines()
+                     if not l.startswith("#")],
+                    dtype=np.int64).reshape(len(RADII), N)
+    print(f"# ref pops:   {t_pops:.2f}s "
+          f"({N * float(N) / t_pops:.3e} pairs/s)", file=sys.stderr)
+
+    fe = -np.log(np.maximum(pops[0], 1) / float(pops[0].max()))
+    fe_path = os.path.join(workdir, "fe.dat")
+    np.savetxt(fe_path, fe.astype(np.float32), fmt="%.9g")
+
+    t_nn, _ = run(["nn", coords_path, fe_path])
+    print(f"# ref nn:     {t_nn:.2f}s "
+          f"({N * float(N) / t_nn:.3e} pairs/s)", file=sys.stderr)
+
+    t_scr, out = run(["screen", coords_path, fe_path]
+                     + [str(t) for t in THRESHOLDS])
+    # effective pairs: full below-threshold prefix rescans, what the
+    # reference actually performs per threshold
+    order = np.argsort(fe, kind="stable")
+    n_below = [int((fe[order] <= t).sum()) for t in THRESHOLDS]
+    scr_pairs = float(sum(nb * float(nb) for nb in n_below))
+    print(f"# ref screen: {t_scr:.2f}s x{len(THRESHOLDS)} "
+          f"({scr_pairs / t_scr:.3e} pairs/s)", file=sys.stderr)
+
+    total_pairs = 2 * N * float(N) + scr_pairs
+    total_time = t_pops + t_nn + t_scr
+    print(json.dumps({
+        "metric": f"reference CPU density pipeline (N={N}, D={D},"
+                  " 1 core, -O3 -ffast-math -march=native)",
+        "value": round(total_pairs / total_time / 1e9, 3),
+        "unit": "Gpairs/s",
+        "stages": {
+            "pops": round(N * float(N) / t_pops / 1e9, 3),
+            "nn": round(N * float(N) / t_nn / 1e9, 3),
+            "screening": round(scr_pairs / t_scr / 1e9, 3),
+        },
+        "seconds": {"pops": round(t_pops, 2), "nn": round(t_nn, 2),
+                    "screening": round(t_scr, 2)},
+    }))
+
+
+if __name__ == "__main__":
+    main()
