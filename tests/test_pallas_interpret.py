@@ -252,6 +252,40 @@ def test_engine_nn_tiered_phase2():
         np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
 
 
+def test_engine_nn_auto_tier_decision(monkeypatch):
+    """tier_qs='auto' plans the tiered layout only when a typical-best
+    reduction could clear the profitability threshold, and falls back to
+    the block-bounded pass when the plan saves too little -- both
+    branches must stay exact vs the XLA oracle."""
+    coords = _bigger_blobs(n=700, seed=17)
+    eng = ops.engine.DensityEngine(coords, row_block=8, col_block=16,
+                                   backend="pallas")
+    pops = eng.populations([0.4])
+    fe = ops.free_energies(pops[0.4])
+    want = ops.nearest_neighbors(coords, fe, backend="xla",
+                                 row_block=8, col_block=16)
+    # default thresholds: toy n never reaches TIERED_MIN_FRAMES -> the
+    # plan is never attempted
+    got = eng.nearest_neighbors(fe, band_blocks=1, tier_qs="auto")
+    assert eng.last_stats["nn"]["mode"] == "block-bound"
+    np.testing.assert_array_equal(want[0], got[0])
+    # force the auto path to plan (and accept any positive saving)
+    monkeypatch.setattr(type(eng), "TIERED_MIN_FRAMES", 1)
+    monkeypatch.setattr(type(eng), "TIERED_MIN_SAVED_PAIRS", -1.0)
+    got = eng.nearest_neighbors(fe, band_blocks=1, tier_qs="auto")
+    assert eng.last_stats["nn"]["mode"] == "tiered"
+    np.testing.assert_array_equal(want[0], got[0])
+    np.testing.assert_array_equal(want[2], got[2])
+    np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
+    np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
+    # planning gate: an impossible saving requirement skips the plan
+    # entirely (no tiered attempt, still exact)
+    monkeypatch.setattr(type(eng), "TIERED_MIN_SAVED_PAIRS", 1e30)
+    got = eng.nearest_neighbors(fe, band_blocks=1, tier_qs="auto")
+    assert eng.last_stats["nn"]["mode"] == "block-bound"
+    np.testing.assert_array_equal(want[0], got[0])
+
+
 def test_series_screener_hd_seeding_matches_unseeded():
     """Seeding newly-admitted frames with their nearest-higher-density
     edge (when below 4 sigma^2) must not change any partition or name."""
