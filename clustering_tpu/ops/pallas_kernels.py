@@ -737,3 +737,128 @@ def label_min_sparse(coords_t_sorted, labels, n_below, max_dist2,
                                   jnp.int32(0), dirty=dirty,
                                   row_block=row_block,
                                   col_block=col_block)
+
+
+def _label_min_bidir_kernel(win_ref, max_d2_ref, ti_ref, tj_ref,
+                            dirty_col_ref, dirty_row_ref,
+                            xt_ref, yt_ref, lab_y_ref, lab_x_ref, init_ref,
+                            out_ref, outc_ref, col_acc,
+                            *, row_block, col_block, n_dim):
+    """Bidirectional sweep body: each visited tile proposes column labels
+    to its rows (as _label_min_sparse_kernel) AND row labels to its
+    columns, so an upper-triangular tile list covers every unordered pair
+    with ONE distance evaluation -- half the VPU work of the symmetric
+    list. Column proposals accumulate in a persistent VMEM scratch (grid
+    execution is sequential on TPU): column block j owns row j of the
+    (n_col_blocks, col_block) scratch (dynamic single-sublane-row RMW),
+    dumped to the second output on the last grid step."""
+    del init_ref  # aliased into out in HBM (covers unvisited rows)
+    k = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    n_below = win_ref[0]
+    max_dist2 = max_d2_ref[0]
+    i = ti_ref[k]
+    j = tj_ref[k]
+
+    @pl.when(k == 0)
+    def _():
+        col_acc[:, :] = jnp.full_like(col_acc, _IMAX)
+
+    # row output VMEM is write-back only: init on first visit of each row
+    # block (tile list is sorted by row block)
+    @pl.when((k == 0) | (i != ti_ref[jnp.maximum(k - 1, 0)]))
+    def _():
+        out_ref[:, :] = jnp.full_like(out_ref, _IMAX)
+
+    # skip repeat-padded duplicates, and tiles where neither side's
+    # labels changed since the previous sweep (their proposals are
+    # already in the union; both directions must be clean to skip)
+    @pl.when(((dirty_col_ref[j] != 0) | (dirty_row_ref[i] != 0))
+             & ((k == 0)
+                | (i != ti_ref[jnp.maximum(k - 1, 0)])
+                | (j != tj_ref[jnp.maximum(k - 1, 0)])))
+    def _():
+        d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
+        col_ids = j * col_block + jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, col_block), 1)
+        row_ids = i * row_block + jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, col_block), 0)
+        adj = (d2 < max_dist2) & (col_ids < n_below) & (row_ids < n_below)
+        cand = jnp.where(adj, lab_y_ref[0, :].reshape(1, col_block), _IMAX)
+        out_ref[0, :] = jnp.minimum(out_ref[0, :], jnp.min(cand, axis=1))
+        cand_r = jnp.where(adj, lab_x_ref[0, :].reshape(row_block, 1),
+                           _IMAX)
+        colmin = jnp.min(cand_r, axis=0, keepdims=True)
+        sl = pl.ds(j, 1)
+        col_acc[sl, :] = jnp.minimum(col_acc[sl, :], colmin)
+
+    @pl.when(k == n_tiles - 1)
+    def _():
+        outc_ref[:, :] = col_acc[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block",
+                                             "union_size"))
+def label_min_sparse_bidir(coords_t, labels, n_below, max_dist2,
+                           tile_i, tile_j, dirty_col, dirty_row,
+                           union_size,
+                           row_block=DEFAULT_ROW_BLOCK,
+                           col_block=DEFAULT_COL_BLOCK):
+    """Upper-triangular sparse sweep with bidirectional label proposals.
+
+    ``tile_i/tile_j`` must list only tiles with ``(j+1)*col_block >
+    i*row_block`` (every unordered admissible pair appears in at least
+    the tile holding its (min, max) orientation -- see ScreeningEngine).
+    Returns (row_proposals (1, N_pad), col_proposals (1, union_size));
+    both are elementwise label proposals to fold with the current labels.
+    ``union_size`` bounds the column scratch: all proposed-to columns lie
+    below n_below <= union_size. Requires union_size * 4B of VMEM
+    scratch alongside the coordinate blocks (the caller gates on this).
+    """
+    n_dim, n_pad = coords_t.shape
+    n_tiles = tile_i.shape[0]
+    nub = union_size // col_block
+    kernel = functools.partial(_label_min_bidir_kernel,
+                               row_block=row_block, col_block=col_block,
+                               n_dim=n_dim)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n_dim, row_block),
+                         lambda k, nb, md, ti, tj, dc, dr: (0, ti[k])),
+            pl.BlockSpec((n_dim, col_block),
+                         lambda k, nb, md, ti, tj, dc, dr: (0, tj[k])),
+            pl.BlockSpec((1, col_block),
+                         lambda k, nb, md, ti, tj, dc, dr: (0, tj[k])),
+            pl.BlockSpec((1, row_block),
+                         lambda k, nb, md, ti, tj, dc, dr: (0, ti[k])),
+            pl.BlockSpec((1, row_block),
+                         lambda k, nb, md, ti, tj, dc, dr: (0, ti[k])),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, row_block),
+                         lambda k, nb, md, ti, tj, dc, dr: (0, ti[k])),
+            pl.BlockSpec((nub, col_block),
+                         lambda k, nb, md, ti, tj, dc, dr: (0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((nub, col_block), jnp.int32)],
+    )
+    init = jnp.full((1, n_pad), _IMAX, dtype=jnp.int32)
+    window = jnp.stack([jnp.asarray(n_below, dtype=jnp.int32)])
+    out, outc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+                   jax.ShapeDtypeStruct((nub, col_block), jnp.int32)],
+        input_output_aliases={10: 0},  # init buffer -> row output
+        interpret=INTERPRET_MODE(),
+    )(window,
+      jnp.asarray([max_dist2], dtype=jnp.float32),
+      jnp.asarray(tile_i, dtype=jnp.int32),
+      jnp.asarray(tile_j, dtype=jnp.int32),
+      jnp.asarray(dirty_col, dtype=jnp.int32),
+      jnp.asarray(dirty_row, dtype=jnp.int32),
+      coords_t, coords_t, labels, labels, init)
+    # 8-sublane groups per column block flatten back to union positions
+    return out, outc.reshape(1, union_size)

@@ -295,6 +295,69 @@ def _sparse_fixpoint(coords_t, labels0, n_below, max_dist2, tile_i, tile_j,
     return labels, iters
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("row_block", "col_block", "union_size"))
+def _sparse_fixpoint_bidir(coords_t, labels0, n_below, max_dist2,
+                           tile_i, tile_j, row_block, col_block,
+                           union_size):
+    """On-device fixpoint over an UPPER-TRIANGULAR tile list with the
+    bidirectional sweep kernel: each tile is evaluated once and proposes
+    labels both ways, halving the distance work of the symmetric list
+    (reference GPU analog sweeps the full square,
+    src/density_clustering_cuda.cu:501-572). Same fixpoint as
+    _sparse_fixpoint -- min-label propagation converges to the unique
+    per-component minimum regardless of sweep schedule."""
+    from .pallas_kernels import label_min_sparse_bidir
+
+    n_pad = coords_t.shape[1]
+    ncb = n_pad // col_block
+    nrb = n_pad // row_block
+    nub = union_size // col_block
+    nru = union_size // row_block
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        labels_in, _, it, dirty_col, dirty_row = state
+
+        def chunk_body(labels_cur, tt):
+            ti_c, tj_c = tt
+            row_p, col_p = label_min_sparse_bidir(
+                coords_t, labels_cur.reshape(1, -1), n_below, max_dist2,
+                ti_c, tj_c, dirty_col, dirty_row, union_size,
+                row_block=row_block, col_block=col_block)
+            lab = jnp.minimum(labels_cur, row_p[0])
+            lab = jnp.concatenate([jnp.minimum(lab[:union_size], col_p[0]),
+                                   lab[union_size:]])
+            return lab, None
+
+        labels_swept, _ = jax.lax.scan(chunk_body, labels_in,
+                                       (tile_i, tile_j))
+        head_in = labels_in[:union_size]
+        head_out = union_rebase(head_in, labels_swept[:union_size])
+        changed = head_out != head_in
+        labels_out = (head_out if union_size == n_pad else
+                      jnp.concatenate([head_out, labels_in[union_size:]]))
+        dc_head = jnp.any(changed.reshape(nub, col_block),
+                          axis=1).astype(jnp.int32)
+        dirty_col = (dc_head if nub == ncb else
+                     jnp.concatenate([dc_head,
+                                      jnp.zeros(ncb - nub, jnp.int32)]))
+        dr_head = jnp.any(changed.reshape(nru, row_block),
+                          axis=1).astype(jnp.int32)
+        dirty_row = (dr_head if nru == nrb else
+                     jnp.concatenate([dr_head,
+                                      jnp.zeros(nrb - nru, jnp.int32)]))
+        return (labels_out, jnp.any(changed), it + 1, dirty_col, dirty_row)
+
+    labels, _, iters, _, _ = jax.lax.while_loop(
+        cond, body, (labels0, jnp.bool_(True), jnp.int32(0),
+                     jnp.ones((ncb,), dtype=jnp.int32),
+                     jnp.ones((nrb,), dtype=jnp.int32)))
+    return labels, iters
+
+
 class ScreeningEngine:
     """Re-usable screening runner for a threshold series: pads and uploads
     the FE-sorted coordinates once and caches the (threshold-independent)
@@ -334,12 +397,19 @@ class ScreeningEngine:
         self._bbox_d2 = None
         self.last_stats = {}  # sweep/tile accounting of the last fixpoint
 
-    def _tile_list(self, row_lo, n_below, max_dist2):
+    def _tile_list(self, row_lo, n_below, max_dist2, triangular=False):
         """Active tiles: bbox distance below the linking distance, at least
         partly below the FE threshold, and touching the new-frame cross
         when ``row_lo`` > 0. Row-major sorted; padded by repetition to the
         next power of two so a handful of compiled grid sizes serve the
-        whole series (the min-reduction is idempotent under repeats)."""
+        whole series (the min-reduction is idempotent under repeats).
+
+        ``triangular`` keeps only tiles intersecting the upper triangle
+        (col range reaching past the row range's start): every unordered
+        admissible pair (r, c), r < c, lies in the kept tile
+        (rowblock(r), colblock(c)), so with the bidirectional sweep
+        kernel the mirrored tiles are redundant -- ~2x fewer distance
+        evaluations."""
         from . import pruning
         rb, cb = self.row_block, self.col_block
         if self._bbox_d2 is None:
@@ -353,6 +423,8 @@ class ScreeningEngine:
             & (ri * rb < n_below) & (cj * cb < n_below)
         if row_lo > 0:
             active &= ((ri + 1) * rb > row_lo) | ((cj + 1) * cb > row_lo)
+        if triangular:
+            active &= (cj + 1) * cb > ri * rb
         tiles = pruning.tile_list(active, pad_mode="repeat")
         if tiles is None:
             return None
@@ -406,26 +478,47 @@ class ScreeningEngine:
                 row_block=self.row_block, col_block=self.col_block,
                 union_size=union_size)
         if self.backend == "pallas":
-            tiles = self._tile_list(row_lo, n_below, max_dist2)
-            if tiles is None:
-                return labels_dev
-            ti, tj = tiles
             union_size = self._union_size(n_below)
             from .pallas_kernels import DISPATCH_CHUNK_GROUP
-            if ti.shape[0] > DISPATCH_CHUNK_GROUP:
-                # tile list too long for one device program (runtime
-                # watchdogs): host-driven sweeps with bounded dispatches
-                out, iters = _sparse_fixpoint_host(
-                    self._coords_dev, labels_dev, n_below, max_dist2,
-                    ti, tj, self.row_block, self.col_block, union_size,
-                    DISPATCH_CHUNK_GROUP)
-            else:
-                out, iters = _sparse_fixpoint(
+            mode = "symmetric"
+            tiles = None
+            if self._bidir_ok(union_size):
+                tiles = self._tile_list(row_lo, n_below, max_dist2,
+                                        triangular=True)
+                if tiles is None:
+                    return labels_dev
+                if tiles[0].shape[0] <= DISPATCH_CHUNK_GROUP:
+                    mode = "bidir"
+                else:
+                    tiles = None  # host-driven path stays symmetric
+            if mode == "bidir":
+                ti, tj = tiles
+                out, iters = _sparse_fixpoint_bidir(
                     self._coords_dev, labels_dev,
                     jnp.int32(n_below), jnp.float32(max_dist2),
                     jnp.asarray(ti), jnp.asarray(tj),
                     row_block=self.row_block, col_block=self.col_block,
                     union_size=union_size)
+            else:
+                tiles = self._tile_list(row_lo, n_below, max_dist2)
+                if tiles is None:
+                    return labels_dev
+                ti, tj = tiles
+                if ti.shape[0] > DISPATCH_CHUNK_GROUP:
+                    # tile list too long for one device program (runtime
+                    # watchdogs): host-driven sweeps, bounded dispatches
+                    out, iters = _sparse_fixpoint_host(
+                        self._coords_dev, labels_dev, n_below, max_dist2,
+                        ti, tj, self.row_block, self.col_block,
+                        union_size, DISPATCH_CHUNK_GROUP)
+                else:
+                    out, iters = _sparse_fixpoint(
+                        self._coords_dev, labels_dev,
+                        jnp.int32(n_below), jnp.float32(max_dist2),
+                        jnp.asarray(ti), jnp.asarray(tj),
+                        row_block=self.row_block,
+                        col_block=self.col_block,
+                        union_size=union_size)
             # compute accounting: real tiles per sweep x sweep count
             # (dirty-block skipping makes later sweeps cheaper -- this is
             # an upper bound on the computed work)
@@ -433,10 +526,12 @@ class ScreeningEngine:
                 "sweeps": int(iters),
                 "tiles_per_sweep": int(ti.shape[0] * ti.shape[1]),
                 "tile_pairs": self.row_block * self.col_block,
+                "mode": mode,
             }
             if is_verbose():
                 logger(f"    [screening fixpoint: {int(iters)} sweeps,"
-                       f" {ti.shape[0] * ti.shape[1]} tiles/sweep]")
+                       f" {ti.shape[0] * ti.shape[1]} tiles/sweep,"
+                       f" {mode}]")
             return out
         if self.mesh is not None:
             from ..parallel import sharded
@@ -463,6 +558,22 @@ class ScreeningEngine:
         out = self.run_device(self._upload(labels), n_below, max_dist2,
                               row_lo=row_lo)
         return self._fetch(out)[:self.n]
+
+    # bidirectional sweeps hold the whole union's column accumulator in
+    # VMEM scratch (~16MB/core on v5e): cap at 4MB (1M frames) and leave
+    # the rest for the pipeline's coordinate/label blocks
+    BIDIR_UNION_CAP = 1 << 20
+
+    def _bidir_ok(self, union_size):
+        """Upper-triangular bidirectional sweeps hold the union's column
+        accumulator in VMEM scratch; compiled TPU lowering wants its lane
+        dim (col_block) to be a multiple of 128."""
+        if union_size > self.BIDIR_UNION_CAP:
+            return False
+        from .pallas_kernels import INTERPRET_MODE
+        if not INTERPRET_MODE() and self.col_block % 128 != 0:
+            return False
+        return True
 
     def _union_size(self, n_below):
         """Union prefix: power-of-two col-block count >= n_below keeps the

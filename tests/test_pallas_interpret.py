@@ -136,6 +136,49 @@ def test_series_screener_generic_seed_path(blobs):
         np.testing.assert_array_equal(a, b)
 
 
+def test_bidir_screening_matches_symmetric(blobs):
+    """The upper-triangular bidirectional fixpoint must produce the same
+    labels as the symmetric-tile fixpoint and the XLA oracle, for both
+    full runs and the incremental (row_lo) series path."""
+    from clustering_tpu.models import density as dm
+    from clustering_tpu.ops.screening import (ScreeningEngine,
+                                              ThresholdSeriesScreener)
+    pops = ops.populations(blobs, [0.4], backend="xla",
+                           row_block=8, col_block=16)[0.4]
+    fe = ops.free_energies(pops)
+    cs = blobs[dm.sorted_fe_order(fe)]
+    labels0 = np.arange(len(blobs), dtype=np.int32)
+    for nb, t in ((150, 0.08), (300, 0.2), (len(blobs), 0.5)):
+        want = ops.screening_labels(cs, labels0, nb, t,
+                                    row_block=8, col_block=16)
+        eng = ScreeningEngine(cs, row_block=8, col_block=16,
+                              backend="pallas")
+        got = eng.run(labels0, nb, np.float32(t))
+        assert eng.last_stats["mode"] == "bidir"
+        np.testing.assert_array_equal(want, got)
+    # series continuation: bidir with incremental row_lo tile lists vs a
+    # symmetric-forced engine
+    thresholds = [np.float32(t) for t in (0.5, 1.0, 2.0)]
+    md2 = np.float32(0.08)
+    s_b = ThresholdSeriesScreener(blobs, fe, thresholds,
+                                  row_block=8, col_block=16,
+                                  backend="pallas")
+    s_s = ThresholdSeriesScreener(blobs, fe, thresholds,
+                                  row_block=8, col_block=16,
+                                  backend="pallas")
+    s_s.engine.BIDIR_UNION_CAP = 0
+    a = b = None
+    modes_b, modes_s = [], []
+    for k in range(len(thresholds)):
+        a = s_b.step(a, k, md2)
+        b = s_s.step(b, k, md2)
+        modes_b.append(s_b.engine.last_stats.get("mode"))
+        modes_s.append(s_s.engine.last_stats.get("mode"))
+        np.testing.assert_array_equal(a, b, err_msg=f"threshold {k}")
+    assert "bidir" in modes_b and "symmetric" not in modes_b
+    assert "symmetric" in modes_s
+
+
 def _bigger_blobs(n=600, seed=5):
     rng = np.random.default_rng(seed)
     a = rng.normal((0.0, 0.0, 0.0), 0.15, size=(n // 2, 3))
