@@ -66,14 +66,24 @@ def synthetic_fel(n, d, seed=0):
             + rng.normal(size=(n, d)) * scales).astype(np.float32)
 
 
-def _best_of(fn, reps):
+def _best_of(fn, reps, max_reps=None):
+    """Best-of-N with adaptive extension: the remote-TPU tunnel can
+    degrade for a minute mid-run, so keep timing (up to ``max_reps``)
+    while the latest rep is still improving the best by >10% -- a
+    degraded-then-recovered stretch converges to the healthy number
+    instead of recording the wedge."""
     fn()  # warm (compile + upload)
+    max_reps = max_reps or 2 * reps
     best = float("inf")
     out = None
-    for _ in range(reps):
+    done = 0
+    while done < reps or (done < max_reps and improving):
         t0 = time.perf_counter()
         out = fn()
-        best = min(best, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        improving = dt < best * 0.9
+        best = min(best, dt)
+        done += 1
     return best, out
 
 
@@ -118,7 +128,12 @@ def main():
     # steady state = best of REPS timed calls (one compile amortizes over
     # a production run; the min damps tunnel jitter)
     t_pops, pops = _best_of(lambda: engine.populations(RADII), REPS)
-    st = engine.last_stats["populations"]
+    # XLA-fallback backends don't record tile stats (CPU smoke runs);
+    # charge the full grid so the accounting stays defined
+    n_tiles_full = (engine.n_pad // ROW_BLOCK) * (engine.n_pad // COL_BLOCK)
+    full = {"computed_tiles": n_tiles_full,
+            "tile_pairs": ROW_BLOCK * COL_BLOCK, "mode": "dense"}
+    st = engine.last_stats.get("populations", full)
     computed = float(st["computed_tiles"]) * st["tile_pairs"]
     stages["pops"] = {
         "seconds": round(t_pops, 3),
@@ -138,7 +153,7 @@ def main():
 
     # --- nearest neighbors ---
     t_nn, nn = _best_of(lambda: engine.nearest_neighbors(fe), REPS)
-    st = engine.last_stats["nn"]
+    st = engine.last_stats.get("nn", full)
     computed = float(st["computed_tiles"]) * st["tile_pairs"]
     stages["nn"] = {
         "seconds": round(t_nn, 3),
@@ -173,12 +188,8 @@ def main():
                              * st["tile_pairs"])
         return clustering, computed
 
-    (clustering, scr_computed), _ = run_series(), None  # warm compiles
-    t_scr = float("inf")
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        clustering, scr_computed = run_series()
-        t_scr = min(t_scr, time.perf_counter() - t0)
+    t_scr, (clustering, scr_computed) = _best_of(
+        lambda: run_series(), REPS)
     scr_eff = float(sum(float(series.n_below_per_band[k]) ** 2
                         for k in range(len(thresholds))))
     stages["screening"] = {
