@@ -449,14 +449,29 @@ class ScreeningEngine:
         if self.backend == "pallas" and self.mesh is not None:
             from ..parallel import sharded
             from .pallas_kernels import DISPATCH_CHUNK_GROUP
-            tiles = self._tile_list(row_lo, n_below, max_dist2)
+            union_size = self._union_size(n_below)
+            bidir = self._bidir_ok(union_size)
+            tiles = self._tile_list(row_lo, n_below, max_dist2,
+                                    triangular=bidir)
             if tiles is None:
                 return labels_dev
             from ..parallel.mesh import replicated
             ti_dev, tj_dev = self._split_tiles_per_device(*tiles)
             ti_dev = replicated(ti_dev, self.mesh)
             tj_dev = replicated(tj_dev, self.mesh)
-            union_size = self._union_size(n_below)
+            if bidir and ti_dev.shape[1] <= DISPATCH_CHUNK_GROUP:
+                return sharded._screening_sharded_pallas_bidir(
+                    self._coords_dev, labels_dev, jnp.int32(n_below),
+                    jnp.float32(max_dist2), ti_dev, tj_dev, self.mesh,
+                    row_block=self.row_block, col_block=self.col_block,
+                    union_size=union_size)
+            if bidir:
+                # the host-driven safety valve stays symmetric: rebuild
+                # the full tile list
+                tiles = self._tile_list(row_lo, n_below, max_dist2)
+                ti_dev, tj_dev = self._split_tiles_per_device(*tiles)
+                ti_dev = replicated(ti_dev, self.mesh)
+                tj_dev = replicated(tj_dev, self.mesh)
             if ti_dev.shape[1] > DISPATCH_CHUNK_GROUP:
                 # per-device tile list too long for one device program
                 # (runtime watchdogs): host-driven bounded group sweeps,

@@ -270,6 +270,83 @@ def _screening_sharded_pallas(coords_t, labels0, n_below, max_dist2,
     return run(coords_t, labels0, n_below, max_dist2, ti_dev, tj_dev)
 
 
+def _screening_sharded_pallas_bidir(coords_t, labels0, n_below, max_dist2,
+                                    ti_dev, tj_dev, mesh, row_block,
+                                    col_block, union_size):
+    """Mesh fixpoint over balanced per-device UPPER-TRIANGULAR tile lists
+    with the bidirectional sweep kernel: each chip folds its tiles' row
+    AND column proposals into its local label vector, one int32 ``pmin``
+    over ICI merges all chips' proposals (both directions ride the same
+    collective), then union + pointer jumping run replicated. Half the
+    per-chip distance work of _screening_sharded_pallas; labels are
+    identical (min propagation is schedule-independent at fixpoint)."""
+    from ..ops import pallas_kernels as pk
+    from ..ops.screening import union_rebase
+
+    n_pad = coords_t.shape[1]
+    ncb = n_pad // col_block
+    nrb = n_pad // row_block
+    nub = union_size // col_block
+    nru = union_size // row_block
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, None), P(None), P(), P(),
+                  P(FRAME_AXIS, None, None), P(FRAME_AXIS, None, None)),
+        out_specs=P(None), check_vma=False)
+    def run(ct, labels0, nb, md2, ti_l, tj_l):
+        ti = ti_l[0]  # (n_chunks, bucket)
+        tj = tj_l[0]
+
+        def cond(state):
+            return state[1]
+
+        def body(state):
+            labels_in, _, dirty_col, dirty_row = state
+
+            def chunk_body(labels_cur, tt):
+                ti_c, tj_c = tt
+                row_p, col_p = pk.label_min_sparse_bidir(
+                    ct, labels_cur.reshape(1, -1), nb, md2, ti_c, tj_c,
+                    dirty_col, dirty_row, union_size,
+                    row_block=row_block, col_block=col_block)
+                lab = jnp.minimum(labels_cur, row_p[0])
+                lab = jnp.concatenate(
+                    [jnp.minimum(lab[:union_size], col_p[0]),
+                     lab[union_size:]])
+                return lab, None
+
+            swept_loc, _ = jax.lax.scan(chunk_body, labels_in, (ti, tj))
+            labels_cur = jax.lax.pmin(swept_loc, FRAME_AXIS)
+            head_in = labels_in[:union_size]
+            head_out = union_rebase(head_in, labels_cur[:union_size])
+            changed = head_out != head_in
+            labels_out = (head_out if union_size == n_pad else
+                          jnp.concatenate([head_out,
+                                           labels_in[union_size:]]))
+            dc_head = jnp.any(changed.reshape(nub, col_block),
+                              axis=1).astype(jnp.int32)
+            dirty_col = (dc_head if nub == ncb else
+                         jnp.concatenate([dc_head,
+                                          jnp.zeros(ncb - nub,
+                                                    jnp.int32)]))
+            dr_head = jnp.any(changed.reshape(nru, row_block),
+                              axis=1).astype(jnp.int32)
+            dirty_row = (dr_head if nru == nrb else
+                         jnp.concatenate([dr_head,
+                                          jnp.zeros(nrb - nru,
+                                                    jnp.int32)]))
+            return (labels_out, jnp.any(changed), dirty_col, dirty_row)
+
+        labels, _, _, _ = jax.lax.while_loop(
+            cond, body, (labels0, jnp.bool_(True),
+                         jnp.ones((ncb,), dtype=jnp.int32),
+                         jnp.ones((nrb,), dtype=jnp.int32)))
+        return labels
+
+    return run(coords_t, labels0, n_below, max_dist2, ti_dev, tj_dev)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "row_block", "col_block"))
 def _sweep_group_sharded(coords_t, labels, n_below, max_dist2,
