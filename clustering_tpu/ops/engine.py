@@ -282,7 +282,9 @@ class DensityEngine:
             return
         computed = st["computed_tiles"] * float(st["tile_pairs"])
         frac = computed / st["effective_pairs"] if st["effective_pairs"] else 0.0
-        mode = f", {st['mode']} phase 2" if "mode" in st else ""
+        mode = ("" if "mode" not in st else
+                f", {st['mode']} phase 2" if stage == "nn" else
+                f", {st['mode']}")
         # tiles cover the padded grid, so the fraction can exceed 100% on
         # toy inputs smaller than one tile row
         logger(f"    [{stage}: {st['computed_tiles']} tiles computed ="
@@ -297,6 +299,23 @@ class DensityEngine:
             if frac > best_frac:
                 best, best_frac = name, frac
         return best
+
+    # the bidirectional pops kernel holds an (n_radii * N_pad) int32
+    # column accumulator in VMEM scratch; the kernel raises XLA's
+    # conservative 16MB scoped limit, and v5e accepts >=120MB scratch
+    # (measured). 64MB covers 3 radii to ~5M frames; larger runs fall
+    # back to the symmetric list.
+    POPS_BIDIR_SCRATCH_CAP = 64 << 20
+
+    def _pops_bidir_ok(self, n_radii):
+        if self.mesh is not None:
+            return False
+        if n_radii * self.n_pad * 4 > self.POPS_BIDIR_SCRATCH_CAP:
+            return False
+        from .pallas_kernels import INTERPRET_MODE
+        if not INTERPRET_MODE() and self.col_block % 128 != 0:
+            return False
+        return True
 
     # -- ops ---------------------------------------------------------------
 
@@ -319,9 +338,18 @@ class DensityEngine:
                     for i, r in enumerate(radii)}
         from . import pallas_kernels as pk
         r_max2 = np.float32(max(radii)) * np.float32(max(radii))
+        bidir = prune and self._pops_bidir_ok(len(radii))
         if prune:
             name = self._best_sort(r_max2)
             active = self._bbox(name) <= r_max2
+            if bidir:
+                # upper-triangular tile list for the bidirectional count
+                # kernel: each unordered pair evaluated once
+                nrb, ncb = active.shape
+                ri = np.arange(nrb)[:, None]
+                cj = np.arange(ncb)[None, :]
+                active = active & ((cj + 1) * self.col_block
+                                   > ri * self.row_block)
         else:
             name = "orig"
             active = np.ones((self.n_pad // self.row_block,
@@ -349,13 +377,21 @@ class DensityEngine:
             "computed_tiles": int((tiles[1] >= 0).sum()),
             "tile_pairs": self.row_block * self.col_block,
             "effective_pairs": float(self.n) * self.n,
+            "mode": "bidir" if bidir else "symmetric",
         }
         self._log_stats("pops", self.last_stats["populations"])
-        acc = pk.pops_tiles_sparse_all(self._device(name), radii2,
-                                       np.int32(self.n),
-                                       tiles[0], tiles[1], rmask=rmask,
-                                       row_block=self.row_block,
-                                       col_block=self.col_block)
+        if bidir:
+            acc = pk.pops_tiles_bidir_all(self._device(name), radii2,
+                                          np.int32(self.n),
+                                          tiles[0], tiles[1], rmask,
+                                          row_block=self.row_block,
+                                          col_block=self.col_block)
+        else:
+            acc = pk.pops_tiles_sparse_all(self._device(name), radii2,
+                                           np.int32(self.n),
+                                           tiles[0], tiles[1], rmask=rmask,
+                                           row_block=self.row_block,
+                                           col_block=self.col_block)
         counts = np.asarray(jax.device_get(acc))[:, :self.n]
         if order is not None:
             unsorted = np.empty_like(counts)

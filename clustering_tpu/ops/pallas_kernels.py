@@ -266,6 +266,193 @@ def pops_tiles_sparse(coords_t, radii2, n_valid, tile_i, tile_j,
                                    col_block=col_block)
 
 
+def _pops_bidir_kernel(n_valid_ref, ti_ref, tj_ref, rmask_ref, xt_ref,
+                       yt_ref, radii2_ref, init_ref, init_c_ref,
+                       out_ref, outc_ref, col_acc,
+                       *, row_block, col_block, n_dim, n_radii):
+    """Bidirectional population counts over an upper-triangular tile
+    list: each strictly-upper pair (r < c) is evaluated once and adds 1
+    to BOTH frames' counts (row side into the ti-indexed output, column
+    side into a persistent VMEM scratch with one n_radii-row group per
+    column block). The column output block at tj[k] is written every
+    step with the running accumulation, so the last write-back of each
+    column block carries all of its tiles' contributions. Self-pairs are
+    excluded by the strict mask; the caller adds the diagonal +1."""
+    del init_ref, init_c_ref  # aliased into the outputs in HBM
+    k = pl.program_id(0)
+    jraw = tj_ref[k]
+    j = jnp.maximum(jraw, 0)
+    i = ti_ref[k]
+
+    @pl.when(k == 0)
+    def _():
+        col_acc[:, :] = jnp.zeros_like(col_acc)
+
+    @pl.when((k == 0) | (i != ti_ref[jnp.maximum(k - 1, 0)]))
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    rmask = rmask_ref[k]
+
+    @pl.when(rmask != 0)
+    def _():
+        d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
+        col_ids = j * col_block + jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, col_block), 1)
+        row_ids = i * row_block + jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, col_block), 0)
+        # strictly-upper: each unordered pair counted from exactly one
+        # orientation even in tiles straddling the diagonal
+        base = (col_ids > row_ids) & (col_ids < n_valid_ref[0])
+        for r in range(n_radii):
+            @pl.when((rmask >> r) & 1 != 0)
+            def _(r=r):
+                within = jnp.where(base & (d2 <= radii2_ref[r]), 1, 0)
+                out_ref[r, :] += jnp.sum(within, axis=1).astype(jnp.int32)
+                sl = pl.ds(j * n_radii + r, 1)
+                col_acc[sl, :] += jnp.sum(within, axis=0,
+                                          keepdims=True).astype(jnp.int32)
+
+    # per-radius single-row copies: Mosaic supports dynamic sublane
+    # slices of size 1 but not size n_radii
+    for r in range(n_radii):
+        outc_ref[r:r + 1, :] = col_acc[pl.ds(j * n_radii + r, 1), :]
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+def pops_tiles_sparse_bidir(coords_t, radii2, n_valid, tile_i, tile_j,
+                            rmask,
+                            row_block=DEFAULT_ROW_BLOCK,
+                            col_block=DEFAULT_COL_BLOCK):
+    """Upper-triangular bidirectional population counts: ~2x fewer
+    distance evaluations than the symmetric tile list at identical
+    results. The tile list must contain each active upper-triangle-
+    intersecting tile exactly once ((j+1)*col_block > i*row_block),
+    row-major sorted, padded with (ti=last, tj=-1, rmask=0) no-ops.
+    Requires an (n_pad/col_block * n_radii, col_block) int32 VMEM
+    scratch -- n_radii * n_pad * 4B; the caller gates on the VMEM
+    budget. Returns (n_radii, N_pad) int32 counts (self-inclusive,
+    d2 <= r^2 -- identical to pops_tiles_sparse)."""
+    n_dim, n_pad = coords_t.shape
+    n_radii = radii2.shape[0]
+    n_tiles = tile_i.shape[0]
+    ncb = n_pad // col_block
+    kernel = functools.partial(_pops_bidir_kernel, row_block=row_block,
+                               col_block=col_block, n_dim=n_dim,
+                               n_radii=n_radii)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n_dim, row_block),
+                         lambda k, nv, ti, tj, rm: (0, ti[k])),
+            pl.BlockSpec((n_dim, col_block),
+                         lambda k, nv, ti, tj, rm: (0, jnp.maximum(tj[k],
+                                                                   0))),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_radii, row_block),
+                         lambda k, nv, ti, tj, rm: (0, ti[k])),
+            pl.BlockSpec((n_radii, col_block),
+                         lambda k, nv, ti, tj, rm: (0, jnp.maximum(tj[k],
+                                                                   0))),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_radii, row_block),
+                         lambda k, nv, ti, tj, rm: (0, ti[k])),
+            pl.BlockSpec((n_radii, col_block),
+                         lambda k, nv, ti, tj, rm: (0, jnp.maximum(tj[k],
+                                                                   0))),
+        ],
+        scratch_shapes=[pltpu.VMEM((ncb * n_radii, col_block), jnp.int32)],
+    )
+    init = jnp.zeros((n_radii, n_pad), dtype=jnp.int32)
+    # the column accumulator needs n_radii * n_pad * 4B of VMEM on top of
+    # the tile pipeline buffers; raise the scoped-vmem limit past XLA's
+    # conservative 16MB default (v5e has far more physical VMEM)
+    scratch_bytes = ncb * n_radii * col_block * 4
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=scratch_bytes + (8 << 20))
+    out, outc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_radii, n_pad), jnp.int32),
+                   jax.ShapeDtypeStruct((n_radii, n_pad), jnp.int32)],
+        input_output_aliases={7: 0, 8: 1},
+        compiler_params=params,
+        interpret=INTERPRET_MODE(),
+    )(jnp.asarray([n_valid], dtype=jnp.int32),
+      jnp.asarray(tile_i, dtype=jnp.int32),
+      jnp.asarray(tile_j, dtype=jnp.int32),
+      jnp.asarray(rmask, dtype=jnp.int32),
+      coords_t, coords_t,
+      jnp.asarray(radii2, dtype=jnp.float32), init, init)
+    # self-pairs excluded by the strict mask: pops_tiles_bidir_all adds
+    # the diagonal +1 exactly once across chunk groups
+    return out + outc
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+def _pops_bidir_group(coords_t, radii2, n_valid, tile_i, tile_j, rmask,
+                      row_block=DEFAULT_ROW_BLOCK,
+                      col_block=DEFAULT_COL_BLOCK):
+    def body(acc, tt):
+        ti_c, tj_c, rm_c = tt
+        part = pops_tiles_sparse_bidir(coords_t, radii2, n_valid,
+                                       ti_c, tj_c, rm_c,
+                                       row_block=row_block,
+                                       col_block=col_block)
+        return acc + part, None
+
+    init = jnp.zeros((radii2.shape[0], coords_t.shape[1]), dtype=jnp.int32)
+    acc, _ = jax.lax.scan(body, init, (tile_i, tile_j, rmask))
+    return acc
+
+
+def pops_tiles_bidir_all(coords_t, radii2, n_valid, tile_i, tile_j, rmask,
+                         row_block=DEFAULT_ROW_BLOCK,
+                         col_block=DEFAULT_COL_BLOCK):
+    """Sum of pops_tiles_sparse_bidir over stacked (n_chunks, bucket)
+    upper-triangular tile chunks, grouped into bounded-size dispatches,
+    plus the diagonal self-count (once)."""
+    n_radii = radii2.shape[0]
+    tile_i = np.asarray(tile_i, dtype=np.int32)
+    tile_j = np.asarray(tile_j, dtype=np.int32)
+    rmask = np.asarray(rmask, dtype=np.int32)
+    n_chunks = tile_i.shape[0]
+    g = DISPATCH_CHUNK_GROUP
+    if n_chunks <= g:
+        acc = _pops_bidir_group(coords_t, radii2, n_valid,
+                                tile_i, tile_j, rmask,
+                                row_block=row_block, col_block=col_block)
+    else:
+        acc = None
+        for lo in range(0, n_chunks, g):
+            ti_g, tj_g, rm_g = (tile_i[lo:lo + g], tile_j[lo:lo + g],
+                                rmask[lo:lo + g])
+            if ti_g.shape[0] < g:
+                pad = g - ti_g.shape[0]
+                ti_g = np.concatenate([ti_g, np.repeat(ti_g[-1:], pad, 0)])
+                tj_g = np.concatenate(
+                    [tj_g, np.full((pad,) + tj_g.shape[1:], -1, np.int32)])
+                rm_g = np.concatenate(
+                    [rm_g, np.zeros((pad,) + rm_g.shape[1:], np.int32)])
+            part = _pops_bidir_group(coords_t, radii2, n_valid,
+                                     ti_g, tj_g, rm_g,
+                                     row_block=row_block,
+                                     col_block=col_block)
+            acc = part if acc is None else _acc_add(acc, part)
+    return _add_self_count(acc, jnp.int32(n_valid))
+
+
+@jax.jit
+def _add_self_count(acc, n_valid):
+    """Diagonal +1 per valid frame (d2(i,i)=0 <= r^2 for every radius)."""
+    n_pad = acc.shape[1]
+    self_cnt = (jnp.arange(n_pad, dtype=jnp.int32)
+                < n_valid)[None, :].astype(jnp.int32)
+    return acc + self_cnt
+
+
 # ---------------------------------------------------------------------------
 # nearest neighbors
 # ---------------------------------------------------------------------------
@@ -742,7 +929,7 @@ def label_min_sparse(coords_t_sorted, labels, n_below, max_dist2,
 def _label_min_bidir_kernel(win_ref, max_d2_ref, ti_ref, tj_ref,
                             dirty_col_ref, dirty_row_ref,
                             xt_ref, yt_ref, lab_y_ref, lab_x_ref, init_ref,
-                            out_ref, outc_ref, col_acc,
+                            init_c_ref, out_ref, outc_ref, col_acc,
                             *, row_block, col_block, n_dim):
     """Bidirectional sweep body: each visited tile proposes column labels
     to its rows (as _label_min_sparse_kernel) AND row labels to its
@@ -750,11 +937,13 @@ def _label_min_bidir_kernel(win_ref, max_d2_ref, ti_ref, tj_ref,
     with ONE distance evaluation -- half the VPU work of the symmetric
     list. Column proposals accumulate in a persistent VMEM scratch (grid
     execution is sequential on TPU): column block j owns row j of the
-    (n_col_blocks, col_block) scratch (dynamic single-sublane-row RMW),
-    dumped to the second output on the last grid step."""
-    del init_ref  # aliased into out in HBM (covers unvisited rows)
+    (n_col_blocks, col_block) scratch (dynamic single-sublane-row RMW).
+    The column output is a (1, col_block) block at tj[k], written every
+    step with the running accumulation -- the last write-back of each
+    column block carries all of its tiles' proposals."""
+    del init_ref, init_c_ref  # aliased into the outputs in HBM (define
+    # blocks the grid never writes)
     k = pl.program_id(0)
-    n_tiles = pl.num_programs(0)
     n_below = win_ref[0]
     max_dist2 = max_d2_ref[0]
     i = ti_ref[k]
@@ -792,9 +981,12 @@ def _label_min_bidir_kernel(win_ref, max_d2_ref, ti_ref, tj_ref,
         sl = pl.ds(j, 1)
         col_acc[sl, :] = jnp.minimum(col_acc[sl, :], colmin)
 
-    @pl.when(k == n_tiles - 1)
-    def _():
-        outc_ref[:, :] = col_acc[:, :]
+    # the (1, col_block) column-output block at tj[k] is written back at
+    # every block change; write the running accumulation every step so
+    # the LAST write-back of each column block carries all its tiles'
+    # proposals (unvisited blocks keep the aliased IMAX init). This keeps
+    # only a tile-sized column block in VMEM instead of the whole union.
+    outc_ref[:, :] = col_acc[pl.ds(j, 1), :]
 
 
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block",
@@ -835,23 +1027,32 @@ def label_min_sparse_bidir(coords_t, labels, n_below, max_dist2,
                          lambda k, nb, md, ti, tj, dc, dr: (0, ti[k])),
             pl.BlockSpec((1, row_block),
                          lambda k, nb, md, ti, tj, dc, dr: (0, ti[k])),
+            pl.BlockSpec((1, col_block),
+                         lambda k, nb, md, ti, tj, dc, dr: (0, tj[k])),
         ],
         out_specs=[
             pl.BlockSpec((1, row_block),
                          lambda k, nb, md, ti, tj, dc, dr: (0, ti[k])),
-            pl.BlockSpec((nub, col_block),
-                         lambda k, nb, md, ti, tj, dc, dr: (0, 0)),
+            pl.BlockSpec((1, col_block),
+                         lambda k, nb, md, ti, tj, dc, dr: (0, tj[k])),
         ],
         scratch_shapes=[pltpu.VMEM((nub, col_block), jnp.int32)],
     )
     init = jnp.full((1, n_pad), _IMAX, dtype=jnp.int32)
+    init_c = jnp.full((1, union_size), _IMAX, dtype=jnp.int32)
     window = jnp.stack([jnp.asarray(n_below, dtype=jnp.int32)])
+    # scoped-vmem limit: column accumulator + pipeline buffers (XLA's
+    # 16MB default is conservative; see pops_tiles_sparse_bidir)
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=union_size * 4 + (8 << 20))
     out, outc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-                   jax.ShapeDtypeStruct((nub, col_block), jnp.int32)],
-        input_output_aliases={10: 0},  # init buffer -> row output
+                   jax.ShapeDtypeStruct((1, union_size), jnp.int32)],
+        # init buffers -> row / column outputs (cover unvisited blocks)
+        input_output_aliases={10: 0, 11: 1},
+        compiler_params=params,
         interpret=INTERPRET_MODE(),
     )(window,
       jnp.asarray([max_dist2], dtype=jnp.float32),
@@ -859,6 +1060,5 @@ def label_min_sparse_bidir(coords_t, labels, n_below, max_dist2,
       jnp.asarray(tile_j, dtype=jnp.int32),
       jnp.asarray(dirty_col, dtype=jnp.int32),
       jnp.asarray(dirty_row, dtype=jnp.int32),
-      coords_t, coords_t, labels, labels, init)
-    # 8-sublane groups per column block flatten back to union positions
-    return out, outc.reshape(1, union_size)
+      coords_t, coords_t, labels, labels, init, init_c)
+    return out, outc

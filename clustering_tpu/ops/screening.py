@@ -575,9 +575,10 @@ class ScreeningEngine:
         return self._fetch(out)[:self.n]
 
     # bidirectional sweeps hold the whole union's column accumulator in
-    # VMEM scratch (~16MB/core on v5e): cap at 4MB (1M frames) and leave
-    # the rest for the pipeline's coordinate/label blocks
-    BIDIR_UNION_CAP = 1 << 20
+    # VMEM scratch; the kernel raises XLA's conservative 16MB scoped
+    # limit, and v5e accepts >=120MB scratch (measured). Cap at 64MB /
+    # 16M frames, leaving ample room for the pipeline's blocks.
+    BIDIR_UNION_CAP = 1 << 24
 
     def _bidir_ok(self, union_size):
         """Upper-triangular bidirectional sweeps hold the union's column
