@@ -387,6 +387,31 @@ def test_host_driven_fixpoint_matches(monkeypatch):
     np.testing.assert_array_equal(want, got)
 
 
+def test_bidir_pops_matches_symmetric():
+    """Bidirectional upper-triangular counts must equal the symmetric
+    sweep and the XLA oracle, including duplicated frames (self-pair and
+    d2=0 semantics) and the multi-radius rmask path."""
+    coords = _bigger_blobs(n=900, seed=23)
+    coords[50:70] = coords[0]  # exact duplicates
+    radii = [0.2, 0.4, 0.8]
+    want = ops.populations(coords, radii, backend="xla",
+                           row_block=8, col_block=16)
+    e_b = ops.engine.DensityEngine(coords, row_block=8, col_block=16,
+                                   backend="pallas")
+    e_s = ops.engine.DensityEngine(coords, row_block=8, col_block=16,
+                                   backend="pallas")
+    e_s.POPS_BIDIR_SCRATCH_CAP = 0
+    got_b = e_b.populations(radii)
+    got_s = e_s.populations(radii)
+    assert e_b.last_stats["populations"]["mode"] == "bidir"
+    assert e_s.last_stats["populations"]["mode"] == "symmetric"
+    assert (e_b.last_stats["populations"]["computed_tiles"]
+            < e_s.last_stats["populations"]["computed_tiles"])
+    for r in radii:
+        np.testing.assert_array_equal(want[r], got_b[r], err_msg=f"r={r}")
+        np.testing.assert_array_equal(want[r], got_s[r], err_msg=f"r={r}")
+
+
 def test_grouped_dispatch_pops_and_nn_match(monkeypatch):
     """Chunk grouping across dispatches (watchdog cap) must not change
     populations or NN results."""
