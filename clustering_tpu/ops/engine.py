@@ -399,12 +399,35 @@ class DensityEngine:
             counts = unsorted
         return {r: counts[i].astype(np.int64) for i, r in enumerate(radii)}
 
-    def _nn_sparse_chunks(self, order_name, fe_dev, oid_dev, active):
+    # the bidirectional NN kernel holds 4 (2 x [nh; hd] x [d; j]) column
+    # accumulators of N_pad lanes in VMEM scratch; 64MB covers 4M frames
+    NN_BIDIR_SCRATCH_CAP = 64 << 20
+
+    def _nn_bidir_ok(self):
+        if self.col_block % self.row_block != 0:
+            return False
+        if 4 * self.n_pad * 4 > self.NN_BIDIR_SCRATCH_CAP:
+            return False
+        from .pallas_kernels import INTERPRET_MODE
+        if not INTERPRET_MODE() and self.col_block % 128 != 0:
+            return False
+        return True
+
+    def _nn_sparse_chunks(self, order_name, fe_dev, oid_dev, active,
+                          bidir=False):
         """Run the sparse NN kernel over the active tiles, merging the
         stacked (2, N_pad) [nh; hd] outputs lexicographically across SMEM
-        chunks."""
+        chunks. With ``bidir`` the mask must already be an
+        upper-triangular closure (pruning.bidir_closure) and every tile
+        serves both orientations."""
         from . import pallas_kernels as pk
         tiles = pruning.tile_list(active)
+        if bidir:
+            return pk.nn_tiles_bidir_all(self._device(order_name), fe_dev,
+                                         oid_dev, np.int32(self.n),
+                                         tiles[0], tiles[1],
+                                         row_block=self.row_block,
+                                         col_block=self.col_block)
         return pk.nn_tiles_sparse_all(self._device(order_name), fe_dev,
                                       oid_dev, np.int32(self.n),
                                       tiles[0], tiles[1],
@@ -535,21 +558,26 @@ class DensityEngine:
         out_idx_dev = None
         stats = {"effective_pairs": float(n) * n,
                  "tile_pairs": self.row_block * self.col_block,
-                 "band_tiles": 0, "phase2_tiles": 0, "mode": "dense"}
+                 "band_tiles": 0, "phase2_tiles": 0, "mode": "dense",
+                 "bidir": self._nn_bidir_ok()}
         # sub-stage wall clocks (each segment ends at a host sync, so the
         # deltas are real): band = banded pass + row-ub readback, plan =
         # phase-2 planning incl. tiered-mask readback, sweep = phase-2
         # kernel + index download, host = unpermute + distance recompute
         t0 = time.perf_counter()
+        nn_bidir = self._nn_bidir_ok()
         if prune and ncb > 2 * band_blocks:
             # phase 1: banded pass over sort-neighbors -> per-frame upper
             # bounds (order-independent values)
             band_active = pruning.band_mask(
                 nrb, ncb, self.row_block, self.col_block,
                 band_blocks * self.col_block)
-            stats["band_tiles"] = int(band_active.sum())
+            band_eff = (pruning.bidir_closure(band_active, self.row_block,
+                                              self.col_block)
+                        if nn_bidir else band_active)
+            stats["band_tiles"] = int(band_eff.sum())
             out1 = self._nn_sparse_chunks(order_name, fe_dev, oid_dev,
-                                          band_active)
+                                          band_eff, bidir=nn_bidir)
             # keep the per-frame bounds on device; per candidate order,
             # permute + reduce there and download only the per-row-block
             # maxima (device->host is the slow, flaky direction through
@@ -576,6 +604,9 @@ class DensityEngine:
                 # merge is an idempotent lexicographic min: skip
                 # re-sweeping them and fold the band result in afterwards
                 active = active & ~band_active
+            if nn_bidir:
+                active = pruning.bidir_closure(active, self.row_block,
+                                               self.col_block)
             block_tiles = int(active.sum())
             tile_pairs = self.row_block * self.col_block
             plan = None
@@ -609,6 +640,9 @@ class DensityEngine:
                 stats["mode"] = "block-bound"
         else:
             active = np.ones((nrb, ncb), dtype=bool)
+            if nn_bidir:
+                active = pruning.bidir_closure(active, self.row_block,
+                                               self.col_block)
             stats["phase2_tiles"] = int(active.sum())
         if out_idx_dev is None and stats["mode"] != "tiered":
             merge_band = band_out is not None and order_name == band_name
@@ -616,7 +650,7 @@ class DensityEngine:
                 out = None
             else:
                 out = self._nn_sparse_chunks(order_name, fe_dev, oid_dev,
-                                             active)
+                                             active, bidir=nn_bidir)
             if merge_band and out is not None:
                 # lexicographic merge on device: one download vs three
                 out = _lex_merge(band_out[0], band_out[1], out[0], out[1])

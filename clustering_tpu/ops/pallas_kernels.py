@@ -701,6 +701,51 @@ def nn_tiles_sparse_all(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+def _nn_bidir_group(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
+                    row_block=DEFAULT_ROW_BLOCK,
+                    col_block=DEFAULT_COL_BLOCK):
+    def body(acc, tt):
+        ti_c, tj_c = tt
+        part = nn_tiles_sparse_bidir(coords_t, fe, orig_ids, n_valid,
+                                     ti_c, tj_c, row_block=row_block,
+                                     col_block=col_block)
+        return _lex_min2(acc, part), None
+
+    n_pad = coords_t.shape[1]
+    init = (jnp.full((2, n_pad), _INF, dtype=jnp.float32),
+            jnp.full((2, n_pad), _IMAX, dtype=jnp.int32))
+    acc, _ = jax.lax.scan(body, init, (tile_i, tile_j))
+    return acc
+
+
+def nn_tiles_bidir_all(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
+                       row_block=DEFAULT_ROW_BLOCK,
+                       col_block=DEFAULT_COL_BLOCK):
+    """Lexicographic merge of nn_tiles_sparse_bidir over stacked tile
+    chunks, grouped into bounded-size dispatches (each chunk's row and
+    column minima fold through the idempotent lexicographic min)."""
+    tile_i = np.asarray(tile_i, dtype=np.int32)
+    tile_j = np.asarray(tile_j, dtype=np.int32)
+    n_chunks = tile_i.shape[0]
+    g = DISPATCH_CHUNK_GROUP
+    if n_chunks <= g:
+        return _nn_bidir_group(coords_t, fe, orig_ids, n_valid,
+                               tile_i, tile_j,
+                               row_block=row_block, col_block=col_block)
+    acc = None
+    for lo in range(0, n_chunks, g):
+        ti_g, tj_g = tile_i[lo:lo + g], tile_j[lo:lo + g]
+        if ti_g.shape[0] < g:
+            pad = g - ti_g.shape[0]
+            ti_g = np.concatenate([ti_g, np.repeat(ti_g[-1:], pad, 0)])
+            tj_g = np.concatenate([tj_g, np.repeat(tj_g[-1:], pad, 0)])
+        part = _nn_bidir_group(coords_t, fe, orig_ids, n_valid, ti_g, tj_g,
+                               row_block=row_block, col_block=col_block)
+        acc = part if acc is None else _lex_min2(acc, part)
+    return acc
+
+
 def _nn_sparse_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
                       fe_x_ref, fe_y_ref, oid_y_ref, init_d_ref, init_j_ref,
                       out_d_ref, out_j_ref,
@@ -808,6 +853,166 @@ def nn_tiles_sparse(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
     return nn_tiles_sparse_cross(coords_t, fe, coords_t, fe, orig_ids,
                                  n_valid, tile_i, tile_j,
                                  row_block=row_block, col_block=col_block)
+
+
+def _nn_bidir_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
+                     fe_x_ref, fe_y_ref, oid_x_ref, oid_y_ref,
+                     init_d_ref, init_j_ref, init_cd_ref, init_cj_ref,
+                     out_d_ref, out_j_ref, outc_d_ref, outc_j_ref,
+                     acc_d, acc_j,
+                     *, row_block, col_block, n_dim):
+    """Bidirectional NN sweep body: each tile's distance evaluation
+    serves both its rows (lexicographic running minima in the ti-indexed
+    outputs, exactly _nn_sparse_kernel's semantics) and its columns
+    (minima over the tile's rows, accumulated in persistent VMEM scratch
+    with two sublane rows [nh; hd] per column block, written back via
+    the tj-indexed column outputs every step -- the last write-back per
+    column block carries all of its tiles' candidates)."""
+    del init_d_ref, init_j_ref, init_cd_ref, init_cj_ref  # output aliases
+    k = pl.program_id(0)
+    i = ti_ref[k]
+    j = tj_ref[k]
+
+    @pl.when(k == 0)
+    def _():
+        acc_d[:, :] = jnp.full_like(acc_d, _INF)
+        acc_j[:, :] = jnp.full_like(acc_j, _IMAX)
+
+    @pl.when((k == 0) | (i != ti_ref[jnp.maximum(k - 1, 0)]))
+    def _():
+        out_d_ref[:, :] = jnp.full_like(out_d_ref, _INF)
+        out_j_ref[:, :] = jnp.full_like(out_j_ref, _IMAX)
+
+    @pl.when((k == 0)
+             | (i != ti_ref[jnp.maximum(k - 1, 0)])
+             | (j != tj_ref[jnp.maximum(k - 1, 0)]))
+    def _():
+        d2 = _dist2_tile(xt_ref, yt_ref, row_block, col_block, n_dim)
+        col_ids = j * col_block + jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, col_block), 1)
+        row_ids = i * row_block + jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, col_block), 0)
+        nv = n_valid_ref[0]
+        oid_y = oid_y_ref[0, :].reshape(1, col_block)
+        oid_x = oid_x_ref[0, :].reshape(row_block, 1)
+        fe_x = fe_x_ref[0, :].reshape(row_block, 1)
+        fe_y = fe_y_ref[0, :].reshape(1, col_block)
+
+        # -- row side (identical to _nn_sparse_kernel) --
+        valid = (col_ids < nv) & (d2 > 0.0)
+        d2_nh = jnp.where(valid, d2, _INF)
+        bd = jnp.min(d2_nh, axis=1)
+        bo = jnp.min(jnp.where(d2_nh == bd[:, None], oid_y, _IMAX), axis=1)
+        upd = ((bd < out_d_ref[0, :]) | ((bd == out_d_ref[0, :])
+                                         & (bo < out_j_ref[0, :]))) \
+            & (bd < _INF)
+        out_d_ref[0, :] = jnp.where(upd, bd, out_d_ref[0, :])
+        out_j_ref[0, :] = jnp.where(upd, bo, out_j_ref[0, :])
+        d2_hd = jnp.where(fe_y < fe_x, d2_nh, _INF)
+        hd = jnp.min(d2_hd, axis=1)
+        ho = jnp.min(jnp.where(d2_hd == hd[:, None], oid_y, _IMAX), axis=1)
+        updh = ((hd < out_d_ref[1, :]) | ((hd == out_d_ref[1, :])
+                                          & (ho < out_j_ref[1, :]))) \
+            & (hd < _INF)
+        out_d_ref[1, :] = jnp.where(updh, hd, out_d_ref[1, :])
+        out_j_ref[1, :] = jnp.where(updh, ho, out_j_ref[1, :])
+
+        # -- column side: candidates are this tile's rows --
+        valid_t = (row_ids < nv) & (d2 > 0.0)
+        d2_nh_t = jnp.where(valid_t, d2, _INF)
+        cd = jnp.min(d2_nh_t, axis=0, keepdims=True)
+        co = jnp.min(jnp.where(d2_nh_t == cd, oid_x, _IMAX), axis=0,
+                     keepdims=True)
+        sl = pl.ds(j * 2, 1)
+        cur_d = acc_d[sl, :]
+        cur_j = acc_j[sl, :]
+        updc = ((cd < cur_d) | ((cd == cur_d) & (co < cur_j))) \
+            & (cd < _INF)
+        acc_d[sl, :] = jnp.where(updc, cd, cur_d)
+        acc_j[sl, :] = jnp.where(updc, co, cur_j)
+        d2_hd_t = jnp.where(fe_x < fe_y, d2_nh_t, _INF)
+        chd = jnp.min(d2_hd_t, axis=0, keepdims=True)
+        cho = jnp.min(jnp.where(d2_hd_t == chd, oid_x, _IMAX), axis=0,
+                      keepdims=True)
+        slh = pl.ds(j * 2 + 1, 1)
+        cur_dh = acc_d[slh, :]
+        cur_jh = acc_j[slh, :]
+        updch = ((chd < cur_dh) | ((chd == cur_dh) & (cho < cur_jh))) \
+            & (chd < _INF)
+        acc_d[slh, :] = jnp.where(updch, chd, cur_dh)
+        acc_j[slh, :] = jnp.where(updch, cho, cur_jh)
+
+    # running column accumulation -> tj-indexed output blocks (two
+    # single-sublane-row copies each; Mosaic supports dynamic size-1
+    # sublane slices only)
+    outc_d_ref[0:1, :] = acc_d[pl.ds(j * 2, 1), :]
+    outc_d_ref[1:2, :] = acc_d[pl.ds(j * 2 + 1, 1), :]
+    outc_j_ref[0:1, :] = acc_j[pl.ds(j * 2, 1), :]
+    outc_j_ref[1:2, :] = acc_j[pl.ds(j * 2 + 1, 1), :]
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+def nn_tiles_sparse_bidir(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
+                          row_block=DEFAULT_ROW_BLOCK,
+                          col_block=DEFAULT_COL_BLOCK):
+    """All-pairs NN search where every tile serves both orientations:
+    sweep only the upper-triangular closure of the active set
+    (``pruning.bidir_closure``) for the same results as the full
+    symmetric list at up to half the distance evaluations. Returns
+    (out_d, out_j) stacked (2, N_pad) [nh; hd], the lexicographic merge
+    of the row-side and column-side minima. Needs 4 * N_pad * 4B of VMEM
+    scratch (the call raises XLA's scoped-vmem default; caller gates on
+    the budget)."""
+    n_dim, n_pad = coords_t.shape
+    n_tiles = tile_i.shape[0]
+    ncb = n_pad // col_block
+    kernel = functools.partial(_nn_bidir_kernel, row_block=row_block,
+                               col_block=col_block, n_dim=n_dim)
+    row_spec = pl.BlockSpec((1, row_block),
+                            lambda k, nv, ti, tj: (0, ti[k]))
+    col_spec = pl.BlockSpec((1, col_block),
+                            lambda k, nv, ti, tj: (0, tj[k]))
+    out_spec = pl.BlockSpec((2, row_block),
+                            lambda k, nv, ti, tj: (0, ti[k]))
+    outc_spec = pl.BlockSpec((2, col_block),
+                             lambda k, nv, ti, tj: (0, tj[k]))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n_dim, row_block),
+                         lambda k, nv, ti, tj: (0, ti[k])),
+            pl.BlockSpec((n_dim, col_block),
+                         lambda k, nv, ti, tj: (0, tj[k])),
+            row_spec, col_spec, row_spec, col_spec,
+            out_spec, out_spec, outc_spec, outc_spec,
+        ],
+        out_specs=[out_spec, out_spec, outc_spec, outc_spec],
+        scratch_shapes=[pltpu.VMEM((2 * ncb, col_block), jnp.float32),
+                        pltpu.VMEM((2 * ncb, col_block), jnp.int32)],
+    )
+    init_d = jnp.full((2, n_pad), _INF, dtype=jnp.float32)
+    init_j = jnp.full((2, n_pad), _IMAX, dtype=jnp.int32)
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=4 * n_pad * 4 + (8 << 20))
+    out_d, out_j, outc_d, outc_j = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((2, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((2, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((2, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((2, n_pad), jnp.int32),
+        ],
+        input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3},
+        compiler_params=params,
+        interpret=INTERPRET_MODE(),
+    )(jnp.asarray([n_valid], dtype=jnp.int32),
+      jnp.asarray(tile_i, dtype=jnp.int32),
+      jnp.asarray(tile_j, dtype=jnp.int32),
+      coords_t, coords_t, fe, fe, orig_ids, orig_ids,
+      init_d, init_j, init_d, init_j)
+    return _lex_min2((out_d, out_j), (outc_d, outc_j))
 
 
 # ---------------------------------------------------------------------------

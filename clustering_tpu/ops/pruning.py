@@ -131,6 +131,33 @@ def pack_skip_words(skip_bool):
     return words.astype(np.uint32).view(np.int32).reshape(-1), words_per_row
 
 
+def bidir_closure(active, row_block, col_block):
+    """Upper-triangular closure of an active-tile set for bidirectional
+    sweeps: tiles ``upper AND (A OR M)``, where M marks the mirrors of
+    active tiles (coarsened to col-block granularity, the finest the
+    (row_block, col_block) grid can express for transposed coverage).
+
+    Every ordered pair (x, candidate y) demanded by ``active`` -- i.e.
+    active[rowblock(x), colblock(y)] -- is evaluated by exactly one kept
+    tile: the upper tile itself when x <= y, else its mirror, which M
+    provably covers. Never larger than |active| when active is
+    symmetric; at most |active| in general (the closure of A's upper
+    half plus coarsened mirrors of its lower half)."""
+    nrb, ncb = active.shape
+    if col_block % row_block != 0:
+        raise ValueError("bidir_closure needs col_block % row_block == 0")
+    span = col_block // row_block
+    assert nrb == ncb * span
+    # col-block-level adjacency: B[u, v] = any active tile whose rows lie
+    # in col block u, against col block v
+    B = active.reshape(ncb, span, ncb).any(axis=1)
+    ri = np.arange(nrb)[:, None]
+    cj = np.arange(ncb)[None, :]
+    mirror = B[cj, ri // span]
+    upper = (cj + 1) * col_block > ri * row_block
+    return (active | mirror) & upper
+
+
 # tile-index lists live in SMEM (1MB); cap each kernel call's list so two
 # int32 arrays stay well under it, and chunk longer lists across calls
 MAX_TILE_ENTRIES = 1 << 16
