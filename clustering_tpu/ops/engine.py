@@ -618,8 +618,13 @@ class DensityEngine:
             plan_worthwhile = (
                 block_tiles * float(tile_pairs) * (1.0 - 1.0 / 3.5)
                 > self.TIERED_MIN_SAVED_PAIRS)
+            # under bidirectional sweeps the block-bound tile count is
+            # already ~halved and each tile serves two orientations; the
+            # unidirectional tiered pass can no longer beat it (measured
+            # 2.43s tiered vs 1.64s bidir block-bound at N=2^20), so
+            # auto mode skips the plan (explicit tier_qs still forces it)
             if (tier_qs == "auto" and n >= self.TIERED_MIN_FRAMES
-                    and plan_worthwhile):
+                    and plan_worthwhile and not nn_bidir):
                 est, run_tiered = self._nn_tiered_plan(
                     order_name, band_name, band_out, fe, layout,
                     self.TIER_QS_DEFAULT)
