@@ -312,9 +312,14 @@ def test_engine_nn_auto_tier_decision(monkeypatch):
     got = eng.nearest_neighbors(fe, band_blocks=1, tier_qs="auto")
     assert eng.last_stats["nn"]["mode"] == "block-bound"
     np.testing.assert_array_equal(want[0], got[0])
-    # force the auto path to plan (and accept any positive saving)
+    # force the auto path to plan (any positive saving accepted); under
+    # bidirectional sweeps auto stands down, so disable bidir first
     monkeypatch.setattr(type(eng), "TIERED_MIN_FRAMES", 1)
     monkeypatch.setattr(type(eng), "TIERED_MIN_SAVED_PAIRS", -1.0)
+    got = eng.nearest_neighbors(fe, band_blocks=1, tier_qs="auto")
+    assert eng.last_stats["nn"]["mode"] == "block-bound"  # bidir active
+    np.testing.assert_array_equal(want[0], got[0])
+    monkeypatch.setattr(type(eng), "NN_BIDIR_SCRATCH_CAP", 0)
     got = eng.nearest_neighbors(fe, band_blocks=1, tier_qs="auto")
     assert eng.last_stats["nn"]["mode"] == "tiered"
     np.testing.assert_array_equal(want[0], got[0])
