@@ -193,6 +193,47 @@ def _nn_sharded_sparse(coords_t_padded, fe_padded, oid_padded, n_valid,
                ti_dev, tj_dev)
 
 
+def _nn_sharded_bidir(coords_t_padded, fe_padded, oid_padded, n_valid,
+                      ti_dev, tj_dev, mesh,
+                      row_block=DEFAULT_ROW_BLOCK,
+                      col_block=DEFAULT_COL_BLOCK):
+    """Mesh-sharded bidirectional NN over balanced per-device
+    upper-triangular-closure tile lists: each chip's local result already
+    folds both orientations of its tiles (nn_tiles_sparse_bidir), and the
+    same two-step lexicographic pmin over ICI merges the chips."""
+    from ..ops import pallas_kernels as pk
+
+    n_pad = coords_t_padded.shape[1]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, None), P(None, None), P(None, None), P(),
+                  P(FRAME_AXIS, None, None), P(FRAME_AXIS, None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False)
+    def run(ct, fe_all, oid_all, n_valid, ti_l, tj_l):
+        def body(acc, tt):
+            ti_c, tj_c = tt
+            d1, j1 = pk.nn_tiles_sparse_bidir(
+                ct, fe_all, oid_all, n_valid, ti_c, tj_c,
+                row_block=row_block, col_block=col_block)
+            d0, j0 = acc
+            upd = (d1 < d0) | ((d1 == d0) & (j1 < j0))
+            return (jnp.where(upd, d1, d0), jnp.where(upd, j1, j0)), None
+
+        init = (jnp.full((2, n_pad), jnp.inf, dtype=jnp.float32),
+                jnp.full((2, n_pad), jnp.int32(2**31 - 1),
+                         dtype=jnp.int32))
+        (d_loc, j_loc), _ = jax.lax.scan(body, init, (ti_l[0], tj_l[0]))
+        d_min = jax.lax.pmin(d_loc, FRAME_AXIS)
+        j_cand = jnp.where(d_loc == d_min, j_loc, jnp.int32(2**31 - 1))
+        j_min = jax.lax.pmin(j_cand, FRAME_AXIS)
+        return d_min, j_min
+
+    return run(coords_t_padded, fe_padded, oid_padded, n_valid,
+               ti_dev, tj_dev)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "row_block", "col_block",
                                     "union_size"))
@@ -500,15 +541,22 @@ def _nearest_neighbors_pallas_mesh(coords, free_energy, mesh, row_block,
     oid_dev = replicated(oid.reshape(1, n_pad), mesh)
     nrb, ncb = n_pad // row_block, n_pad // col_block
 
+    from ..ops.pallas_kernels import INTERPRET_MODE
+    bidir = (col_block % row_block == 0
+             and 4 * n_pad * 4 <= 64 << 20
+             and (INTERPRET_MODE() or col_block % 128 == 0))
+
     def run(active):
+        if bidir:
+            active = pruning.bidir_closure(active, row_block, col_block)
         ti, tj = np.nonzero(active)
         ti_dev, tj_dev, _ = pruning.split_tiles_balanced(
             ti, tj, n_dev, pad_mode="repeat")
-        return _nn_sharded_sparse(ct, fe_dev, oid_dev, jnp.int32(n),
-                                  replicated(ti_dev, mesh),
-                                  replicated(tj_dev, mesh), mesh,
-                                  row_block=row_block,
-                                  col_block=col_block)
+        fn = _nn_sharded_bidir if bidir else _nn_sharded_sparse
+        return fn(ct, fe_dev, oid_dev, jnp.int32(n),
+                  replicated(ti_dev, mesh),
+                  replicated(tj_dev, mesh), mesh,
+                  row_block=row_block, col_block=col_block)
 
     if prune and ncb > 2 * band_blocks:
         out1 = run(pruning.band_mask(nrb, ncb, row_block, col_block,
