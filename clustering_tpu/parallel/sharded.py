@@ -94,6 +94,45 @@ def _pops_sharded_sparse(coords_t_padded, radii2, n_valid, ti_dev, tj_dev,
     return run(coords_t_padded, radii2, n_valid, ti_dev, tj_dev)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "row_block", "col_block"))
+def _pops_sharded_bidir(coords_t_padded, radii2, n_valid, ti_dev, tj_dev,
+                        rmask_dev, mesh, row_block=DEFAULT_ROW_BLOCK,
+                        col_block=DEFAULT_COL_BLOCK):
+    """Mesh-sharded bidirectional pops over balanced per-device
+    upper-triangular-closure tile lists: each chip's partial already
+    carries both sides of its tiles' strictly-upper pairs, the int32
+    ``psum`` over ICI merges chips, and the diagonal +1 is added once
+    after the reduction."""
+    from ..ops import pallas_kernels as pk
+
+    n_pad = coords_t_padded.shape[1]
+    n_radii = radii2.shape[0]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, None), P(None), P(),
+                  P(FRAME_AXIS, None, None), P(FRAME_AXIS, None, None),
+                  P(FRAME_AXIS, None, None)),
+        out_specs=P(None, None), check_vma=False)
+    def run(ct, radii2, n_valid, ti_l, tj_l, rm_l):
+        def body(acc, tt):
+            ti_c, tj_c, rm_c = tt
+            part = pk.pops_tiles_sparse_bidir(
+                ct, radii2, n_valid, ti_c, tj_c, rm_c,
+                row_block=row_block, col_block=col_block)
+            return acc + part, None
+
+        init = jnp.zeros((n_radii, n_pad), dtype=jnp.int32)
+        acc, _ = jax.lax.scan(body, init, (ti_l[0], tj_l[0], rm_l[0]))
+        total = jax.lax.psum(acc, FRAME_AXIS)
+        self_cnt = (jnp.arange(n_pad, dtype=jnp.int32)
+                    < n_valid)[None, :].astype(jnp.int32)
+        return total + self_cnt
+
+    return run(coords_t_padded, radii2, n_valid, ti_dev, tj_dev, rmask_dev)
+
+
 def populations(coords, radii, mesh,
                 row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK,
                 backend="xla", prune=True):
@@ -126,13 +165,29 @@ def populations(coords, radii, mesh,
             active = pruning.bbox_dist2(rmin, rmax, cmin, cmax) <= r_max2
         else:
             active = np.ones((nrb, ncb), dtype=bool)
+        from ..ops.pallas_kernels import INTERPRET_MODE
+        bidir = (col_block % row_block == 0
+                 and len(radii) * n_pad * 4 <= 64 << 20
+                 and (INTERPRET_MODE() or col_block % 128 == 0))
+        if bidir:
+            active = pruning.bidir_closure(active, row_block, col_block)
         ti, tj = np.nonzero(active)
         ti_dev, tj_dev, _ = pruning.split_tiles_balanced(
             ti, tj, n_dev, pad_mode="noop")
-        counts = _pops_sharded_sparse(
-            replicated(padded.T, mesh), radii2, jnp.int32(n),
-            replicated(ti_dev, mesh), replicated(tj_dev, mesh), mesh,
-            row_block=row_block, col_block=col_block)
+        if bidir:
+            rmask_dev = np.where(tj_dev >= 0,
+                                 np.int32((1 << len(radii)) - 1),
+                                 np.int32(0))
+            counts = _pops_sharded_bidir(
+                replicated(padded.T, mesh), radii2, jnp.int32(n),
+                replicated(ti_dev, mesh), replicated(tj_dev, mesh),
+                replicated(rmask_dev, mesh), mesh,
+                row_block=row_block, col_block=col_block)
+        else:
+            counts = _pops_sharded_sparse(
+                replicated(padded.T, mesh), radii2, jnp.int32(n),
+                replicated(ti_dev, mesh), replicated(tj_dev, mesh), mesh,
+                row_block=row_block, col_block=col_block)
         counts = fetch(counts)[:, :n]
         unsorted = np.empty_like(counts)
         unsorted[:, order] = counts
