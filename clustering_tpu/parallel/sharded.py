@@ -711,17 +711,27 @@ def screening_labels(coords_sorted, initial_labels, n_below, max_dist2,
         cj = np.arange(ncb)[None, :]
         active = (d2b < np.float32(max_dist2)) \
             & (ri * row_block < n_below) & (cj * col_block < n_below)
+        from ..ops.pallas_kernels import INTERPRET_MODE
+        union_size = n_pad
+        bidir = (col_block % row_block == 0
+                 and union_size * 4 <= 64 << 20
+                 and (INTERPRET_MODE() or col_block % 128 == 0))
+        if bidir:
+            active = pruning.bidir_closure(active, row_block, col_block)
         ti, tj = np.nonzero(active)
         # devices with no active tiles redundantly re-sweep tile (0, 0)
         # -- harmless under the idempotent min ('repeat' pad mode)
         ti_dev, tj_dev, _ = pruning.split_tiles_balanced(
             ti, tj, n_dev, pad_mode="repeat")
-        out = _screening_sharded_pallas(
+        fn = (_screening_sharded_pallas_bidir if bidir
+              else _screening_sharded_pallas)
+        out = fn(
             replicated(padded.T, mesh), replicated(labels, mesh),
             jnp.int32(n_below),
             jnp.float32(max_dist2), replicated(ti_dev, mesh),
             replicated(tj_dev, mesh), mesh,
-            row_block=row_block, col_block=col_block)
+            row_block=row_block, col_block=col_block,
+            union_size=union_size)
         return fetch(out)[:n]
     padded_np = np.zeros((n_pad, coords_sorted.shape[1]), dtype=np.float32)
     padded_np[:n] = coords_sorted
