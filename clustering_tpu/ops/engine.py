@@ -668,7 +668,12 @@ class DensityEngine:
         if out_idx_dev is None:
             jj = np.full((2, n), imax, dtype=np.int32)
             dd = np.zeros((2, n), dtype=np.float32)
-        elif os.environ.get("CLUSTERING_TPU_NN_FINISH") == "host":
+        elif (os.environ.get("CLUSTERING_TPU_NN_FINISH") == "host"
+              or (os.environ.get("CLUSTERING_TPU_NN_FINISH") != "device"
+                  and n > (1 << 22))):
+            # beyond ~4M frames the extra distance download (8B/frame)
+            # outweighs the host recompute even on fast links; explicit
+            # CLUSTERING_TPU_NN_FINISH=device overrides
             # device re-layout, ids-only download; distances recomputed on
             # host (halves the fresh-download volume for hosts where the
             # numpy recompute is cheaper than the extra transfer)

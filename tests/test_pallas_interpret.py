@@ -392,6 +392,34 @@ def test_host_driven_fixpoint_matches(monkeypatch):
     np.testing.assert_array_equal(want, got)
 
 
+def test_high_dimension_parity():
+    """D=32 collective variables (well past the typical 2-16) through
+    the full engine pipeline vs the XLA oracle: the per-dimension
+    ascending fp32 accumulation must stay exact at any D (the rejected
+    MXU distance path would have silently engaged near this D)."""
+    rng = np.random.default_rng(64)
+    coords = np.concatenate([
+        rng.normal(0.0, 0.2, size=(300, 32)),
+        rng.normal(1.0, 0.25, size=(250, 32)),
+    ]).astype(np.float32)
+    radii = [2.0, 3.0]
+    want = ops.populations(coords, radii, backend="xla",
+                           row_block=8, col_block=16)
+    eng = ops.engine.DensityEngine(coords, row_block=8, col_block=16,
+                                   backend="pallas")
+    got = eng.populations(radii)
+    for r in radii:
+        np.testing.assert_array_equal(want[r], got[r])
+    fe = ops.free_energies(want[radii[0]])
+    want_nn = ops.nearest_neighbors(coords, fe, backend="xla",
+                                    row_block=8, col_block=16)
+    got_nn = eng.nearest_neighbors(fe)
+    np.testing.assert_array_equal(want_nn[0], got_nn[0])
+    np.testing.assert_array_equal(want_nn[2], got_nn[2])
+    np.testing.assert_allclose(want_nn[1], got_nn[1], rtol=1e-6)
+    np.testing.assert_allclose(want_nn[3], got_nn[3], rtol=1e-6)
+
+
 def test_bidir_pops_matches_symmetric():
     """Bidirectional upper-triangular counts must equal the symmetric
     sweep and the XLA oracle, including duplicated frames (self-pair and
