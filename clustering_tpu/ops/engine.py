@@ -147,6 +147,11 @@ def _host_pair_d2(coords, idx):
     return acc
 
 
+@jax.jit
+def _skip_frac(d2b, thresh2):
+    return (d2b > thresh2).mean()
+
+
 @functools.partial(jax.jit, static_argnames=("row_block",))
 def _row_ub(stacked_d, perm, row_block):
     """Per-row-block upper bounds from a stacked (2, N_pad) band result:
@@ -219,13 +224,21 @@ class DensityEngine:
                 self._dev[name] = jnp.asarray(padded)
         return self._dev[name]
 
-    def _bbox(self, name):
-        if name not in self._bboxes:
-            _, padded = self._padded(name)
-            rmin, rmax = pruning.block_bboxes(padded, self.row_block)
-            cmin, cmax = pruning.block_bboxes(padded, self.col_block)
-            self._bboxes[name] = pruning.bbox_dist2(rmin, rmax, cmin, cmax)
-        return self._bboxes[name]
+    def _d2b_dev(self, name):
+        """Device-resident (nrb, ncb) bbox distance matrix for ``name``'s
+        layout: the host bbox_dist2 is the cold-start wall at production
+        N (~11s per order at 4M frames, minutes at 16M on this host);
+        one device dispatch computes it in milliseconds and threshold
+        compares download 1/32nd-packed bit planes."""
+        key = ("d2b", name)
+        if key not in self._dev:
+            if self.backend == "pallas":
+                ct = self._device(name)  # (D, N_pad)
+            else:
+                ct = jnp.asarray(self._padded(name)[1].T)
+            self._dev[key] = pruning.bbox_d2_device(
+                ct, row_block=self.row_block, col_block=self.col_block)
+        return self._dev[key]
 
     def _col_bboxes(self, name):
         """Column-block (mins, maxs) for ``name``'s padded layout."""
@@ -292,10 +305,11 @@ class DensityEngine:
 
     def _best_sort(self, thresh2):
         """Pick the ordering (dim0 vs morton) with the higher measured tile
-        skip fraction at this radius."""
+        skip fraction at this radius (device compare, scalar readback)."""
         best, best_frac = None, -1.0
         for name in ("dim0", "morton"):
-            frac = float((self._bbox(name) > np.float32(thresh2)).mean())
+            frac = float(jax.device_get(_skip_frac(
+                self._d2b_dev(name), jnp.float32(thresh2))))
             if frac > best_frac:
                 best, best_frac = name, frac
         return best
@@ -339,9 +353,16 @@ class DensityEngine:
         from . import pallas_kernels as pk
         r_max2 = np.float32(max(radii)) * np.float32(max(radii))
         bidir = prune and self._pops_bidir_ok(len(radii))
+        planes = None
         if prune:
             name = self._best_sort(r_max2)
-            active = self._bbox(name) <= r_max2
+            # one device dispatch + packed-bit download per threshold:
+            # the active mask at r_max and the per-radius planes the
+            # rmask gathers from (the host bbox matrix never materializes)
+            planes = pruning.active_masks_device(
+                self._d2b_dev(name),
+                [r_max2] + [np.float32(r) * np.float32(r) for r in radii])
+            active = planes[0]
             if bidir:
                 # upper-triangular tile list for the bidirectional count
                 # kernel: each unordered pair evaluated once
@@ -360,15 +381,13 @@ class DensityEngine:
         # skips that radius's compare+count in the kernel (bit r unset);
         # pads (tj = -1) carry mask 0 and skip the whole tile body
         if prune:
-            d2b = self._bbox(name)
             rmask = np.zeros(tiles[0].shape, dtype=np.int32)
             pad = tiles[1] < 0
             ti_safe = tiles[0]
             tj_safe = np.maximum(tiles[1], 0)
-            for r_idx, r in enumerate(radii):
-                r2 = np.float32(r) * np.float32(r)
-                rmask |= (d2b[ti_safe, tj_safe] <= r2).astype(
-                    np.int32) << r_idx
+            for r_idx in range(len(radii)):
+                rmask |= (planes[1 + r_idx][ti_safe, tj_safe]
+                          .astype(np.int32) << r_idx)
             rmask[pad] = 0
         else:
             rmask = np.where(tiles[1] >= 0,
@@ -583,13 +602,15 @@ class DensityEngine:
             # maxima (device->host is the slow, flaky direction through
             # remote-TPU tunnels: nrb floats instead of N)
             names = ("dim0", "morton")
-            row_ubs = np.asarray(jax.device_get(_row_ub2(
+            row_ubs_dev = _row_ub2(
                 out1[0], self._ub_perm(order_name, names[0]),
                 self._ub_perm(order_name, names[1]),
-                row_block=self.row_block)))
+                row_block=self.row_block)
             best = None
-            for name, row_ub in zip(names, row_ubs):
-                act = self._bbox(name) <= row_ub[:, None]
+            for idx, name in enumerate(names):
+                # per-row-bound compare on device, packed-bit download
+                act = pruning.active_mask_rows_device(
+                    self._d2b_dev(name), row_ubs_dev[idx])
                 work = float((act & ~band_active).mean()
                              if name == order_name else act.mean())
                 if best is None or work < best[0]:

@@ -394,7 +394,8 @@ class ScreeningEngine:
             self._coords_dev = replicated(dev, mesh)
         else:
             self._coords_dev = jnp.asarray(dev)
-        self._bbox_d2 = None
+        self._bbox_d2_dev = None
+        self._bbox_mask = None  # (max_dist2, strict-< tile mask)
         self.last_stats = {}  # sweep/tile accounting of the last fixpoint
 
     def _tile_list(self, row_lo, n_below, max_dist2, triangular=False):
@@ -412,14 +413,29 @@ class ScreeningEngine:
         evaluations."""
         from . import pruning
         rb, cb = self.row_block, self.col_block
-        if self._bbox_d2 is None:
-            rmin, rmax = pruning.block_bboxes(self._padded_host, rb)
-            cmin, cmax = pruning.block_bboxes(self._padded_host, cb)
-            self._bbox_d2 = pruning.bbox_dist2(rmin, rmax, cmin, cmax)
-        nrb, ncb = self._bbox_d2.shape
+        key = float(max_dist2)
+        if self._bbox_mask is None or self._bbox_mask[0] != key:
+            # bbox distances on device, packed-bit download (the host
+            # bbox matrix is the cold-start wall at production N);
+            # max_dist2 is series-constant, so one mask serves every
+            # threshold step. Strict d2b < t is exactly
+            # d2b <= nextafter(t, -inf) in fp32.
+            if self._bbox_d2_dev is None:
+                ct = (self._coords_dev if self.backend == "pallas"
+                      and self.mesh is None
+                      else jnp.asarray(self._padded_host.T))
+                self._bbox_d2_dev = pruning.bbox_d2_device(
+                    ct, row_block=rb, col_block=cb)
+            below = pruning.active_masks_device(
+                self._bbox_d2_dev,
+                [np.nextafter(np.float32(max_dist2), np.float32(-np.inf))]
+            )[0]
+            self._bbox_mask = (key, below)
+        active_lt = self._bbox_mask[1]
+        nrb, ncb = active_lt.shape
         ri = np.arange(nrb)[:, None]
         cj = np.arange(ncb)[None, :]
-        active = (self._bbox_d2 < np.float32(max_dist2)) \
+        active = active_lt \
             & (ri * rb < n_below) & (cj * cb < n_below)
         if row_lo > 0:
             active &= ((ri + 1) * rb > row_lo) | ((cj + 1) * cb > row_lo)
