@@ -124,10 +124,30 @@ def main():
     total_time = 0.0
     total_computed = 0.0
 
+    def _retry_if_wedged(t_best, out, fn, stats_key, floor_rate):
+        """The tunnel occasionally wedges for a ~3-minute stretch: if a
+        stage's best rep lands implausibly far below the calibrated
+        kernel rate, wait out the wedge once and re-measure."""
+        st = engine.last_stats.get(stats_key)
+        if not st or "computed_tiles" not in st:
+            return t_best, out
+        expect = st["computed_tiles"] * float(st["tile_pairs"]) / floor_rate
+        if t_best < 4.0 * expect + 1.0:
+            return t_best, out
+        print(f"# {stats_key} best {t_best:.1f}s vs ~{expect:.1f}s"
+              " expected -- suspected tunnel wedge, waiting + retrying",
+              file=sys.stderr)
+        time.sleep(120)
+        t2, out2 = _best_of(fn, REPS)
+        return (t2, out2) if t2 < t_best else (t_best, out)
+
     # --- populations (multi-radius, one sweep) ---
     # steady state = best of REPS timed calls (one compile amortizes over
     # a production run; the min damps tunnel jitter)
     t_pops, pops = _best_of(lambda: engine.populations(RADII), REPS)
+    t_pops, pops = _retry_if_wedged(
+        t_pops, pops, lambda: engine.populations(RADII), "populations",
+        dense_pops_rate)
     # XLA-fallback backends don't record tile stats (CPU smoke runs);
     # charge the full grid so the accounting stays defined
     n_tiles_full = (engine.n_pad // ROW_BLOCK) * (engine.n_pad // COL_BLOCK)
@@ -153,6 +173,9 @@ def main():
 
     # --- nearest neighbors ---
     t_nn, nn = _best_of(lambda: engine.nearest_neighbors(fe), REPS)
+    t_nn, nn = _retry_if_wedged(
+        t_nn, nn, lambda: engine.nearest_neighbors(fe), "nn",
+        dense_nn_rate)
     st = engine.last_stats.get("nn", full)
     computed = float(st["computed_tiles"]) * st["tile_pairs"]
     stages["nn"] = {
