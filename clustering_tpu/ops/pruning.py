@@ -162,13 +162,18 @@ def bbox_d2_device(coords_t, row_block, col_block):
     return jnp.minimum(acc, big) * margin
 
 
-@jax.jit
-def _pack_le_planes(d2b, thresh2s):
+@functools.partial(jax.jit, static_argnames=("strict",))
+def _pack_le_planes(d2b, thresh2s, strict=False):
     """(T, nrb, ceil(ncb/32)) uint32 bit planes of d2b <= thresh2s[t]
-    (bit c of word w = column w*32+c, little-endian)."""
+    (or strict <) -- bit c of word w = column w*32+c, little-endian.
+    The strict flag exists because nextafter-based strictness breaks on
+    denormal thresholds (XLA flushes them to zero)."""
     nrb, ncb = d2b.shape
     nw = -(-ncb // 32)
-    bits = d2b[None, :, :] <= thresh2s[:, None, None]
+    if strict:
+        bits = d2b[None, :, :] < thresh2s[:, None, None]
+    else:
+        bits = d2b[None, :, :] <= thresh2s[:, None, None]
     if nw * 32 != ncb:
         bits = jnp.pad(bits, ((0, 0), (0, 0), (0, nw * 32 - ncb)))
     w = bits.reshape(bits.shape[0], nrb, nw, 32).astype(jnp.uint32)
@@ -197,13 +202,15 @@ def unpack_planes(words, ncb):
     return bits[..., :ncb].astype(bool)
 
 
-def active_masks_device(d2b_dev, thresh2s):
+def active_masks_device(d2b_dev, thresh2s, strict=False):
     """Threshold the device-resident bbox matrix and download packed
     bits (1/32nd of the bool matrix -- 67MB instead of 2.1GB at 16M
-    frames). Returns a (T, nrb, ncb) bool numpy array."""
+    frames). Returns a (T, nrb, ncb) bool numpy array of d2b <= t (or
+    strict < with ``strict``)."""
     ncb = d2b_dev.shape[1]
     words = _pack_le_planes(d2b_dev, jnp.asarray(thresh2s,
-                                                 dtype=jnp.float32))
+                                                 dtype=jnp.float32),
+                            strict=strict)
     return unpack_planes(jax.device_get(words), ncb)
 
 

@@ -418,8 +418,7 @@ class ScreeningEngine:
             # bbox distances on device, packed-bit download (the host
             # bbox matrix is the cold-start wall at production N);
             # max_dist2 is series-constant, so one mask serves every
-            # threshold step. Strict d2b < t is exactly
-            # d2b <= nextafter(t, -inf) in fp32.
+            # threshold step
             if self._bbox_d2_dev is None:
                 ct = (self._coords_dev if self.backend == "pallas"
                       and self.mesh is None
@@ -427,9 +426,8 @@ class ScreeningEngine:
                 self._bbox_d2_dev = pruning.bbox_d2_device(
                     ct, row_block=rb, col_block=cb)
             below = pruning.active_masks_device(
-                self._bbox_d2_dev,
-                [np.nextafter(np.float32(max_dist2), np.float32(-np.inf))]
-            )[0]
+                self._bbox_d2_dev, [np.float32(max_dist2)],
+                strict=True)[0]
             self._bbox_mask = (key, below)
         active_lt = self._bbox_mask[1]
         nrb, ncb = active_lt.shape

@@ -178,3 +178,41 @@ def test_wide_dimension_backends_agree():
         nn = ops.nearest_neighbors(coords, fe, backend=backend,
                                    row_block=8, col_block=16)
         np.testing.assert_array_equal(nn[0], nn_want[0])
+
+
+def test_device_bbox_matches_host():
+    """pruning.bbox_d2_device + packed plane downloads must agree with
+    the host bbox_dist2 (same margin math) and exact threshold masks."""
+    import jax
+    import jax.numpy as jnp
+    from clustering_tpu.ops import pruning
+    rng = np.random.default_rng(3)
+    padded = rng.normal(size=(1024, 5)).astype(np.float32) * 3.0
+    padded[-64:] = np.float32(3e38)  # pad rows
+    rb, cb = 16, 64
+    rmin, rmax = pruning.block_bboxes(padded, rb)
+    cmin, cmax = pruning.block_bboxes(padded, cb)
+    host = pruning.bbox_dist2(rmin, rmax, cmin, cmax)
+    dev = np.asarray(jax.device_get(pruning.bbox_d2_device(
+        jnp.asarray(padded.T), row_block=rb, col_block=cb)))
+    finite = np.isfinite(host)
+    np.testing.assert_array_equal(host[finite], dev[finite])
+    np.testing.assert_array_equal(np.isfinite(dev), finite)
+    # packed <= planes, including a threshold hitting exact values
+    ts = [0.25, float(host[finite].min()), 50.0]
+    planes = pruning.active_masks_device(jnp.asarray(dev), ts)
+    for t, plane in zip(ts, planes):
+        np.testing.assert_array_equal(plane, host <= np.float32(t),
+                                      err_msg=f"t={t}")
+    # per-row thresholds
+    ub = rng.uniform(0.0, 30.0, size=host.shape[0]).astype(np.float32)
+    mask = pruning.active_mask_rows_device(jnp.asarray(dev),
+                                           jnp.asarray(ub))
+    np.testing.assert_array_equal(mask, dev <= ub[:, None])
+    # strict < (the screening engine's construction), including the
+    # t=0 edge where a nextafter-based approach would hit XLA's
+    # denormal flush
+    for t in (np.float32(host[finite].min()), np.float32(0.25)):
+        lt = pruning.active_masks_device(jnp.asarray(dev), [t],
+                                         strict=True)[0]
+        np.testing.assert_array_equal(lt, host < t, err_msg=f"t={t}")
