@@ -49,6 +49,61 @@ def build(outdir):
     return exe
 
 
+def build_mpp(outdir):
+    cxx = shutil.which("g++")
+    exe = os.path.join(outdir, "mpp_oracle_o3")
+    subprocess.run(
+        [cxx, "-O3", "-ffast-math", "-ftree-vectorize", "-march=native",
+         "-std=c++11", "-I", STUB, "-I", REF_SRC,
+         os.path.join(REPO, "tests", "mpp_oracle.cpp"),
+         os.path.join(REF_SRC, "mpp.cpp"),
+         os.path.join(REF_SRC, "tools.cpp"),
+         os.path.join(REF_SRC, "logger.cpp"),
+         "-o", exe],
+        check=True, capture_output=True)
+    return exe
+
+
+def bench_mpp(workdir):
+    """Reference MPP vs clustering_tpu MPP on an identical synthetic
+    production-scale input (1M frames, ~600 microstates, 3-step Q_min
+    series) -- the reference pays its O(S^2 * members) re-lumping in
+    C++, the rebuild in vectorized sparse numpy."""
+    rng = np.random.default_rng(7)
+    n, s = 1 << 20, 600
+    # metastable microstate trajectory: slow basin hops + in-basin noise
+    basins = np.minimum(np.cumsum(rng.random(n) < 5e-4) % 6, 5)
+    traj = (basins * (s // 6)
+            + rng.integers(0, s // 6, size=n) + 1).astype(np.int64)
+    fe = rng.random(s + 1).astype(np.float32) * 5.0
+    fe_frames = fe[traj]
+    states_path = os.path.join(workdir, "mpp_states.dat")
+    fe_path = os.path.join(workdir, "mpp_fe.dat")
+    np.savetxt(states_path, traj, fmt="%d")
+    np.savetxt(fe_path, fe_frames, fmt="%.6f")
+    qmins = ["0.5", "0.7", "0.9"]
+
+    exe = build_mpp(workdir)
+    t0 = time.perf_counter()
+    subprocess.run([exe, states_path, fe_path, "10"] + qmins,
+                   check=True, capture_output=True)
+    t_ref = time.perf_counter() - t0
+
+    from clustering_tpu.models import mpp as mpp_model
+    t0 = time.perf_counter()
+    tr = traj.copy()
+    trans = mpp_model.row_normalized(
+        mpp_model.transition_counts(tr, [n], 10),
+        np.unique(tr).tolist())
+    for q in qmins:
+        tr, _, trans = mpp_model.fixed_metastability_clustering(
+            tr, trans, np.float32(float(q)), fe_frames)
+    t_tpu = time.perf_counter() - t0
+    print(f"# ref mpp:  {t_ref:.2f}s | clustering_tpu mpp: {t_tpu:.2f}s"
+          f"  ({t_ref / t_tpu:.1f}x)", file=sys.stderr)
+    return t_ref, t_tpu
+
+
 def main():
     sys.path.insert(0, REPO)
     from bench import synthetic_fel
@@ -91,6 +146,8 @@ def main():
     print(f"# ref screen: {t_scr:.2f}s x{len(THRESHOLDS)} "
           f"({scr_pairs / t_scr:.3e} pairs/s)", file=sys.stderr)
 
+    t_mpp_ref, t_mpp_tpu = bench_mpp(workdir)
+
     total_pairs = 2 * N * float(N) + scr_pairs
     total_time = t_pops + t_nn + t_scr
     print(json.dumps({
@@ -105,6 +162,8 @@ def main():
         },
         "seconds": {"pops": round(t_pops, 2), "nn": round(t_nn, 2),
                     "screening": round(t_scr, 2)},
+        "mpp_seconds": {"reference": round(t_mpp_ref, 2),
+                        "clustering_tpu": round(t_mpp_tpu, 2)},
     }))
 
 

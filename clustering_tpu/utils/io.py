@@ -428,5 +428,11 @@ def write_clustered_trajectory(path, traj, header_comment, comments_map):
 
 def microstate_populations(traj) -> dict:
     """state -> count (reference: tools.cpp:176-187)."""
-    vals, counts = np.unique(np.asarray(traj), return_counts=True)
+    t = np.asarray(traj)
+    if len(t) and np.issubdtype(t.dtype, np.integer) \
+            and t.min() >= 0 and t.max() < (1 << 24):
+        cnt = np.bincount(t)
+        vals = np.flatnonzero(cnt)
+        return {int(v): int(cnt[v]) for v in vals}
+    vals, counts = np.unique(t, return_counts=True)
     return {int(v): int(c) for v, c in zip(vals, counts)}
