@@ -19,7 +19,25 @@ __version__ = "0.1.0"
 
 VERSION_STRING = "v" + __version__
 
-from .api import (  # noqa: F401,E402
-    populations, free_energies, nearest_neighbors, screening_series,
-    fill_landscape, mpp_lump, core_trajectory, assign_noise,
-    waiting_time_distribution, Neighborhoods, MppResult)
+# the API surface loads lazily (PEP 562): importing the package for a
+# host-side mode (coring/noise/mpp/...) must not pull jax (multi-second
+# import) through api -> ops
+_API_NAMES = (
+    "populations", "free_energies", "nearest_neighbors",
+    "screening_series", "fill_landscape", "mpp_lump", "core_trajectory",
+    "assign_noise", "waiting_time_distribution", "Neighborhoods",
+    "MppResult", "api", "ops", "models", "parallel", "utils")
+
+
+def __getattr__(name):
+    if name in _API_NAMES:
+        if name in ("api", "ops", "models", "parallel", "utils"):
+            import importlib
+            return importlib.import_module("." + name, __name__)
+        from . import api
+        return getattr(api, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_API_NAMES))

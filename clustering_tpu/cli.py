@@ -329,7 +329,11 @@ def main(argv=None):
         return 1
     parser = build_parser()
     args = parser.parse_args(argv)
-    _setup_jax_runtime()
+    if args.mode == "density":
+        # the only device mode: host-side modes (mpp/coring/noise/
+        # network/filter/stats) never import jax, so repeated CLI
+        # invocations skip its multi-second import entirely
+        _setup_jax_runtime()
     if args.mode is None:
         sys.stderr.write(GENERAL_HELP)
         return 1

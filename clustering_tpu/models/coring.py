@@ -19,14 +19,19 @@ from ..utils.logger import logger
 
 def compute_wtd(streaks):
     """Waiting-time distribution of a list of streak lengths
-    (reference: src/coring.cpp:42-60): wtd[i] = P(streak >= i)."""
+    (reference: src/coring.cpp:42-60): wtd[i] = P(streak >= i).
+
+    One searchsorted instead of a per-i count (a megaframe single-state
+    trajectory has megastreak lengths -- the scalar loop was seconds)."""
     wtd = {}
     if len(streaks):
-        s = np.asarray(sorted(streaks, reverse=True))
-        max_streak = int(s[0])
+        s = np.sort(np.asarray(streaks, dtype=np.int64))
+        max_streak = int(s[-1])
         n = float(len(s))
-        for i in range(max_streak + 1):
-            wtd[i] = float(np.count_nonzero(s >= i) / n)
+        below = np.searchsorted(s, np.arange(max_streak + 1,
+                                             dtype=np.int64), side="left")
+        probs = (len(s) - below) / n
+        return {i: float(p) for i, p in enumerate(probs)}
     return wtd
 
 

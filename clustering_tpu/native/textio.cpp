@@ -478,4 +478,29 @@ long long format_nn(const long long* nh_idx, const double* nh_dist,
   });
 }
 
+// two-column "key value\n" map lines: int64 keys, "%g" values
+// (reference writer: tools.hxx:207-226); swap=1 emits "value key\n"
+long long format_kv_ig(const long long* keys, const double* vals,
+                       long long n, int swap, char* out, long long cap) {
+  return format_mt(n, out, cap, 72, [keys, vals, swap](long long i,
+                                                       char* o) {
+    int w = 0;
+    if (!swap) {
+      w = itoa64(keys[i], o);
+      o[w++] = ' ';
+      int k = snprintf(o + w, 40, "%g", vals[i]);
+      if (k < 0 || k >= 40) return -1;
+      w += k;
+    } else {
+      int k = snprintf(o, 40, "%g", vals[i]);
+      if (k < 0 || k >= 40) return -1;
+      w = k;
+      o[w++] = ' ';
+      w += itoa64(keys[i], o + w);
+    }
+    o[w++] = '\n';
+    return w;
+  });
+}
+
 }  // extern "C"

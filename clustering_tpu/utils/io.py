@@ -232,9 +232,32 @@ def _fmt_any(v):
 
 def write_map(path, mapping, header_comment="", val_then_key=False):
     """Two-column key/value file, keys ascending (reference: tools.hxx:207-226)."""
+    keys = sorted(mapping)
+    if len(keys) > 4096:
+        # bulk fast path: native "%lld %g" formatting (a 1M-line WTD file
+        # costs seconds through the per-value Python loop below); C
+        # snprintf("%g") and Python "%g" are byte-identical. Gated to
+        # homogeneous int-key/float-value maps -- int VALUES format as
+        # str(int), not %g, and must take the scalar path.
+        from . import textio_native
+        vals = [mapping[k] for k in keys]
+        if (textio_native.available()
+                and set(map(type, keys)) <= {int, np.int64, np.intp}
+                and set(map(type, vals)) <= {float, np.float64}):
+            try:
+                ks = np.asarray(keys, dtype=np.int64)
+                vs = np.asarray(vals, dtype=np.float64)
+                body = textio_native.format_kv_ig(ks, vs,
+                                                  swap=val_then_key)
+                with open(path, "wb") as fh:
+                    fh.write(header_comment.encode())
+                    fh.write(body)
+                return
+            except (TypeError, ValueError, OverflowError):
+                pass
     with open(path, "w") as fh:
         fh.write(header_comment)
-        for k in sorted(mapping):
+        for k in keys:
             v = mapping[k]
             a, b = (v, k) if val_then_key else (k, v)
             fh.write(f"{_fmt_any(a)} {_fmt_any(b)}\n")
@@ -346,8 +369,17 @@ def read_comments(path, comments_map: dict) -> None:
         path = path + ".meta"
         if not os.path.exists(path):
             return
-    with open(path) as fh:
-        for line in fh:
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    # only "#@" lines matter: a bytes-level prefilter beats splitting
+    # every line of a megaframe data file
+    if b"#@" not in raw:
+        return
+    import re
+    matches = re.finditer(rb"^[^\S\n]*#@[^\n]*", raw, re.M)
+    if True:
+        for m in matches:
+            line = m.group().decode(errors="replace")
             toks = line.split()
             if len(toks) >= 2 and toks[0] == "#@":
                 key = toks[1]

@@ -52,6 +52,9 @@ def _load():
         lib.format_nn.restype = _LL
         lib.format_nn.argtypes = [_I64P, _F64P, _I64P, _F64P, _LL, _U8P,
                                   _LL]
+        lib.format_kv_ig.restype = _LL
+        lib.format_kv_ig.argtypes = [_I64P, _F64P, _LL, ctypes.c_int,
+                                     _U8P, _LL]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -88,9 +91,10 @@ def parse_tokens(body: bytes, np_dtype):
     return out[:int(got)]
 
 
-def _run_format(fn, arrays, n, per_line):
+def _run_format(fn, arrays, n, per_line, extra=()):
     buf = np.empty(n * per_line + 16, dtype=np.uint8)
-    w = fn(*arrays, _LL(n), buf.ctypes.data_as(_U8P), _LL(len(buf)))
+    w = fn(*arrays, _LL(n), *extra, buf.ctypes.data_as(_U8P),
+           _LL(len(buf)))
     if w < 0:
         raise RuntimeError("native text formatting failed")
     return memoryview(buf)[:int(w)]
@@ -109,6 +113,18 @@ def format_i64(values):
     v = np.ascontiguousarray(values, dtype=np.int64)
     return _run_format(lib.format_i64, [v.ctypes.data_as(_I64P)], len(v),
                        24)
+
+
+def format_kv_ig(keys, vals, swap=False):
+    """b"key value\\n" (or "value key\\n" with swap) rows: int64 keys,
+    %g values (bytes-like)."""
+    lib = _load()
+    k = np.ascontiguousarray(keys, dtype=np.int64)
+    v = np.ascontiguousarray(vals, dtype=np.float64)
+    return _run_format(
+        lib.format_kv_ig,
+        [k.ctypes.data_as(_I64P), v.ctypes.data_as(_F64P)],
+        len(k), 72, extra=[ctypes.c_int(1 if swap else 0)])
 
 
 def format_nn(nh_idx, nh_dist, hd_idx, hd_dist):
