@@ -40,9 +40,9 @@ this binary is parallelized with JAX/XLA on TPU
 
 def _add_common(p):
     p.add_argument("-n", "--nthreads", type=int, default=0,
-                   help="number of host threads (accepted for CLI"
-                        " compatibility; device compute is controlled by"
-                        " the JAX runtime).")
+                   help="number of host threads (caps the native text-IO"
+                        " parser and BLAS pools; device compute is"
+                        " controlled by the JAX runtime). 0 = auto.")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="verbose mode: print runtime information to STDOUT.")
 
@@ -322,6 +322,23 @@ def _setup_jax_runtime():
         print(f"warning: jax runtime setup failed: {exc}", file=sys.stderr)
 
 
+def _limit_host_threads(n):
+    """Honor -n/--nthreads on the host side (reference:
+    clustering.cpp:454-459 wires it to omp_set_num_threads): caps the
+    native text-IO thread pool and any BLAS pools numpy has open.
+    Device (TPU) compute is unaffected — the JAX runtime owns it."""
+    import os
+    os.environ.setdefault("OMP_NUM_THREADS", str(n))
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", str(n))
+    from .utils import textio_native
+    textio_native.set_max_threads(n)
+    try:
+        import threadpoolctl
+        threadpoolctl.threadpool_limits(limits=n)
+    except Exception:
+        pass  # env vars above still cover pools opened later
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else list(argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -329,6 +346,8 @@ def main(argv=None):
         return 1
     parser = build_parser()
     args = parser.parse_args(argv)
+    if getattr(args, "nthreads", 0) and args.nthreads > 0:
+        _limit_host_threads(args.nthreads)
     if args.mode == "density":
         # the only device mode: host-side modes (mpp/coring/noise/
         # network/filter/stats) never import jax, so repeated CLI

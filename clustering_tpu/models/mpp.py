@@ -59,7 +59,11 @@ def transition_counts(trajectory, concat_limits, n_lag_steps):
         if hi - lo > n_lag_steps:
             src = traj[lo:hi - n_lag_steps]
             dst = traj[lo + n_lag_steps:hi]
-            if 0 <= traj.min() and smax * smax < (1 << 31):
+            # memory-bounded gate: the bincount table is smax^2 int64s,
+            # so only take the flat-key path when that table is small
+            # relative to the trajectory (max state id can approach the
+            # frame count, making smax^2 explode past RAM)
+            if 0 <= traj.min() and smax * smax <= max(4 * len(src), 1 << 26):
                 # flat-key bincount: linear instead of the 2-column
                 # lexsort (1.1s -> ~20ms at 1M frames, 600 states)
                 key = src * smax + dst

@@ -5,9 +5,12 @@ src/network_builder.cpp:379-512): walks ``basename.%0.2f`` files from the
 lowest to the highest threshold, remaps state ids to be globally unique,
 links every node to its parent at the next free-energy level, prunes by
 minimum population and writes links/nodes/leaves/end-node-trajectory files
-plus an optional interactive HTML visualization (cytoscape.js via a small
-template instead of the reference's 29k-line embedded blob,
-src/embedded_cytoscape.hpp).
+plus an optional interactive HTML visualization. Deviation from the
+reference (documented in docs/PARITY.md row 18): instead of embedding the
+reference's 29k-line cytoscape.js application (src/embedded_cytoscape.hpp,
+network_builder.cpp:280-372), we emit a self-contained SVG page with
+pan/zoom, node hover labels and id search — no third-party JS, fully
+offline.
 """
 
 import math
@@ -174,10 +177,13 @@ _HTML_TEMPLATE = """<!DOCTYPE html>
   #info {{ position: fixed; top: 8px; left: 8px; background: #222;
           color: #0f0; padding: 4px 10px; font-size: 18px;
           border-radius: 4px; pointer-events: none; }}
+  #find {{ position: fixed; top: 8px; right: 8px; font-size: 16px;
+          padding: 4px 8px; width: 10em; }}
 </style>
 </head>
 <body>
 <div id="info">click a state</div>
+<input id="find" type="text" placeholder="find state id&#8629;"/>
 <svg id="net" xmlns="http://www.w3.org/2000/svg">
   <defs><marker id="arr" viewBox="0 0 10 10" refX="9" refY="5"
     markerWidth="6" markerHeight="6" orient="auto-start-reverse">
@@ -218,12 +224,28 @@ NODES.forEach(function (n) {{
   c.setAttribute('cx', n.x); c.setAttribute('cy', n.y);
   c.setAttribute('r', radius(n)); c.setAttribute('fill', color(n));
   c.style.cursor = 'pointer';
+  var tip = document.createElementNS(svg.namespaceURI, 'title');
+  tip.textContent = n.id + ': fe=' + n.fe.toFixed(2) + ', pop=' + n.pop;
+  c.appendChild(tip);
   c.addEventListener('click', function (ev) {{
     document.getElementById('info').textContent =
       n.id + ': fe=' + n.fe.toFixed(2) + ', pop=' + n.pop;
     ev.stopPropagation();
   }});
+  n.el = c;
   view.appendChild(c);
+}});
+document.getElementById('find').addEventListener('keydown', function (ev) {{
+  if (ev.key !== 'Enter') return;
+  var n = byId[parseInt(this.value, 10)];
+  var info = document.getElementById('info');
+  if (!n) {{ info.textContent = 'state ' + this.value + ' not found'; return; }}
+  info.textContent = n.id + ': fe=' + n.fe.toFixed(2) + ', pop=' + n.pop;
+  var w = Math.max(vb[2], 1);
+  vb = [n.x - w / 2, n.y - vb[3] / 2, vb[2], vb[3]];
+  setVB();
+  n.el.setAttribute('stroke', '#0f0'); n.el.setAttribute('stroke-width', 4);
+  setTimeout(function () {{ n.el.removeAttribute('stroke'); }}, 1500);
 }});
 var xs = NODES.map(function (n) {{ return n.x; }});
 var ys = NODES.map(function (n) {{ return n.y; }});
@@ -263,7 +285,8 @@ window.addEventListener('mouseup', function () {{ drag = null; }});
 
 def save_network_to_html(fname, network, free_energies, pops):
     """Reference: network_builder.cpp:280-372 (tree construction + layout);
-    the cytoscape.js page itself comes from a small template."""
+    the page itself is our self-contained SVG viewer template (deviation
+    from the reference's embedded cytoscape.js app — docs/PARITY.md #18)."""
     logger("\n~~~ computing network visualization")
     fe_vals = list(free_energies.values())
     pop_vals = list(pops.values())

@@ -17,6 +17,7 @@
 // and CPython dtoa are both correctly rounded; fuzz-tested in
 // tests/test_io.py), multithreaded into per-chunk regions then compacted.
 
+#include <atomic>
 #include <cctype>
 #include <cmath>
 #include <cstdint>
@@ -143,9 +144,17 @@ const char* chunk_start(const char* base, const char* end, long long off) {
   return p;
 }
 
+// 0 = auto (hardware_concurrency); set via set_max_threads for the CLI's
+// -n/--nthreads (reference: clustering.cpp wires it to omp_set_num_threads)
+static std::atomic<int> g_max_threads{0};
+
+extern "C" void set_max_threads(int n) { g_max_threads.store(n); }
+
 int pick_threads(long long work, long long per_thread) {
   unsigned hw = std::thread::hardware_concurrency();
   if (hw == 0) hw = 1;
+  int cap = g_max_threads.load();
+  if (cap > 0 && (unsigned)cap < hw) hw = (unsigned)cap;
   long long want = work / per_thread + 1;
   if (want > (long long)hw) want = hw;
   if (want < 1) want = 1;

@@ -115,6 +115,19 @@ def _parse_tokens_fast(raw: bytes, np_dtype):
             return None
     if vals.size != n_tokens:
         return None
+    # np.fromstring truncates a malformed *final* token whose prefix parses
+    # (e.g. '3.5' as int64 -> 3) without changing the token count; re-parse
+    # the tail token exactly so that case falls back to the strict loop.
+    if n_tokens:
+        tail = body.rstrip()
+        last = tail[max(tail.rfind(b" "), tail.rfind(b"\n"),
+                        tail.rfind(b"\t"), tail.rfind(b"\r")) + 1:]
+        try:
+            exact = (int(last) if np_dtype == np.int64 else float(last))
+        except ValueError:
+            return None
+        if vals[-1] != np_dtype(exact):
+            return None
     return vals
 
 

@@ -65,6 +65,18 @@ def available() -> bool:
     return _load() is not None
 
 
+def set_max_threads(n: int) -> None:
+    """Cap the native parser/formatter thread pools (CLI -n/--nthreads;
+    reference wires the flag to omp_set_num_threads, clustering.cpp:454-459).
+    0 restores auto (hardware concurrency)."""
+    lib = _load()
+    if lib is not None:
+        try:
+            lib.set_max_threads(ctypes.c_int(int(n)))
+        except AttributeError:
+            pass  # stale .so without the symbol; harmless
+
+
 def parse_tokens(body: bytes, np_dtype):
     """Parse every whitespace-separated token of ``body`` as int64/float64.
 

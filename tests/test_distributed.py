@@ -78,8 +78,9 @@ print("WORKER_OK", jax.process_index())
 """
 
 
-@pytest.mark.timeout(600)
 def test_two_process_dcn_matches_single_process(tmp_path):
+    # hang protection is in-test: communicate(timeout=480) kills the
+    # workers on expiry (pytest-timeout is not installed in this image)
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
