@@ -88,10 +88,15 @@ def _best_of(fn, reps, max_reps=None):
 
 
 def calibrate_dense_rate(ops):
-    """This chip's dense-kernel ceiling: the same fused pops/NN kernels
-    with pruning disabled (every tile computed), in computed pairs/s.
-    The pruned pipeline's computed-pair rate over this is the fraction of
-    the kernel's own speed of light the production path sustains."""
+    """This chip's dense-kernel ceiling: the same fused pops/NN/screening
+    kernels with pruning disabled (every tile computed), in computed
+    pairs/s. The pruned pipeline's computed-pair rate over this is the
+    fraction of the kernel's own speed of light the production path
+    sustains."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     coords = synthetic_fel(CAL_N, D, seed=1)
     eng = ops.engine.DensityEngine(coords, row_block=ROW_BLOCK,
                                    col_block=COL_BLOCK)
@@ -99,7 +104,28 @@ def calibrate_dense_rate(ops):
     t_pops, _ = _best_of(lambda: eng.populations(RADII, prune=False), 2)
     fe = ops.free_energies(eng.populations(RADII, prune=False)[RADII[0]])
     t_nn, _ = _best_of(lambda: eng.nearest_neighbors(fe, prune=False), 2)
-    return pairs / t_pops, pairs / t_nn
+    # screening sweep ceiling: one full-grid label-min sweep (the same
+    # kernel the fixpoint dispatches, every tile computed)
+    from clustering_tpu.ops import pruning, screening as scr
+    n_pad = eng.n_pad
+    active = np.ones((n_pad // ROW_BLOCK, n_pad // COL_BLOCK), dtype=bool)
+    tiles = pruning.tile_list(active)
+    coords_t = eng._device("orig")
+    labels = jnp.arange(n_pad, dtype=jnp.int32)
+    dirty = jnp.ones((n_pad // COL_BLOCK,), dtype=jnp.int32)
+
+    def one_sweep():
+        out = labels
+        for c in range(tiles[0].shape[0]):
+            out = scr._sweep_group(
+                coords_t, out, jnp.int32(eng.n), jnp.float32(1e-6),
+                jnp.asarray(tiles[0][c:c + 1]),
+                jnp.asarray(tiles[1][c:c + 1]), dirty,
+                row_block=ROW_BLOCK, col_block=COL_BLOCK)
+        return float(np.asarray(jax.device_get(out[:1]))[0])
+
+    t_scr, _ = _best_of(one_sweep, 2)
+    return pairs / t_pops, pairs / t_nn, pairs / t_scr
 
 
 def main():
@@ -110,10 +136,12 @@ def main():
     dev = jax.devices()[0]
     print(f"# bench device: {dev}", file=sys.stderr)
 
-    dense_pops_rate, dense_nn_rate = calibrate_dense_rate(ops)
+    dense_pops_rate, dense_nn_rate, dense_scr_rate = \
+        calibrate_dense_rate(ops)
     print(f"# dense kernel ceiling ({CAL_N} frames, all tiles):"
           f" pops {dense_pops_rate:.3e} pairs/s,"
-          f" nn {dense_nn_rate:.3e} pairs/s", file=sys.stderr)
+          f" nn {dense_nn_rate:.3e} pairs/s,"
+          f" screening {dense_scr_rate:.3e} pairs/s", file=sys.stderr)
 
     coords = synthetic_fel(N, D)
     engine = ops.engine.DensityEngine(coords, row_block=ROW_BLOCK,
@@ -207,8 +235,11 @@ def main():
             clustering = series.step(clustering, k, max_dist2)
             st = series.engine.last_stats
             if st:
-                computed += (float(st["sweeps"]) * st["tiles_per_sweep"]
-                             * st["tile_pairs"])
+                # measured: dirty-gated tiles the kernel actually swept
+                # (upper-bound fallback for paths without the counter)
+                tiles = st.get("swept_tiles",
+                               float(st["sweeps"]) * st["tiles_per_sweep"])
+                computed += tiles * st["tile_pairs"]
         return clustering, computed
 
     t_scr, (clustering, scr_computed) = _best_of(
@@ -218,16 +249,18 @@ def main():
     stages["screening"] = {
         "seconds": round(t_scr, 3),
         "effective_gpairs_per_s": round(scr_eff / t_scr / 1e9, 1),
-        # dirty-block skipping means later sweeps compute a subset of the
-        # tile list, so this is an upper bound on true computed work
-        "computed_gpairs_per_s_ub": round(scr_computed / t_scr / 1e9, 1),
+        "computed_gpairs_per_s": round(scr_computed / t_scr / 1e9, 1),
+        "roofline_frac": round(scr_computed / t_scr / dense_scr_rate, 3),
     }
     total_eff_pairs += scr_eff
+    total_computed += scr_computed
     total_time += t_scr
     n_states = len(np.unique(clustering[clustering > 0]))
     print(f"# screening x{len(thresholds)}: {t_scr:.3f}s"
           f"  computed {scr_computed / t_scr:.3e} pairs/s"
-          f"  ({n_states} states at t={thresholds[-1]})", file=sys.stderr)
+          f"  ({stages['screening']['roofline_frac']:.0%} of dense"
+          f" ceiling, {n_states} states at t={thresholds[-1]})",
+          file=sys.stderr)
 
     value = total_eff_pairs / total_time
     print(json.dumps({
@@ -237,14 +270,16 @@ def main():
         "value": round(value / 1e9, 3),
         "unit": "Gpairs/s",
         "vs_baseline": round(value / BASELINE_PAIRS_PER_SEC, 3),
-        # exact accounting covers pops+NN (screening's is an upper bound
-        # and excluded): fraction of the pairs the dense kernels could
-        # have computed in the same pops+NN wall time
+        # measured computed-pair accounting across all three stages
+        # (screening's counter is dirty-gated, not an upper bound):
+        # fraction of the pairs the dense kernels could have computed in
+        # the same wall time
         "computed_gpairs_per_s": round(
-            total_computed / (t_pops + t_nn) / 1e9, 3),
+            total_computed / (t_pops + t_nn + t_scr) / 1e9, 3),
         "kernel_roofline_frac": round(
             total_computed / (t_pops * dense_pops_rate
-                              + t_nn * dense_nn_rate), 3),
+                              + t_nn * dense_nn_rate
+                              + t_scr * dense_scr_rate), 3),
         "wall_seconds": round(total_time, 3),
         "stages": stages,
     }))

@@ -48,6 +48,51 @@ def _ub_tiers(stacked_d, n, qs):
     return tier, taus
 
 
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block",
+                                             "n_tiers"))
+def _tiered_layout_sym(coords_t, fe_w, oid_w, tier_w, taus, row_block,
+                      col_block, n_tiers):
+    """Symmetric tiered layout for the BIDIRECTIONAL phase 2: the whole
+    frame set is stable-sorted by (ub-tier, spatial position), so row and
+    column order coincide and the upper-triangular bidirectional sweep
+    applies on top of the tier bounds -- tier pruning (~3.5x fewer swept
+    pairs than per-row-block max-ub bounds on metastable data) composes
+    with the 2x bidirectional saving. Everything runs on device; the only
+    host readback is the (nrb, ncb) active mask.
+
+    Returns (rows_t (D, N_pad) permuted, fe (1, N_pad), oid (1, N_pad),
+    perm, active (nrb, ncb) bool). Exact: each row block's bound is its
+    tier quantile, which dominates every member frame's true ub, so all
+    tiles that can hold a frame's minima stay active; mirrored coverage
+    is restored by the caller's bidir_closure."""
+    n_dim, n_pad = coords_t.shape
+    key = (tier_w.astype(jnp.int32) * jnp.int32(n_pad)
+           + jnp.arange(n_pad, dtype=jnp.int32))
+    perm = jnp.argsort(key).astype(jnp.int32)
+    rows_t = coords_t[:, perm]
+    fe_rows = fe_w[perm]
+    oid_rows = oid_w[perm]
+    tiers_p = tier_w[perm].reshape(-1, row_block)
+    rblk = rows_t.reshape(n_dim, -1, row_block)
+    rmin = rblk.min(axis=2)  # (D, nrb)
+    rmax = rblk.max(axis=2)
+    cblk = rows_t.reshape(n_dim, -1, col_block)
+    cmin = cblk.min(axis=2).T  # (ncb, D)
+    cmax = cblk.max(axis=2).T
+    gap1 = rmin.T[:, None, :] - cmax[None, :, :]
+    gap2 = cmin[None, :, :] - rmax.T[:, None, :]
+    gap = jnp.maximum(jnp.maximum(gap1, gap2), 0.0)
+    margin = jnp.float32(1.0 - (n_dim + 8) * 2.0 ** -23)
+    big = jnp.float32(np.finfo(np.float32).max) * margin
+    d2b = jnp.minimum(jnp.sum(gap * gap, axis=2), big) * margin
+    bounds = jnp.concatenate([taus.astype(jnp.float32),
+                              jnp.asarray([np.inf], dtype=jnp.float32)])
+    blk_bound = bounds[jnp.minimum(tiers_p.max(axis=1), n_tiers - 1)]
+    has_real = tiers_p.min(axis=1) < n_tiers
+    active = (d2b <= blk_bound[:, None]) & has_real[:, None]
+    return rows_t, fe_rows, oid_rows, perm, active
+
+
 @functools.partial(jax.jit, static_argnames=("row_block", "n_tiers"))
 def _tiered_layout(coords_t, fe_w, tier_w, cmin, cmax, taus, row_block,
                    n_tiers):
@@ -314,17 +359,16 @@ class DensityEngine:
                 best, best_frac = name, frac
         return best
 
-    # the bidirectional pops kernel holds an (n_radii * N_pad) int32
-    # column accumulator in VMEM scratch; the kernel raises XLA's
-    # conservative 16MB scoped limit, and v5e accepts >=120MB scratch
-    # (measured). 64MB covers 3 radii to ~5M frames; larger runs fall
-    # back to the symmetric list.
+    # VMEM budget for the bidirectional pops kernel's column accumulator
+    # (the kernel raises XLA's conservative 16MB scoped limit; v5e
+    # accepts >=120MB, measured). Larger runs split into column-range
+    # partitions inside pops_tiles_bidir_all -- no frame-count cap.
     POPS_BIDIR_SCRATCH_CAP = 64 << 20
 
     def _pops_bidir_ok(self, n_radii):
         if self.mesh is not None:
             return False
-        if n_radii * self.n_pad * 4 > self.POPS_BIDIR_SCRATCH_CAP:
+        if self.POPS_BIDIR_SCRATCH_CAP <= 0:
             return False
         from .pallas_kernels import INTERPRET_MODE
         if not INTERPRET_MODE() and self.col_block % 128 != 0:
@@ -400,11 +444,11 @@ class DensityEngine:
         }
         self._log_stats("pops", self.last_stats["populations"])
         if bidir:
-            acc = pk.pops_tiles_bidir_all(self._device(name), radii2,
-                                          np.int32(self.n),
-                                          tiles[0], tiles[1], rmask,
-                                          row_block=self.row_block,
-                                          col_block=self.col_block)
+            acc = pk.pops_tiles_bidir_all(
+                self._device(name), radii2, np.int32(self.n),
+                tiles[0], tiles[1], rmask,
+                row_block=self.row_block, col_block=self.col_block,
+                max_acc_bytes=self.POPS_BIDIR_SCRATCH_CAP)
         else:
             acc = pk.pops_tiles_sparse_all(self._device(name), radii2,
                                            np.int32(self.n),
@@ -419,13 +463,16 @@ class DensityEngine:
         return {r: counts[i].astype(np.int64) for i, r in enumerate(radii)}
 
     # the bidirectional NN kernel holds 4 (2 x [nh; hd] x [d; j]) column
-    # accumulators of N_pad lanes in VMEM scratch; 64MB covers 4M frames
+    # accumulators of N_pad lanes in VMEM; beyond this budget
+    # nn_tiles_bidir_all splits the run into column-range partitions, so
+    # there is NO frame-count cap (tests force partitioning by shrinking
+    # this; 0 disables bidir entirely)
     NN_BIDIR_SCRATCH_CAP = 64 << 20
 
     def _nn_bidir_ok(self):
         if self.col_block % self.row_block != 0:
             return False
-        if 4 * self.n_pad * 4 > self.NN_BIDIR_SCRATCH_CAP:
+        if self.NN_BIDIR_SCRATCH_CAP <= 0:
             return False
         from .pallas_kernels import INTERPRET_MODE
         if not INTERPRET_MODE() and self.col_block % 128 != 0:
@@ -442,11 +489,11 @@ class DensityEngine:
         from . import pallas_kernels as pk
         tiles = pruning.tile_list(active)
         if bidir:
-            return pk.nn_tiles_bidir_all(self._device(order_name), fe_dev,
-                                         oid_dev, np.int32(self.n),
-                                         tiles[0], tiles[1],
-                                         row_block=self.row_block,
-                                         col_block=self.col_block)
+            return pk.nn_tiles_bidir_all(
+                self._device(order_name), fe_dev, oid_dev, np.int32(self.n),
+                tiles[0], tiles[1], row_block=self.row_block,
+                col_block=self.col_block,
+                max_acc_bytes=self.NN_BIDIR_SCRATCH_CAP)
         return pk.nn_tiles_sparse_all(self._device(order_name), fe_dev,
                                       oid_dev, np.int32(self.n),
                                       tiles[0], tiles[1],
@@ -501,6 +548,49 @@ class DensityEngine:
                 row_block=rb, col_block=self.col_block)
             # device (2, N_pad) ids back at winner positions
             return _unpermute_cols(outk[1], perm_rows)
+
+        return n_active, run
+
+    def _nn_tiered_bidir_plan(self, winner, band_name, band_out, layout,
+                              tier_qs):
+        """Tier-ordered BIDIRECTIONAL phase 2: the whole frame set is
+        re-sorted by (ub-quantile tier, ``winner`` spatial position) --
+        a symmetric order, so the upper-triangular bidirectional sweep
+        composes with the tier bounds (the unidirectional tiered pass
+        could not, round-2 engine stood tiering down under bidir).
+        Returns (n_active_tiles, run) like _nn_tiered_plan; run() yields
+        (2, N_pad) int32 neighbor ids at winner positions."""
+        from . import pallas_kernels as pk
+        n, n_pad = self.n, self.n_pad
+        rb, cb = self.row_block, self.col_block
+        n_tiers = len(tier_qs) + 1
+        tier_dev, taus_dev = _ub_tiers(band_out[0], jnp.int32(n),
+                                       qs=tuple(tier_qs))
+        _, _, fe_dev_w, oid_dev_w = layout(winner)
+        tier_w = jnp.where(
+            jnp.arange(n_pad) < n,
+            tier_dev[self._ub_perm(band_name, winner)].astype(jnp.int32),
+            jnp.int32(n_tiers))
+        rows_t, fe_rows, oid_rows, perm, active_dev = _tiered_layout_sym(
+            self._device(winner), fe_dev_w[0], oid_dev_w[0], tier_w,
+            taus_dev, row_block=rb, col_block=cb, n_tiers=n_tiers)
+        # the only host round-trip of the plan: the (nrb, ncb) bool mask
+        active = pruning.bidir_closure(
+            np.asarray(jax.device_get(active_dev)), rb, cb)
+        n_active = int(active.sum())
+
+        def run():
+            tiles = pruning.tile_list(active)
+            if tiles is None:
+                return None
+            out = pk.nn_tiles_bidir_all(
+                rows_t, fe_rows.reshape(1, n_pad),
+                oid_rows.reshape(1, n_pad), np.int32(n),
+                tiles[0], tiles[1], row_block=rb, col_block=cb,
+                max_acc_bytes=self.NN_BIDIR_SCRATCH_CAP)
+            # ids are original frame ids at tiered positions; re-lay to
+            # winner positions on device
+            return _unpermute_cols(out[1], perm)
 
         return n_active, run
 
@@ -606,11 +696,15 @@ class DensityEngine:
                 out1[0], self._ub_perm(order_name, names[0]),
                 self._ub_perm(order_name, names[1]),
                 row_block=self.row_block)
+            # per-row-bound compare on device; BOTH orders' packed planes
+            # in one dispatch + one download (round-trips through the
+            # remote tunnel cost ~0.1-0.2s each)
+            acts = pruning.active_mask_rows_device2(
+                self._d2b_dev(names[0]), self._d2b_dev(names[1]),
+                row_ubs_dev)
             best = None
             for idx, name in enumerate(names):
-                # per-row-bound compare on device, packed-bit download
-                act = pruning.active_mask_rows_device(
-                    self._d2b_dev(name), row_ubs_dev[idx])
+                act = acts[idx]
                 work = float((act & ~band_active).mean()
                              if name == order_name else act.mean())
                 if best is None or work < best[0]:
@@ -639,22 +733,31 @@ class DensityEngine:
             plan_worthwhile = (
                 block_tiles * float(tile_pairs) * (1.0 - 1.0 / 3.5)
                 > self.TIERED_MIN_SAVED_PAIRS)
-            # under bidirectional sweeps the block-bound tile count is
-            # already ~halved and each tile serves two orientations; the
-            # unidirectional tiered pass can no longer beat it (measured
-            # 2.43s tiered vs 1.64s bidir block-bound at N=2^20), so
-            # auto mode skips the plan (explicit tier_qs still forces it)
+            # under bidirectional sweeps tiering uses the SYMMETRIC
+            # (tier, spatial) re-sort so the upper-triangular sweep
+            # composes with the tier bounds; unidirectional sweeps use
+            # the row-only re-sort against the cached winner columns
             if (tier_qs == "auto" and n >= self.TIERED_MIN_FRAMES
-                    and plan_worthwhile and not nn_bidir):
-                est, run_tiered = self._nn_tiered_plan(
-                    order_name, band_name, band_out, fe, layout,
-                    self.TIER_QS_DEFAULT)
+                    and plan_worthwhile):
+                if nn_bidir:
+                    est, run_tiered = self._nn_tiered_bidir_plan(
+                        order_name, band_name, band_out, layout,
+                        self.TIER_QS_DEFAULT)
+                else:
+                    est, run_tiered = self._nn_tiered_plan(
+                        order_name, band_name, band_out, fe, layout,
+                        self.TIER_QS_DEFAULT)
                 if ((block_tiles - est) * float(tile_pairs)
                         > self.TIERED_MIN_SAVED_PAIRS):
                     plan = (est, run_tiered)
             elif tier_qs not in (None, "auto"):
-                plan = self._nn_tiered_plan(order_name, band_name,
-                                            band_out, fe, layout, tier_qs)
+                if nn_bidir:
+                    plan = self._nn_tiered_bidir_plan(
+                        order_name, band_name, band_out, layout, tier_qs)
+                else:
+                    plan = self._nn_tiered_plan(order_name, band_name,
+                                                band_out, fe, layout,
+                                                tier_qs)
             stats["t_plan"] = time.perf_counter() - t0
             t0 = time.perf_counter()
             if plan is not None:

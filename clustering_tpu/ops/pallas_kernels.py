@@ -266,23 +266,27 @@ def pops_tiles_sparse(coords_t, radii2, n_valid, tile_i, tile_j,
                                    col_block=col_block)
 
 
-def _pops_bidir_kernel(n_valid_ref, ti_ref, tj_ref, rmask_ref, xt_ref,
-                       yt_ref, radii2_ref, init_ref, init_c_ref,
-                       out_ref, outc_ref, col_acc,
+def _pops_bidir_kernel(win_ref, ti_ref, tj_ref, rmask_ref, xt_ref,
+                       yt_ref, radii2_ref, init_ref,
+                       out_ref, col_acc,
                        *, row_block, col_block, n_dim, n_radii):
     """Bidirectional population counts over an upper-triangular tile
     list: each strictly-upper pair (r < c) is evaluated once and adds 1
     to BOTH frames' counts (row side into the ti-indexed output, column
-    side into a persistent VMEM scratch with one n_radii-row group per
-    column block). The column output block at tj[k] is written every
-    step with the running accumulation, so the last write-back of each
-    column block carries all of its tiles' contributions. Self-pairs are
-    excluded by the strict mask; the caller adds the diagonal +1."""
-    del init_ref, init_c_ref  # aliased into the outputs in HBM
+    side into a CONSTANT-index-map output of one n_radii-row group per
+    column block, VMEM-resident for the whole grid and flushed once).
+    Self-pairs are excluded by the strict mask; the caller adds the
+    diagonal +1.
+
+    ``win_ref`` = [n_valid, col_base]: the column accumulator covers
+    column blocks [col_base, col_base + col_span) -- large N splits into
+    column-range partitions, so VMEM never caps the frame count."""
+    del init_ref  # aliased into the row output in HBM
     k = pl.program_id(0)
     jraw = tj_ref[k]
     j = jnp.maximum(jraw, 0)
     i = ti_ref[k]
+    cb0 = win_ref[1]
 
     @pl.when(k == 0)
     def _():
@@ -303,40 +307,30 @@ def _pops_bidir_kernel(n_valid_ref, ti_ref, tj_ref, rmask_ref, xt_ref,
             jnp.int32, (row_block, col_block), 0)
         # strictly-upper: each unordered pair counted from exactly one
         # orientation even in tiles straddling the diagonal
-        base = (col_ids > row_ids) & (col_ids < n_valid_ref[0])
+        base = (col_ids > row_ids) & (col_ids < win_ref[0])
         for r in range(n_radii):
             @pl.when((rmask >> r) & 1 != 0)
             def _(r=r):
                 within = jnp.where(base & (d2 <= radii2_ref[r]), 1, 0)
                 out_ref[r, :] += jnp.sum(within, axis=1).astype(jnp.int32)
-                sl = pl.ds(j * n_radii + r, 1)
+                sl = pl.ds((j - cb0) * n_radii + r, 1)
                 col_acc[sl, :] += jnp.sum(within, axis=0,
                                           keepdims=True).astype(jnp.int32)
 
-    # per-radius single-row copies: Mosaic supports dynamic sublane
-    # slices of size 1 but not size n_radii
-    for r in range(n_radii):
-        outc_ref[r:r + 1, :] = col_acc[pl.ds(j * n_radii + r, 1), :]
 
-
-@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
-def pops_tiles_sparse_bidir(coords_t, radii2, n_valid, tile_i, tile_j,
-                            rmask,
-                            row_block=DEFAULT_ROW_BLOCK,
-                            col_block=DEFAULT_COL_BLOCK):
-    """Upper-triangular bidirectional population counts: ~2x fewer
-    distance evaluations than the symmetric tile list at identical
-    results. The tile list must contain each active upper-triangle-
-    intersecting tile exactly once ((j+1)*col_block > i*row_block),
-    row-major sorted, padded with (ti=last, tj=-1, rmask=0) no-ops.
-    Requires an (n_pad/col_block * n_radii, col_block) int32 VMEM
-    scratch -- n_radii * n_pad * 4B; the caller gates on the VMEM
-    budget. Returns (n_radii, N_pad) int32 counts (self-inclusive,
-    d2 <= r^2 -- identical to pops_tiles_sparse)."""
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block",
+                                             "col_span"))
+def _pops_bidir_call(coords_t, radii2, n_valid, tile_i, tile_j, rmask,
+                     col_base, col_span,
+                     row_block=DEFAULT_ROW_BLOCK,
+                     col_block=DEFAULT_COL_BLOCK):
+    """One bidirectional pops dispatch whose column accumulator covers
+    column blocks [col_base, col_base + col_span). The tile list must
+    only contain tiles with tj in that range (plus (ti, -1, 0) no-op
+    pads). Returns (rows (n_radii, N_pad), cols (n_radii, span*cb))."""
     n_dim, n_pad = coords_t.shape
     n_radii = radii2.shape[0]
     n_tiles = tile_i.shape[0]
-    ncb = n_pad // col_block
     kernel = functools.partial(_pops_bidir_kernel, row_block=row_block,
                                col_block=col_block, n_dim=n_dim,
                                n_radii=n_radii)
@@ -352,94 +346,169 @@ def pops_tiles_sparse_bidir(coords_t, radii2, n_valid, tile_i, tile_j,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n_radii, row_block),
                          lambda k, nv, ti, tj, rm: (0, ti[k])),
-            pl.BlockSpec((n_radii, col_block),
-                         lambda k, nv, ti, tj, rm: (0, jnp.maximum(tj[k],
-                                                                   0))),
         ],
         out_specs=[
             pl.BlockSpec((n_radii, row_block),
                          lambda k, nv, ti, tj, rm: (0, ti[k])),
-            pl.BlockSpec((n_radii, col_block),
-                         lambda k, nv, ti, tj, rm: (0, jnp.maximum(tj[k],
-                                                                   0))),
+            pl.BlockSpec((col_span * n_radii, col_block),
+                         lambda k, nv, ti, tj, rm: (0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((ncb * n_radii, col_block), jnp.int32)],
     )
     init = jnp.zeros((n_radii, n_pad), dtype=jnp.int32)
-    # the column accumulator needs n_radii * n_pad * 4B of VMEM on top of
-    # the tile pipeline buffers; raise the scoped-vmem limit past XLA's
-    # conservative 16MB default (v5e has far more physical VMEM)
-    scratch_bytes = ncb * n_radii * col_block * 4
+    # the column accumulator stays VMEM-resident; raise the scoped-vmem
+    # limit past XLA's conservative 16MB default (v5e has far more)
+    acc_bytes = col_span * n_radii * col_block * 4
     params = pltpu.CompilerParams(
-        vmem_limit_bytes=scratch_bytes + (8 << 20))
-    out, outc = pl.pallas_call(
+        vmem_limit_bytes=acc_bytes + (8 << 20))
+    out, acc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_radii, n_pad), jnp.int32),
-                   jax.ShapeDtypeStruct((n_radii, n_pad), jnp.int32)],
-        input_output_aliases={7: 0, 8: 1},
+                   jax.ShapeDtypeStruct((col_span * n_radii, col_block),
+                                        jnp.int32)],
+        input_output_aliases={7: 0},
         compiler_params=params,
         interpret=INTERPRET_MODE(),
-    )(jnp.asarray([n_valid], dtype=jnp.int32),
+    )(jnp.stack([jnp.asarray(n_valid, dtype=jnp.int32),
+                 jnp.asarray(col_base, dtype=jnp.int32)]),
       jnp.asarray(tile_i, dtype=jnp.int32),
       jnp.asarray(tile_j, dtype=jnp.int32),
       jnp.asarray(rmask, dtype=jnp.int32),
       coords_t, coords_t,
-      jnp.asarray(radii2, dtype=jnp.float32), init, init)
-    # self-pairs excluded by the strict mask: pops_tiles_bidir_all adds
-    # the diagonal +1 exactly once across chunk groups
-    return out + outc
+      jnp.asarray(radii2, dtype=jnp.float32), init)
+    # acc rows are [r0(b+0); ...; r_{R-1}(b+0); r0(b+1); ...]
+    cols = acc.reshape(col_span, n_radii, col_block).transpose(1, 0, 2) \
+        .reshape(n_radii, col_span * col_block)
+    return out, cols
 
 
-@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
-def _pops_bidir_group(coords_t, radii2, n_valid, tile_i, tile_j, rmask,
-                      row_block=DEFAULT_ROW_BLOCK,
-                      col_block=DEFAULT_COL_BLOCK):
+def pops_tiles_sparse_bidir(coords_t, radii2, n_valid, tile_i, tile_j,
+                            rmask,
+                            row_block=DEFAULT_ROW_BLOCK,
+                            col_block=DEFAULT_COL_BLOCK):
+    """Full-range upper-triangular bidirectional population counts: ~2x
+    fewer distance evaluations than the symmetric tile list at identical
+    results. The tile list must contain each active upper-triangle-
+    intersecting tile exactly once ((j+1)*col_block > i*row_block),
+    row-major sorted, padded with (ti=last, tj=-1, rmask=0) no-ops.
+    Returns (n_radii, N_pad) int32 counts WITHOUT self-pairs (the caller
+    adds the diagonal +1 exactly once)."""
+    ncb = coords_t.shape[1] // col_block
+    out, cols = _pops_bidir_call(coords_t, radii2, n_valid, tile_i,
+                                 tile_j, rmask, jnp.int32(0), ncb,
+                                 row_block=row_block, col_block=col_block)
+    return out + cols
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block",
+                                             "col_span"))
+def _pops_bidir_group_part(coords_t, radii2, n_valid, tile_i, tile_j,
+                           rmask, col_base, col_span,
+                           row_block=DEFAULT_ROW_BLOCK,
+                           col_block=DEFAULT_COL_BLOCK):
     def body(acc, tt):
         ti_c, tj_c, rm_c = tt
-        part = pops_tiles_sparse_bidir(coords_t, radii2, n_valid,
-                                       ti_c, tj_c, rm_c,
-                                       row_block=row_block,
-                                       col_block=col_block)
-        return acc + part, None
+        rows, cols = _pops_bidir_call(coords_t, radii2, n_valid,
+                                      ti_c, tj_c, rm_c, col_base, col_span,
+                                      row_block=row_block,
+                                      col_block=col_block)
+        return (acc[0] + rows, acc[1] + cols), None
 
-    init = jnp.zeros((radii2.shape[0], coords_t.shape[1]), dtype=jnp.int32)
+    n_radii = radii2.shape[0]
+    init = (jnp.zeros((n_radii, coords_t.shape[1]), dtype=jnp.int32),
+            jnp.zeros((n_radii, col_span * col_block), dtype=jnp.int32))
     acc, _ = jax.lax.scan(body, init, (tile_i, tile_j, rmask))
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("lo", "n_pad"))
+def _place_cols_sum(cols, lo, n_pad):
+    """Embed a partition's (R, width) column counts into (R, N_pad) at
+    offset ``lo`` (zeros outside)."""
+    n_radii, w = cols.shape
+    return jnp.concatenate(
+        [jnp.zeros((n_radii, lo), jnp.int32), cols,
+         jnp.zeros((n_radii, n_pad - lo - w), jnp.int32)], axis=1)
+
+
+def _chunk_flat_noop(ti, tj, rm):
+    """Re-chunk flat (ti, tj, rmask) arrays into stacked (n_chunks,
+    bucket) triples, padding with (last ti, -1, 0) no-ops (counts are
+    not idempotent, unlike the min-reduction kernels)."""
+    n = len(ti)
+    bucket = 1 << int(np.ceil(np.log2(max(min(n, 1 << 16), 1024))))
+    bucket = min(bucket, 1 << 16)
+    n_chunks = -(-n // bucket)
+    pad = n_chunks * bucket - n
+    ti_p = np.concatenate([ti, np.full(pad, ti[-1], np.int32)])
+    tj_p = np.concatenate([tj, np.full(pad, -1, np.int32)])
+    rm_p = np.concatenate([rm, np.zeros(pad, np.int32)])
+    return (ti_p.reshape(n_chunks, bucket), tj_p.reshape(n_chunks, bucket),
+            rm_p.reshape(n_chunks, bucket))
+
+
 def pops_tiles_bidir_all(coords_t, radii2, n_valid, tile_i, tile_j, rmask,
                          row_block=DEFAULT_ROW_BLOCK,
-                         col_block=DEFAULT_COL_BLOCK):
-    """Sum of pops_tiles_sparse_bidir over stacked (n_chunks, bucket)
-    upper-triangular tile chunks, grouped into bounded-size dispatches,
-    plus the diagonal self-count (once)."""
+                         col_block=DEFAULT_COL_BLOCK,
+                         max_acc_bytes=None):
+    """Sum of the bidirectional pops sweep over stacked (n_chunks,
+    bucket) upper-triangular tile chunks, grouped into bounded-size
+    dispatches, plus the diagonal self-count (once). When the full-range
+    column accumulator would exceed ``max_acc_bytes`` of VMEM, the tile
+    list splits into column-range partitions -- no frame-count cap."""
     n_radii = radii2.shape[0]
     tile_i = np.asarray(tile_i, dtype=np.int32)
     tile_j = np.asarray(tile_j, dtype=np.int32)
     rmask = np.asarray(rmask, dtype=np.int32)
-    n_chunks = tile_i.shape[0]
+    n_pad = coords_t.shape[1]
+    ncb = n_pad // col_block
+    budget = BIDIR_ACC_BYTES if max_acc_bytes is None else max_acc_bytes
+    span = max(int(budget // (col_block * 4 * n_radii)), 1)
     g = DISPATCH_CHUNK_GROUP
-    if n_chunks <= g:
-        acc = _pops_bidir_group(coords_t, radii2, n_valid,
-                                tile_i, tile_j, rmask,
-                                row_block=row_block, col_block=col_block)
-    else:
+
+    def run_range(ti_st, tj_st, rm_st, base, width):
+        n_chunks = ti_st.shape[0]
         acc = None
         for lo in range(0, n_chunks, g):
-            ti_g, tj_g, rm_g = (tile_i[lo:lo + g], tile_j[lo:lo + g],
-                                rmask[lo:lo + g])
-            if ti_g.shape[0] < g:
+            ti_g, tj_g, rm_g = (ti_st[lo:lo + g], tj_st[lo:lo + g],
+                                rm_st[lo:lo + g])
+            if ti_g.shape[0] < g and n_chunks > g:
                 pad = g - ti_g.shape[0]
                 ti_g = np.concatenate([ti_g, np.repeat(ti_g[-1:], pad, 0)])
                 tj_g = np.concatenate(
                     [tj_g, np.full((pad,) + tj_g.shape[1:], -1, np.int32)])
                 rm_g = np.concatenate(
                     [rm_g, np.zeros((pad,) + rm_g.shape[1:], np.int32)])
-            part = _pops_bidir_group(coords_t, radii2, n_valid,
-                                     ti_g, tj_g, rm_g,
-                                     row_block=row_block,
-                                     col_block=col_block)
+            part = _pops_bidir_group_part(
+                coords_t, radii2, n_valid, ti_g, tj_g, rm_g,
+                jnp.int32(base), width,
+                row_block=row_block, col_block=col_block)
+            acc = part if acc is None else (_acc_add(acc[0], part[0]),
+                                            _acc_add(acc[1], part[1]))
+        rows, cols = acc
+        return _acc_add(rows, _place_cols_sum(cols, base * col_block,
+                                              n_pad))
+
+    if span >= ncb:
+        acc = run_range(tile_i, tile_j, rmask, 0, ncb)
+    else:
+        # column-range partitioning: flatten, drop no-op pads, split by
+        # tj range (each real tile lands in exactly one partition --
+        # counts are summed, so exactly-once coverage is preserved)
+        ti_f = tile_i.reshape(-1)
+        tj_f = tile_j.reshape(-1)
+        rm_f = rmask.reshape(-1)
+        keep = tj_f >= 0
+        ti_f, tj_f, rm_f = ti_f[keep], tj_f[keep], rm_f[keep]
+        acc = None
+        for base in range(0, ncb, span):
+            width = min(span, ncb - base)
+            sel = (tj_f >= base) & (tj_f < base + width)
+            if not sel.any():
+                continue
+            ti_p, tj_p, rm_p = _chunk_flat_noop(ti_f[sel], tj_f[sel],
+                                                rm_f[sel])
+            part = run_range(ti_p, tj_p, rm_p, base, width)
             acc = part if acc is None else _acc_add(acc, part)
     return _add_self_count(acc, jnp.int32(n_valid))
 
@@ -701,49 +770,125 @@ def nn_tiles_sparse_all(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
-def _nn_bidir_group(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
-                    row_block=DEFAULT_ROW_BLOCK,
-                    col_block=DEFAULT_COL_BLOCK):
+# budget for the bidirectional kernels' VMEM-resident column
+# accumulators; runs whose full-range accumulator would exceed it are
+# split into column-range partitions (any N supported -- the round-2
+# fallback to symmetric sweeps at >4-5M frames is gone)
+BIDIR_ACC_BYTES = 64 << 20
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block",
+                                             "col_span"))
+def _nn_bidir_group_part(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
+                         col_base, col_span, row_block, col_block):
+    """Scan _nn_bidir_call over stacked chunks of ONE column-range
+    partition, folding row and column minima separately."""
     def body(acc, tt):
         ti_c, tj_c = tt
-        part = nn_tiles_sparse_bidir(coords_t, fe, orig_ids, n_valid,
-                                     ti_c, tj_c, row_block=row_block,
-                                     col_block=col_block)
-        return _lex_min2(acc, part), None
+        od, oj, cd, cj = _nn_bidir_call(
+            coords_t, fe, orig_ids, n_valid, ti_c, tj_c, col_base,
+            col_span, row_block=row_block, col_block=col_block)
+        rows = _lex_min2((acc[0], acc[1]), (od, oj))
+        cols = _lex_min2((acc[2], acc[3]), (cd, cj))
+        return (rows[0], rows[1], cols[0], cols[1]), None
 
     n_pad = coords_t.shape[1]
+    w = col_span * col_block
     init = (jnp.full((2, n_pad), _INF, dtype=jnp.float32),
-            jnp.full((2, n_pad), _IMAX, dtype=jnp.int32))
+            jnp.full((2, n_pad), _IMAX, dtype=jnp.int32),
+            jnp.full((2, w), _INF, dtype=jnp.float32),
+            jnp.full((2, w), _IMAX, dtype=jnp.int32))
     acc, _ = jax.lax.scan(body, init, (tile_i, tile_j))
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("lo", "n_pad"))
+def _place_cols(cd, cj, lo, n_pad):
+    """Embed a partition's (2, width) column minima into (2, N_pad) at
+    offset ``lo`` (identity elements outside)."""
+    w = cd.shape[1]
+    return (jnp.concatenate(
+        [jnp.full((2, lo), _INF, jnp.float32), cd,
+         jnp.full((2, n_pad - lo - w), _INF, jnp.float32)], axis=1),
+        jnp.concatenate(
+        [jnp.full((2, lo), _IMAX, jnp.int32), cj,
+         jnp.full((2, n_pad - lo - w), _IMAX, jnp.int32)], axis=1))
+
+
+def _chunk_flat(ti, tj, pad_j=None):
+    """Re-chunk flat tile index arrays into a stacked (n_chunks, bucket)
+    pair with power-of-two buckets (same policy as pruning.tile_list);
+    pads repeat the last tile (``pad_j`` overrides the pad tj value)."""
+    n = len(ti)
+    bucket = 1 << int(np.ceil(np.log2(max(min(n, 1 << 16), 1024))))
+    bucket = min(bucket, 1 << 16)
+    n_chunks = -(-n // bucket)
+    pad = n_chunks * bucket - n
+    ti_p = np.concatenate([ti, np.full(pad, ti[-1], np.int32)])
+    tj_p = np.concatenate(
+        [tj, np.full(pad, tj[-1] if pad_j is None else pad_j, np.int32)])
+    return (ti_p.reshape(n_chunks, bucket), tj_p.reshape(n_chunks, bucket))
+
+
 def nn_tiles_bidir_all(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
                        row_block=DEFAULT_ROW_BLOCK,
-                       col_block=DEFAULT_COL_BLOCK):
-    """Lexicographic merge of nn_tiles_sparse_bidir over stacked tile
-    chunks, grouped into bounded-size dispatches (each chunk's row and
-    column minima fold through the idempotent lexicographic min)."""
+                       col_block=DEFAULT_COL_BLOCK,
+                       max_acc_bytes=None):
+    """Lexicographic merge of the bidirectional NN sweep over stacked
+    tile chunks, grouped into bounded-size dispatches (each chunk's row
+    and column minima fold through the idempotent lexicographic min).
+    When the full-range column accumulator would exceed ``max_acc_bytes``
+    of VMEM, the tile list is split into column-range partitions, each
+    dispatched with its own accumulator window -- no frame-count cap
+    (the reference's tiling covers any N, _cuda_kernels.cu:25-31; so
+    does this)."""
     tile_i = np.asarray(tile_i, dtype=np.int32)
     tile_j = np.asarray(tile_j, dtype=np.int32)
-    n_chunks = tile_i.shape[0]
+    n_pad = coords_t.shape[1]
+    ncb = n_pad // col_block
+    budget = BIDIR_ACC_BYTES if max_acc_bytes is None else max_acc_bytes
+    span = max(int(budget // (col_block * 16)), 1)
     g = DISPATCH_CHUNK_GROUP
-    if n_chunks <= g:
-        return _nn_bidir_group(coords_t, fe, orig_ids, n_valid,
-                               tile_i, tile_j,
-                               row_block=row_block, col_block=col_block)
-    acc = None
-    for lo in range(0, n_chunks, g):
-        ti_g, tj_g = tile_i[lo:lo + g], tile_j[lo:lo + g]
-        if ti_g.shape[0] < g:
-            pad = g - ti_g.shape[0]
-            ti_g = np.concatenate([ti_g, np.repeat(ti_g[-1:], pad, 0)])
-            tj_g = np.concatenate([tj_g, np.repeat(tj_g[-1:], pad, 0)])
-        part = _nn_bidir_group(coords_t, fe, orig_ids, n_valid, ti_g, tj_g,
-                               row_block=row_block, col_block=col_block)
-        acc = part if acc is None else _lex_min2(acc, part)
-    return acc
+
+    def run_range(ti_st, tj_st, base, width):
+        n_chunks = ti_st.shape[0]
+        acc = None
+        for lo in range(0, n_chunks, g):
+            ti_g, tj_g = ti_st[lo:lo + g], tj_st[lo:lo + g]
+            if ti_g.shape[0] < g and n_chunks > g:
+                pad = g - ti_g.shape[0]
+                ti_g = np.concatenate([ti_g, np.repeat(ti_g[-1:], pad, 0)])
+                tj_g = np.concatenate([tj_g, np.repeat(tj_g[-1:], pad, 0)])
+            od, oj, cd, cj = _nn_bidir_group_part(
+                coords_t, fe, orig_ids, n_valid, ti_g, tj_g,
+                jnp.int32(base), width,
+                row_block=row_block, col_block=col_block)
+            part = ((od, oj), (cd, cj))
+            acc = part if acc is None else (
+                _lex_min2(acc[0], part[0]), _lex_min2(acc[1], part[1]))
+        rows, cols = acc
+        colf = _place_cols(cols[0], cols[1], base * col_block, n_pad)
+        return _lex_min2(rows, colf)
+
+    if span >= ncb:
+        return run_range(tile_i, tile_j, 0, ncb)
+    # column-range partitioning: flatten, drop repeat-padding duplicates,
+    # split by tj range (each real tile lands in exactly one partition)
+    ti_f = tile_i.reshape(-1)
+    tj_f = tile_j.reshape(-1)
+    keep = np.ones(len(ti_f), dtype=bool)
+    keep[1:] = (ti_f[1:] != ti_f[:-1]) | (tj_f[1:] != tj_f[:-1])
+    ti_f, tj_f = ti_f[keep], tj_f[keep]
+    out = None
+    for base in range(0, ncb, span):
+        width = min(span, ncb - base)
+        sel = (tj_f >= base) & (tj_f < base + width)
+        if not sel.any():
+            continue
+        ti_p, tj_p = _chunk_flat(ti_f[sel], tj_f[sel])
+        part = run_range(ti_p, tj_p, base, width)
+        out = part if out is None else _lex_min2(out, part)
+    return out
 
 
 def _nn_sparse_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
@@ -855,23 +1000,27 @@ def nn_tiles_sparse(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
                                  row_block=row_block, col_block=col_block)
 
 
-def _nn_bidir_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
+def _nn_bidir_kernel(win_ref, ti_ref, tj_ref, xt_ref, yt_ref,
                      fe_x_ref, fe_y_ref, oid_x_ref, oid_y_ref,
-                     init_d_ref, init_j_ref, init_cd_ref, init_cj_ref,
-                     out_d_ref, out_j_ref, outc_d_ref, outc_j_ref,
-                     acc_d, acc_j,
+                     init_d_ref, init_j_ref,
+                     out_d_ref, out_j_ref, acc_d, acc_j,
                      *, row_block, col_block, n_dim):
-    """Bidirectional NN sweep body: each tile's distance evaluation
-    serves both its rows (lexicographic running minima in the ti-indexed
-    outputs, exactly _nn_sparse_kernel's semantics) and its columns
-    (minima over the tile's rows, accumulated in persistent VMEM scratch
-    with two sublane rows [nh; hd] per column block, written back via
-    the tj-indexed column outputs every step -- the last write-back per
-    column block carries all of its tiles' candidates)."""
-    del init_d_ref, init_j_ref, init_cd_ref, init_cj_ref  # output aliases
+    """Bidirectional NN sweep with the column accumulators as CONSTANT-
+    index-map outputs: the (2*col_span, col_block) [nh; hd]-interleaved
+    column minima stay VMEM-resident for the whole grid and flush to HBM
+    exactly once at the end -- no per-step scratch->output copies and no
+    per-step column-block write-backs (measured equal to the copy-based
+    round-2 kernel at N=2^20, and strictly less per-step work).
+
+    ``win_ref`` = [n_valid, col_base]: the accumulator covers column
+    blocks [col_base, col_base + col_span) -- large N runs split into
+    column-range partitions so VMEM never caps the frame count
+    (the tile list of a call must only hold tiles in its range)."""
+    del init_d_ref, init_j_ref  # aliased into the row outputs
     k = pl.program_id(0)
     i = ti_ref[k]
     j = tj_ref[k]
+    cb0 = win_ref[1]
 
     @pl.when(k == 0)
     def _():
@@ -892,7 +1041,7 @@ def _nn_bidir_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
             jnp.int32, (row_block, col_block), 1)
         row_ids = i * row_block + jax.lax.broadcasted_iota(
             jnp.int32, (row_block, col_block), 0)
-        nv = n_valid_ref[0]
+        nv = win_ref[0]
         oid_y = oid_y_ref[0, :].reshape(1, col_block)
         oid_x = oid_x_ref[0, :].reshape(row_block, 1)
         fe_x = fe_x_ref[0, :].reshape(row_block, 1)
@@ -923,7 +1072,7 @@ def _nn_bidir_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
         cd = jnp.min(d2_nh_t, axis=0, keepdims=True)
         co = jnp.min(jnp.where(d2_nh_t == cd, oid_x, _IMAX), axis=0,
                      keepdims=True)
-        sl = pl.ds(j * 2, 1)
+        sl = pl.ds((j - cb0) * 2, 1)
         cur_d = acc_d[sl, :]
         cur_j = acc_j[sl, :]
         updc = ((cd < cur_d) | ((cd == cur_d) & (co < cur_j))) \
@@ -934,7 +1083,7 @@ def _nn_bidir_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
         chd = jnp.min(d2_hd_t, axis=0, keepdims=True)
         cho = jnp.min(jnp.where(d2_hd_t == chd, oid_x, _IMAX), axis=0,
                       keepdims=True)
-        slh = pl.ds(j * 2 + 1, 1)
+        slh = pl.ds((j - cb0) * 2 + 1, 1)
         cur_dh = acc_d[slh, :]
         cur_jh = acc_j[slh, :]
         updch = ((chd < cur_dh) | ((chd == cur_dh) & (cho < cur_jh))) \
@@ -942,30 +1091,20 @@ def _nn_bidir_kernel(n_valid_ref, ti_ref, tj_ref, xt_ref, yt_ref,
         acc_d[slh, :] = jnp.where(updch, chd, cur_dh)
         acc_j[slh, :] = jnp.where(updch, cho, cur_jh)
 
-    # running column accumulation -> tj-indexed output blocks (two
-    # single-sublane-row copies each; Mosaic supports dynamic size-1
-    # sublane slices only)
-    outc_d_ref[0:1, :] = acc_d[pl.ds(j * 2, 1), :]
-    outc_d_ref[1:2, :] = acc_d[pl.ds(j * 2 + 1, 1), :]
-    outc_j_ref[0:1, :] = acc_j[pl.ds(j * 2, 1), :]
-    outc_j_ref[1:2, :] = acc_j[pl.ds(j * 2 + 1, 1), :]
 
-
-@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
-def nn_tiles_sparse_bidir(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
-                          row_block=DEFAULT_ROW_BLOCK,
-                          col_block=DEFAULT_COL_BLOCK):
-    """All-pairs NN search where every tile serves both orientations:
-    sweep only the upper-triangular closure of the active set
-    (``pruning.bidir_closure``) for the same results as the full
-    symmetric list at up to half the distance evaluations. Returns
-    (out_d, out_j) stacked (2, N_pad) [nh; hd], the lexicographic merge
-    of the row-side and column-side minima. Needs 4 * N_pad * 4B of VMEM
-    scratch (the call raises XLA's scoped-vmem default; caller gates on
-    the budget)."""
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block",
+                                             "col_span"))
+def _nn_bidir_call(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
+                   col_base, col_span,
+                   row_block=DEFAULT_ROW_BLOCK,
+                   col_block=DEFAULT_COL_BLOCK):
+    """One bidirectional NN dispatch whose column accumulator covers
+    column blocks [col_base, col_base + col_span). The tile list must
+    only contain tiles with tj in that range (plus repeat padding).
+    Returns (out_d, out_j, colc_d, colc_j): row side (2, N_pad), column
+    side (2, col_span * col_block) at the partition's offset."""
     n_dim, n_pad = coords_t.shape
     n_tiles = tile_i.shape[0]
-    ncb = n_pad // col_block
     kernel = functools.partial(_nn_bidir_kernel, row_block=row_block,
                                col_block=col_block, n_dim=n_dim)
     row_spec = pl.BlockSpec((1, row_block),
@@ -974,8 +1113,8 @@ def nn_tiles_sparse_bidir(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
                             lambda k, nv, ti, tj: (0, tj[k]))
     out_spec = pl.BlockSpec((2, row_block),
                             lambda k, nv, ti, tj: (0, ti[k]))
-    outc_spec = pl.BlockSpec((2, col_block),
-                             lambda k, nv, ti, tj: (0, tj[k]))
+    acc_spec = pl.BlockSpec((2 * col_span, col_block),
+                            lambda k, nv, ti, tj: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -985,34 +1124,55 @@ def nn_tiles_sparse_bidir(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
             pl.BlockSpec((n_dim, col_block),
                          lambda k, nv, ti, tj: (0, tj[k])),
             row_spec, col_spec, row_spec, col_spec,
-            out_spec, out_spec, outc_spec, outc_spec,
+            out_spec, out_spec,
         ],
-        out_specs=[out_spec, out_spec, outc_spec, outc_spec],
-        scratch_shapes=[pltpu.VMEM((2 * ncb, col_block), jnp.float32),
-                        pltpu.VMEM((2 * ncb, col_block), jnp.int32)],
+        out_specs=[out_spec, out_spec, acc_spec, acc_spec],
     )
     init_d = jnp.full((2, n_pad), _INF, dtype=jnp.float32)
     init_j = jnp.full((2, n_pad), _IMAX, dtype=jnp.int32)
     params = pltpu.CompilerParams(
-        vmem_limit_bytes=4 * n_pad * 4 + (8 << 20))
-    out_d, out_j, outc_d, outc_j = pl.pallas_call(
+        vmem_limit_bytes=col_span * col_block * 16 + (16 << 20))
+    out_d, out_j, acc_d, acc_j = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((2, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((2, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((2, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((2, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((2 * col_span, col_block), jnp.float32),
+            jax.ShapeDtypeStruct((2 * col_span, col_block), jnp.int32),
         ],
-        input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3},
+        input_output_aliases={9: 0, 10: 1},
         compiler_params=params,
         interpret=INTERPRET_MODE(),
-    )(jnp.asarray([n_valid], dtype=jnp.int32),
+    )(jnp.stack([jnp.asarray(n_valid, dtype=jnp.int32),
+                 jnp.asarray(col_base, dtype=jnp.int32)]),
       jnp.asarray(tile_i, dtype=jnp.int32),
       jnp.asarray(tile_j, dtype=jnp.int32),
       coords_t, coords_t, fe, fe, orig_ids, orig_ids,
-      init_d, init_j, init_d, init_j)
-    return _lex_min2((out_d, out_j), (outc_d, outc_j))
+      init_d, init_j)
+    # acc rows are [nh(b+0); hd(b+0); nh(b+1); ...] -> (2, span*col_block)
+    colc_d = acc_d.reshape(col_span, 2, col_block).transpose(1, 0, 2) \
+        .reshape(2, col_span * col_block)
+    colc_j = acc_j.reshape(col_span, 2, col_block).transpose(1, 0, 2) \
+        .reshape(2, col_span * col_block)
+    return out_d, out_j, colc_d, colc_j
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+def nn_tiles_sparse_bidir(coords_t, fe, orig_ids, n_valid,
+                          tile_i, tile_j,
+                          row_block=DEFAULT_ROW_BLOCK,
+                          col_block=DEFAULT_COL_BLOCK):
+    """Full-range bidirectional NN sweep (column accumulator spans every
+    column block). Contract: upper-triangular closure tile list,
+    row-major sorted, repeat-padded. Returns the lexicographic merge of
+    the row-side and column-side minima, (2, N_pad)."""
+    n_pad = coords_t.shape[1]
+    ncb = n_pad // col_block
+    out_d, out_j, colc_d, colc_j = _nn_bidir_call(
+        coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
+        jnp.int32(0), ncb, row_block=row_block, col_block=col_block)
+    return _lex_min2((out_d, out_j), (colc_d, colc_j))
 
 
 # ---------------------------------------------------------------------------

@@ -221,6 +221,23 @@ def active_mask_rows_device(d2b_dev, row_ub_dev):
     return unpack_planes(jax.device_get(words), ncb)
 
 
+@jax.jit
+def _pack_le_rows2(d2b_a, d2b_b, row_ub_2):
+    """Both candidate orders' per-row-threshold planes in ONE dispatch and
+    transfer (each device->host round-trip costs real latency through
+    remote-TPU tunnels)."""
+    return jnp.stack([_pack_le_rows(d2b_a, row_ub_2[0]),
+                      _pack_le_rows(d2b_b, row_ub_2[1])])
+
+
+def active_mask_rows_device2(d2b_a, d2b_b, row_ub_2):
+    """(2, nrb, ncb) bool masks for two bbox matrices against their
+    per-row bounds, one packed download."""
+    ncb = d2b_a.shape[1]
+    words = _pack_le_rows2(d2b_a, d2b_b, row_ub_2)
+    return unpack_planes(jax.device_get(words), ncb)
+
+
 def bidir_closure(active, row_block, col_block):
     """Upper-triangular closure of an active-tile set for bidirectional
     sweeps: tiles ``upper AND (A OR M)``, where M marks the mirrors of

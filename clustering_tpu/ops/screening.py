@@ -201,6 +201,9 @@ def _sparse_fixpoint_host(coords_t, labels0, n_below, max_dist2,
     dispatches, convergence is a one-scalar readback per sweep."""
     tile_i = np.asarray(tile_i, dtype=np.int32)
     tile_j = np.asarray(tile_j, dtype=np.int32)
+    first_occ = jnp.asarray(_first_occ_mask(tile_i, tile_j))
+    tile_i_dev = jnp.asarray(tile_i)
+    tile_j_dev = jnp.asarray(tile_j)
     n_pad = coords_t.shape[1]
     ncb = n_pad // col_block
     nb = jnp.int32(n_below)
@@ -208,7 +211,10 @@ def _sparse_fixpoint_host(coords_t, labels0, n_below, max_dist2,
     labels = labels0
     dirty = jnp.ones((ncb,), dtype=jnp.int32)
     iters = 0
+    swept_total = 0.0
     while True:
+        swept_total += float(jax.device_get(_swept_count(
+            first_occ, tile_i_dev, tile_j_dev, dirty)))
         swept = labels
         for lo in range(0, tile_i.shape[0], group):
             ti_g, tj_g = tile_i[lo:lo + group], tile_j[lo:lo + group]
@@ -226,13 +232,43 @@ def _sparse_fixpoint_host(coords_t, labels0, n_below, max_dist2,
         iters += 1
         if not bool(changed):
             break
-    return labels, iters
+    return labels, iters, swept_total
+
+
+def _first_occ_mask(tile_i, tile_j):
+    """int32 mask over a stacked (n_chunks, bucket) tile list marking the
+    first occurrence of each tile in scan order (repeat-padding and
+    chunk-boundary duplicates carry 0) -- the unit of the swept-tile
+    accounting."""
+    ti = np.asarray(tile_i, dtype=np.int64).reshape(-1)
+    tj = np.asarray(tile_j, dtype=np.int64).reshape(-1)
+    same = np.zeros(ti.shape[0], dtype=bool)
+    same[1:] = (ti[1:] == ti[:-1]) & (tj[1:] == tj[:-1])
+    return (~same).astype(np.int32).reshape(np.shape(tile_i))
+
+
+@jax.jit
+def _swept_count(first_occ, tile_i, tile_j, dirty):
+    """Tiles the sweep kernel actually computed this round: first
+    occurrences whose column block was dirty (mirrors the kernel's own
+    skip condition in _label_min_sparse_kernel). float32 accumulator:
+    counts are accounting-only and can exceed int32 at 16M frames."""
+    return jnp.sum((first_occ * dirty[tile_j]).astype(jnp.float32))
+
+
+@jax.jit
+def _swept_count_bidir(first_occ, tile_i, tile_j, dirty_col, dirty_row):
+    """Bidirectional variant: a tile is swept when either side is dirty
+    (mirrors _label_min_bidir_kernel)."""
+    gate = (dirty_col[tile_j] != 0) | (dirty_row[tile_i] != 0)
+    return jnp.sum((first_occ * gate.astype(jnp.int32))
+                   .astype(jnp.float32))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("row_block", "col_block", "union_size"))
 def _sparse_fixpoint(coords_t, labels0, n_below, max_dist2, tile_i, tile_j,
-                     row_block, col_block, union_size=None):
+                     first_occ, row_block, col_block, union_size=None):
     """On-device fixpoint over sparse-tile sweeps. ``tile_i/tile_j`` are
     stacked (n_chunks, bucket) SMEM-sized chunks scanned per sweep.
     Compiles once per (n_chunks, bucket, union_size); the whole iteration
@@ -243,7 +279,10 @@ def _sparse_fixpoint(coords_t, labels0, n_below, max_dist2, tile_i, tile_j,
     label-table union to the prefix that can actually change: sweeps only
     update rows below n_below and only propose labels < n_below, so the
     tail passes through untouched. The caller quantizes it to keep compile
-    variety bounded."""
+    variety bounded.
+
+    Returns (labels, sweep count, total tiles actually swept across all
+    sweeps -- the dirty-gated measured compute, not an upper bound)."""
     from .pallas_kernels import label_min_sparse
 
     n_pad = coords_t.shape[1]
@@ -256,7 +295,8 @@ def _sparse_fixpoint(coords_t, labels0, n_below, max_dist2, tile_i, tile_j,
         return state[1]
 
     def body(state):
-        labels_in, _, it, dirty = state
+        labels_in, _, it, dirty, swept = state
+        swept = swept + _swept_count(first_occ, tile_i, tile_j, dirty)
 
         def chunk_body(labels_cur, tt):
             ti_c, tj_c = tt
@@ -287,18 +327,18 @@ def _sparse_fixpoint(coords_t, labels0, n_below, max_dist2, tile_i, tile_j,
         dirty_next = (dirty_head if nub == ncb else
                       jnp.concatenate([dirty_head,
                                        jnp.zeros(ncb - nub, jnp.int32)]))
-        return (labels_out, jnp.any(changed), it + 1, dirty_next)
+        return (labels_out, jnp.any(changed), it + 1, dirty_next, swept)
 
-    labels, _, iters, _ = jax.lax.while_loop(
+    labels, _, iters, _, swept = jax.lax.while_loop(
         cond, body, (labels0, jnp.bool_(True), jnp.int32(0),
-                     jnp.ones((ncb,), dtype=jnp.int32)))
-    return labels, iters
+                     jnp.ones((ncb,), dtype=jnp.int32), jnp.float32(0)))
+    return labels, iters, swept
 
 
 @functools.partial(jax.jit,
                    static_argnames=("row_block", "col_block", "union_size"))
 def _sparse_fixpoint_bidir(coords_t, labels0, n_below, max_dist2,
-                           tile_i, tile_j, row_block, col_block,
+                           tile_i, tile_j, first_occ, row_block, col_block,
                            union_size):
     """On-device fixpoint over an UPPER-TRIANGULAR tile list with the
     bidirectional sweep kernel: each tile is evaluated once and proposes
@@ -319,7 +359,9 @@ def _sparse_fixpoint_bidir(coords_t, labels0, n_below, max_dist2,
         return state[1]
 
     def body(state):
-        labels_in, _, it, dirty_col, dirty_row = state
+        labels_in, _, it, dirty_col, dirty_row, swept = state
+        swept = swept + _swept_count_bidir(first_occ, tile_i, tile_j,
+                                           dirty_col, dirty_row)
 
         def chunk_body(labels_cur, tt):
             ti_c, tj_c = tt
@@ -349,13 +391,14 @@ def _sparse_fixpoint_bidir(coords_t, labels0, n_below, max_dist2,
         dirty_row = (dr_head if nru == nrb else
                      jnp.concatenate([dr_head,
                                       jnp.zeros(nrb - nru, jnp.int32)]))
-        return (labels_out, jnp.any(changed), it + 1, dirty_col, dirty_row)
+        return (labels_out, jnp.any(changed), it + 1, dirty_col, dirty_row,
+                swept)
 
-    labels, _, iters, _, _ = jax.lax.while_loop(
+    labels, _, iters, _, _, swept = jax.lax.while_loop(
         cond, body, (labels0, jnp.bool_(True), jnp.int32(0),
                      jnp.ones((ncb,), dtype=jnp.int32),
-                     jnp.ones((nrb,), dtype=jnp.int32)))
-    return labels, iters
+                     jnp.ones((nrb,), dtype=jnp.int32), jnp.float32(0)))
+    return labels, iters, swept
 
 
 class ScreeningEngine:
@@ -522,10 +565,11 @@ class ScreeningEngine:
                     tiles = None  # host-driven path stays symmetric
             if mode == "bidir":
                 ti, tj = tiles
-                out, iters = _sparse_fixpoint_bidir(
+                out, iters, swept = _sparse_fixpoint_bidir(
                     self._coords_dev, labels_dev,
                     jnp.int32(n_below), jnp.float32(max_dist2),
                     jnp.asarray(ti), jnp.asarray(tj),
+                    jnp.asarray(_first_occ_mask(ti, tj)),
                     row_block=self.row_block, col_block=self.col_block,
                     union_size=union_size)
             else:
@@ -536,31 +580,34 @@ class ScreeningEngine:
                 if ti.shape[0] > DISPATCH_CHUNK_GROUP:
                     # tile list too long for one device program (runtime
                     # watchdogs): host-driven sweeps, bounded dispatches
-                    out, iters = _sparse_fixpoint_host(
+                    out, iters, swept = _sparse_fixpoint_host(
                         self._coords_dev, labels_dev, n_below, max_dist2,
                         ti, tj, self.row_block, self.col_block,
                         union_size, DISPATCH_CHUNK_GROUP)
                 else:
-                    out, iters = _sparse_fixpoint(
+                    out, iters, swept = _sparse_fixpoint(
                         self._coords_dev, labels_dev,
                         jnp.int32(n_below), jnp.float32(max_dist2),
                         jnp.asarray(ti), jnp.asarray(tj),
+                        jnp.asarray(_first_occ_mask(ti, tj)),
                         row_block=self.row_block,
                         col_block=self.col_block,
                         union_size=union_size)
-            # compute accounting: real tiles per sweep x sweep count
-            # (dirty-block skipping makes later sweeps cheaper -- this is
-            # an upper bound on the computed work)
+            # compute accounting: swept_tiles is the dirty-gated count of
+            # tiles the kernel actually computed (measured, mirrors the
+            # kernel's own skip condition); tiles_per_sweep x sweeps
+            # remains as the upper bound for comparison
             self.last_stats = {
                 "sweeps": int(iters),
                 "tiles_per_sweep": int(ti.shape[0] * ti.shape[1]),
+                "swept_tiles": float(swept),
                 "tile_pairs": self.row_block * self.col_block,
                 "mode": mode,
             }
             if is_verbose():
                 logger(f"    [screening fixpoint: {int(iters)} sweeps,"
                        f" {ti.shape[0] * ti.shape[1]} tiles/sweep,"
-                       f" {mode}]")
+                       f" {float(swept):.0f} swept, {mode}]")
             return out
         if self.mesh is not None:
             from ..parallel import sharded

@@ -313,15 +313,21 @@ def test_engine_nn_auto_tier_decision(monkeypatch):
     assert eng.last_stats["nn"]["mode"] == "block-bound"
     np.testing.assert_array_equal(want[0], got[0])
     # force the auto path to plan (any positive saving accepted); under
-    # bidirectional sweeps auto stands down, so disable bidir first
+    # bidirectional sweeps the plan uses the symmetric tiered re-sort
     monkeypatch.setattr(type(eng), "TIERED_MIN_FRAMES", 1)
     monkeypatch.setattr(type(eng), "TIERED_MIN_SAVED_PAIRS", -1.0)
     got = eng.nearest_neighbors(fe, band_blocks=1, tier_qs="auto")
-    assert eng.last_stats["nn"]["mode"] == "block-bound"  # bidir active
+    assert eng.last_stats["nn"]["mode"] == "tiered"
+    assert eng.last_stats["nn"]["bidir"]
     np.testing.assert_array_equal(want[0], got[0])
+    np.testing.assert_array_equal(want[2], got[2])
+    np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
+    np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
+    # the unidirectional tiered plan still serves when bidir is gated off
     monkeypatch.setattr(type(eng), "NN_BIDIR_SCRATCH_CAP", 0)
     got = eng.nearest_neighbors(fe, band_blocks=1, tier_qs="auto")
     assert eng.last_stats["nn"]["mode"] == "tiered"
+    assert not eng.last_stats["nn"]["bidir"]
     np.testing.assert_array_equal(want[0], got[0])
     np.testing.assert_array_equal(want[2], got[2])
     np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
@@ -332,6 +338,46 @@ def test_engine_nn_auto_tier_decision(monkeypatch):
     got = eng.nearest_neighbors(fe, band_blocks=1, tier_qs="auto")
     assert eng.last_stats["nn"]["mode"] == "block-bound"
     np.testing.assert_array_equal(want[0], got[0])
+
+
+def test_engine_pops_bidir_col_partitioned(monkeypatch):
+    """A VMEM budget below the full-range column accumulator must split
+    the bidirectional pops sweep into column-range partitions with
+    identical counts."""
+    coords = _bigger_blobs(n=700, seed=11)
+    eng = ops.engine.DensityEngine(coords, row_block=8, col_block=16,
+                                   backend="pallas")
+    radii = [0.3, 0.5, 0.8]
+    want = eng.populations(radii)
+    eng2 = ops.engine.DensityEngine(coords, row_block=8, col_block=16,
+                                    backend="pallas")
+    # budget -> span of ~2 col blocks per partition (3 radii)
+    monkeypatch.setattr(type(eng2), "POPS_BIDIR_SCRATCH_CAP", 16 * 4 * 3 * 2)
+    got = eng2.populations(radii)
+    for r in radii:
+        np.testing.assert_array_equal(want[r], got[r])
+
+
+def test_engine_nn_bidir_col_partitioned(monkeypatch):
+    """A VMEM budget below the full-range column accumulator must split
+    the bidirectional sweep into column-range partitions with identical
+    results (the round-2 engine fell back to symmetric sweeps instead --
+    the large-N cap this removes)."""
+    coords = _bigger_blobs(n=700, seed=17)
+    eng = ops.engine.DensityEngine(coords, row_block=8, col_block=16,
+                                   backend="pallas")
+    pops = eng.populations([0.4])
+    fe = ops.free_energies(pops[0.4])
+    want = ops.nearest_neighbors(coords, fe, backend="xla",
+                                 row_block=8, col_block=16)
+    # budget -> span of 8 col blocks (<< ncb): several partitions
+    monkeypatch.setattr(type(eng), "NN_BIDIR_SCRATCH_CAP", 16 * 16 * 8)
+    got = eng.nearest_neighbors(fe, band_blocks=1)
+    assert eng.last_stats["nn"]["bidir"]
+    np.testing.assert_array_equal(want[0], got[0])
+    np.testing.assert_array_equal(want[2], got[2])
+    np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
+    np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
 
 
 def test_series_screener_hd_seeding_matches_unseeded():
