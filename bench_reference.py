@@ -104,6 +104,103 @@ def bench_mpp(workdir):
     return t_ref, t_tpu
 
 
+def build_modes(outdir):
+    cxx = shutil.which("g++")
+    cc = shutil.which("gcc") or cxx
+    xdr = os.path.join(REF_SRC, "coords_file", "xdrfile")
+    objs = []
+    for c in ("xdrfile.c", "xdrfile_xtc.c"):  # C sources: compile as C
+        obj = os.path.join(outdir, c + ".o")
+        subprocess.run([cc, "-O3", "-march=native", "-c",
+                        os.path.join(xdr, c), "-I", xdr, "-o", obj],
+                       check=True, capture_output=True)
+        objs.append(obj)
+    exe = os.path.join(outdir, "modes_oracle_o3")
+    subprocess.run(
+        [cxx, "-O3", "-ffast-math", "-ftree-vectorize", "-march=native",
+         "-std=c++17", "-fopenmp", "-I", STUB, "-I", REF_SRC,
+         os.path.join(REPO, "tests", "modes_oracle.cpp"),
+         os.path.join(REF_SRC, "coring.cpp"),
+         os.path.join(REF_SRC, "noise.cpp"),
+         os.path.join(REF_SRC, "network_builder.cpp"),
+         os.path.join(REF_SRC, "state_filter.cpp"),
+         os.path.join(REF_SRC, "coords_file", "coords_file.cpp"),
+         os.path.join(REF_SRC, "tools.cpp"),
+         os.path.join(REF_SRC, "logger.cpp"), *objs,
+         "-o", exe],
+        check=True, capture_output=True)
+    return exe
+
+
+def bench_host_modes(workdir):
+    """Reference coring/noise/network/stats (its own mode entry points,
+    -O3 -march=native) vs the ``clustering`` CLI, paired alternating
+    best-of-3 subprocess wall clocks on an identical 1M-frame fixture.
+    Both sides pay one process spawn; the CLI side includes interpreter
+    + numpy startup (the reference binary's AOT equivalent is ~0)."""
+    rng = np.random.default_rng(11)
+    n, s = 1 << 20, 600
+    basins = np.minimum(np.cumsum(rng.random(n) < 5e-4) % 6, 5)
+    traj = (basins * (s // 6)
+            + rng.integers(0, s // 6, size=n) + 1).astype(np.int64)
+    # the #@ provenance lines gate noise's highest-clust-file scan
+    # (reference noise.cpp:128-141 rejects candidates outside
+    # [screening_to, screening_to + screening_step])
+    np.savetxt(os.path.join(workdir, "states.dat"), traj, fmt="%d",
+               header=("#@   screening_from = 0.50000\n"
+                       "#@   screening_step = 0.50000\n"
+                       "#@   screening_to = 2.00000"), comments="")
+    with open(os.path.join(workdir, "win.dat"), "w") as fh:
+        fh.write("*\n20\n")
+    # nested screening series (what density -T emits): per-state fe,
+    # clusters merge 4:1 per threshold step, noise frames are 0
+    fe_state = (rng.random(s + 1) * 2.0).astype(np.float32)
+    thresholds = [0.5, 1.0, 1.5, 2.0]
+    fe_frames = fe_state[traj]
+    for k, t in enumerate(thresholds):
+        lab = np.where(fe_frames <= t, traj // (1 << k) + 1, 0)
+        np.savetxt(os.path.join(workdir, f"clust.{t:.2f}"), lab, fmt="%d")
+
+    exe = build_modes(workdir)
+    cli = os.path.join(REPO, "clustering")
+    pairs = {
+        "coring": (
+            [exe, "coring", "states.dat", "win.dat", "ref_cored",
+             "ref_wtd", "ref_cores", "0"],
+            [cli, "coring", "-s", "states.dat", "-w", "win.dat",
+             "-o", "cored", "-d", "wtd", "--cores", "cores.dat"]),
+        "noise": (
+            [exe, "noise", "states.dat", "ref_denoised", "clust", "10",
+             "ref_noise_cores"],
+            [cli, "noise", "-s", "states.dat", "-o", "denoised",
+             "-b", "clust", "-c", "10"]),
+        "network": (
+            [exe, "network", "1", "clust", "net", "0.5", "2.0", "0.5"],
+            [cli, "network", "-p", "1", "-b", "clust", "-o", "tnet",
+             "--min", "0.5", "--max", "2.0", "--step", "0.5"]),
+        "stats": (
+            [exe, "stats", "states.dat"],
+            [cli, "stats", "-s", "states.dat"]),
+    }
+    out = {}
+    for name, (ref_cmd, cli_cmd) in pairs.items():
+        t_ref = t_cli = float("inf")
+        for _ in range(3):  # alternating: single-core VM variance
+            t0 = time.perf_counter()
+            subprocess.run(ref_cmd, cwd=workdir, check=True,
+                           capture_output=True)
+            t_ref = min(t_ref, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            subprocess.run(cli_cmd, cwd=workdir, check=True,
+                           capture_output=True)
+            t_cli = min(t_cli, time.perf_counter() - t0)
+        out[name] = {"reference": round(t_ref, 3),
+                     "clustering_tpu": round(t_cli, 3)}
+        print(f"# ref {name}: {t_ref:.2f}s | clustering_tpu {name}:"
+              f" {t_cli:.2f}s ({t_ref / t_cli:.1f}x)", file=sys.stderr)
+    return out
+
+
 def main():
     sys.path.insert(0, REPO)
     from bench import synthetic_fel
@@ -147,6 +244,7 @@ def main():
           f"({scr_pairs / t_scr:.3e} pairs/s)", file=sys.stderr)
 
     t_mpp_ref, t_mpp_tpu = bench_mpp(workdir)
+    host_modes = bench_host_modes(workdir)
 
     total_pairs = 2 * N * float(N) + scr_pairs
     total_time = t_pops + t_nn + t_scr
@@ -164,6 +262,7 @@ def main():
                     "screening": round(t_scr, 2)},
         "mpp_seconds": {"reference": round(t_mpp_ref, 2),
                         "clustering_tpu": round(t_mpp_tpu, 2)},
+        "host_mode_seconds": host_modes,
     }))
 
 

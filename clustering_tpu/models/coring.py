@@ -125,7 +125,7 @@ def core_trajectory(states, concat_limits, windows, size_for_all,
 
 def main(args, header_comment, comments_map):
     states = io.read_clustered_trajectory(args.states)
-    state_names = sorted(set(states.tolist()))
+    state_names = [int(s) for s in np.unique(states)]
     n_frames = len(states)
     iterative = bool(args.iterative)
     io.read_comments(args.states, comments_map)
@@ -214,19 +214,19 @@ def main(args, header_comment, comments_map):
         io.write_single_column(args.cores, [int(c) for c in cores], hc)
     if args.distribution:
         logger("~~~ generating distribution")
-        # streak lengths over the whole cored trajectory
-        # (reference: coring.cpp:311-325 -- not chunk-aware)
-        streaks = {}
-        current = int(cored_traj[0])
-        count = 0
-        for s in cored_traj.tolist():
-            if s == current:
-                count += 1
-            else:
-                streaks.setdefault(current, []).append(count)
-                current = s
-                count = 1
-        streaks.setdefault(current, []).append(count)
+        # streak lengths over the whole cored trajectory, grouped by
+        # state via one RLE + sort (reference: coring.cpp:311-325 -- the
+        # sequential scan; not chunk-aware, matched here)
+        change = np.flatnonzero(cored_traj[1:] != cored_traj[:-1]) + 1
+        bounds = np.concatenate([[0], change, [len(cored_traj)]])
+        lengths = np.diff(bounds)
+        run_states = cored_traj[bounds[:-1]]
+        order = np.argsort(run_states, kind="stable")
+        su, ls = run_states[order], lengths[order]
+        cuts = np.flatnonzero(su[1:] != su[:-1]) + 1
+        streaks = {int(st): chunk for st, chunk in
+                   zip(su[np.concatenate([[0], cuts])],
+                       np.split(ls, cuts))}
         hc = io.append_comments_map(header_comment, comments_map)
         logger("    storing...")
         for state in state_names:
