@@ -1294,29 +1294,33 @@ def label_min_sparse(coords_t_sorted, labels, n_below, max_dist2,
 def _label_min_bidir_kernel(win_ref, max_d2_ref, ti_ref, tj_ref,
                             dirty_col_ref, dirty_row_ref,
                             xt_ref, yt_ref, lab_y_ref, lab_x_ref, init_ref,
-                            init_c_ref, out_ref, outc_ref, col_acc,
+                            out_ref, acc_ref,
                             *, row_block, col_block, n_dim):
     """Bidirectional sweep body: each visited tile proposes column labels
     to its rows (as _label_min_sparse_kernel) AND row labels to its
     columns, so an upper-triangular tile list covers every unordered pair
     with ONE distance evaluation -- half the VPU work of the symmetric
-    list. Column proposals accumulate in a persistent VMEM scratch (grid
-    execution is sequential on TPU): column block j owns row j of the
-    (n_col_blocks, col_block) scratch (dynamic single-sublane-row RMW).
-    The column output is a (1, col_block) block at tj[k], written every
-    step with the running accumulation -- the last write-back of each
-    column block carries all of its tiles' proposals."""
-    del init_ref, init_c_ref  # aliased into the outputs in HBM (define
-    # blocks the grid never writes)
+    list. Column proposals accumulate in a CONSTANT-index-map output of
+    one sublane row per column block -- VMEM-resident for the whole grid
+    (execution is sequential on TPU), flushed to HBM exactly once, no
+    per-step write-backs (same rework as the pops/NN bidir kernels).
+
+    ``win_ref`` = [n_below, col_base]: the accumulator covers column
+    blocks [col_base, col_base + col_span) -- unions past the VMEM
+    budget split into column-range partitions, so VMEM never caps the
+    union size."""
+    del init_ref  # aliased into the row output in HBM (defines blocks
+    # the grid never writes)
     k = pl.program_id(0)
     n_below = win_ref[0]
+    cb0 = win_ref[1]
     max_dist2 = max_d2_ref[0]
     i = ti_ref[k]
     j = tj_ref[k]
 
     @pl.when(k == 0)
     def _():
-        col_acc[:, :] = jnp.full_like(col_acc, _IMAX)
+        acc_ref[:, :] = jnp.full_like(acc_ref, _IMAX)
 
     # row output VMEM is write-back only: init on first visit of each row
     # block (tile list is sorted by row block)
@@ -1343,38 +1347,36 @@ def _label_min_bidir_kernel(win_ref, max_d2_ref, ti_ref, tj_ref,
         cand_r = jnp.where(adj, lab_x_ref[0, :].reshape(row_block, 1),
                            _IMAX)
         colmin = jnp.min(cand_r, axis=0, keepdims=True)
-        sl = pl.ds(j, 1)
-        col_acc[sl, :] = jnp.minimum(col_acc[sl, :], colmin)
-
-    # the (1, col_block) column-output block at tj[k] is written back at
-    # every block change; write the running accumulation every step so
-    # the LAST write-back of each column block carries all its tiles'
-    # proposals (unvisited blocks keep the aliased IMAX init). This keeps
-    # only a tile-sized column block in VMEM instead of the whole union.
-    outc_ref[:, :] = col_acc[pl.ds(j, 1), :]
+        sl = pl.ds(j - cb0, 1)
+        acc_ref[sl, :] = jnp.minimum(acc_ref[sl, :], colmin)
 
 
-@functools.partial(jax.jit, static_argnames=("row_block", "col_block",
-                                             "union_size"))
+@functools.partial(jax.jit, static_argnames=("union_size", "col_span",
+                                             "row_block", "col_block"))
 def label_min_sparse_bidir(coords_t, labels, n_below, max_dist2,
                            tile_i, tile_j, dirty_col, dirty_row,
                            union_size,
                            row_block=DEFAULT_ROW_BLOCK,
-                           col_block=DEFAULT_COL_BLOCK):
+                           col_block=DEFAULT_COL_BLOCK,
+                           col_base=0, col_span=None):
     """Upper-triangular sparse sweep with bidirectional label proposals.
 
     ``tile_i/tile_j`` must list only tiles with ``(j+1)*col_block >
     i*row_block`` (every unordered admissible pair appears in at least
     the tile holding its (min, max) orientation -- see ScreeningEngine).
-    Returns (row_proposals (1, N_pad), col_proposals (1, union_size));
-    both are elementwise label proposals to fold with the current labels.
-    ``union_size`` bounds the column scratch: all proposed-to columns lie
-    below n_below <= union_size. Requires union_size * 4B of VMEM
-    scratch alongside the coordinate blocks (the caller gates on this).
-    """
+    Returns (row_proposals (1, N_pad), col_proposals (1, span*cb));
+    both are elementwise label proposals to fold with the current labels
+    (the column side at offset col_base * col_block).
+
+    The column accumulator is a VMEM-resident constant-index-map output
+    covering column blocks [col_base, col_base + col_span) (default: the
+    whole union prefix); a tile list restricted to that tj range makes
+    partitioned sweeps exact -- min-label fixpoints are invariant to the
+    sweep schedule, so partitions may run in any order."""
     n_dim, n_pad = coords_t.shape
     n_tiles = tile_i.shape[0]
-    nub = union_size // col_block
+    if col_span is None:
+        col_span = union_size // col_block
     kernel = functools.partial(_label_min_bidir_kernel,
                                row_block=row_block, col_block=col_block,
                                n_dim=n_dim)
@@ -1392,31 +1394,28 @@ def label_min_sparse_bidir(coords_t, labels, n_below, max_dist2,
                          lambda k, nb, md, ti, tj, dc, dr: (0, ti[k])),
             pl.BlockSpec((1, row_block),
                          lambda k, nb, md, ti, tj, dc, dr: (0, ti[k])),
-            pl.BlockSpec((1, col_block),
-                         lambda k, nb, md, ti, tj, dc, dr: (0, tj[k])),
         ],
         out_specs=[
             pl.BlockSpec((1, row_block),
                          lambda k, nb, md, ti, tj, dc, dr: (0, ti[k])),
-            pl.BlockSpec((1, col_block),
-                         lambda k, nb, md, ti, tj, dc, dr: (0, tj[k])),
+            pl.BlockSpec((col_span, col_block),
+                         lambda k, nb, md, ti, tj, dc, dr: (0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((nub, col_block), jnp.int32)],
     )
     init = jnp.full((1, n_pad), _IMAX, dtype=jnp.int32)
-    init_c = jnp.full((1, union_size), _IMAX, dtype=jnp.int32)
-    window = jnp.stack([jnp.asarray(n_below, dtype=jnp.int32)])
+    window = jnp.stack([jnp.asarray(n_below, dtype=jnp.int32),
+                        jnp.asarray(col_base, dtype=jnp.int32)])
     # scoped-vmem limit: column accumulator + pipeline buffers (XLA's
     # 16MB default is conservative; see pops_tiles_sparse_bidir)
     params = pltpu.CompilerParams(
-        vmem_limit_bytes=union_size * 4 + (8 << 20))
-    out, outc = pl.pallas_call(
+        vmem_limit_bytes=col_span * col_block * 4 + (8 << 20))
+    out, acc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
-                   jax.ShapeDtypeStruct((1, union_size), jnp.int32)],
-        # init buffers -> row / column outputs (cover unvisited blocks)
-        input_output_aliases={10: 0, 11: 1},
+                   jax.ShapeDtypeStruct((col_span, col_block), jnp.int32)],
+        # init buffer -> row output (covers unvisited row blocks)
+        input_output_aliases={10: 0},
         compiler_params=params,
         interpret=INTERPRET_MODE(),
     )(window,
@@ -1425,5 +1424,5 @@ def label_min_sparse_bidir(coords_t, labels, n_below, max_dist2,
       jnp.asarray(tile_j, dtype=jnp.int32),
       jnp.asarray(dirty_col, dtype=jnp.int32),
       jnp.asarray(dirty_row, dtype=jnp.int32),
-      coords_t, coords_t, labels, labels, init, init_c)
-    return out, outc
+      coords_t, coords_t, labels, labels, init)
+    return out, acc.reshape(1, col_span * col_block)

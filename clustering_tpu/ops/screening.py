@@ -336,17 +336,26 @@ def _sparse_fixpoint(coords_t, labels0, n_below, max_dist2, tile_i, tile_j,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("row_block", "col_block", "union_size"))
+                   static_argnames=("row_block", "col_block", "union_size",
+                                    "windows"))
 def _sparse_fixpoint_bidir(coords_t, labels0, n_below, max_dist2,
-                           tile_i, tile_j, first_occ, row_block, col_block,
-                           union_size):
+                           parts, row_block, col_block,
+                           union_size, windows):
     """On-device fixpoint over an UPPER-TRIANGULAR tile list with the
     bidirectional sweep kernel: each tile is evaluated once and proposes
     labels both ways, halving the distance work of the symmetric list
     (reference GPU analog sweeps the full square,
     src/density_clustering_cuda.cu:501-572). Same fixpoint as
     _sparse_fixpoint -- min-label propagation converges to the unique
-    per-component minimum regardless of sweep schedule."""
+    per-component minimum regardless of sweep schedule.
+
+    ``parts`` is a tuple of (tile_i, tile_j, first_occ) stacked-chunk
+    triples, one per column-range partition; ``windows`` the matching
+    static (col_base, col_span) pairs. Each partition's sweep folds its
+    column proposals at its own offset, so the kernel's VMEM-resident
+    accumulator never caps the union size (a single full-range partition
+    is the common case). Partition order within a sweep is irrelevant:
+    the fixpoint is the unique least solution."""
     from .pallas_kernels import label_min_sparse_bidir
 
     n_pad = coords_t.shape[1]
@@ -360,22 +369,30 @@ def _sparse_fixpoint_bidir(coords_t, labels0, n_below, max_dist2,
 
     def body(state):
         labels_in, _, it, dirty_col, dirty_row, swept = state
-        swept = swept + _swept_count_bidir(first_occ, tile_i, tile_j,
-                                           dirty_col, dirty_row)
 
-        def chunk_body(labels_cur, tt):
-            ti_c, tj_c = tt
-            row_p, col_p = label_min_sparse_bidir(
-                coords_t, labels_cur.reshape(1, -1), n_below, max_dist2,
-                ti_c, tj_c, dirty_col, dirty_row, union_size,
-                row_block=row_block, col_block=col_block)
-            lab = jnp.minimum(labels_cur, row_p[0])
-            lab = jnp.concatenate([jnp.minimum(lab[:union_size], col_p[0]),
-                                   lab[union_size:]])
-            return lab, None
+        labels_swept = labels_in
+        for (ti_p, tj_p, first_occ_p), (base, span) in zip(parts, windows):
+            swept = swept + _swept_count_bidir(first_occ_p, ti_p, tj_p,
+                                               dirty_col, dirty_row)
+            lo, w = base * col_block, span * col_block
 
-        labels_swept, _ = jax.lax.scan(chunk_body, labels_in,
-                                       (tile_i, tile_j))
+            def chunk_body(labels_cur, tt, lo=lo, w=w, base=base,
+                           span=span):
+                ti_c, tj_c = tt
+                row_p, col_p = label_min_sparse_bidir(
+                    coords_t, labels_cur.reshape(1, -1), n_below,
+                    max_dist2, ti_c, tj_c, dirty_col, dirty_row,
+                    union_size, row_block=row_block, col_block=col_block,
+                    col_base=base, col_span=span)
+                lab = jnp.minimum(labels_cur, row_p[0])
+                mid = jnp.minimum(lab[lo:lo + w], col_p[0])
+                segs = ([lab[:lo]] if lo else []) + [mid] \
+                    + ([lab[lo + w:]] if lo + w < n_pad else [])
+                lab = segs[0] if len(segs) == 1 else jnp.concatenate(segs)
+                return lab, None
+
+            labels_swept, _ = jax.lax.scan(chunk_body, labels_swept,
+                                           (ti_p, tj_p))
         head_in = labels_in[:union_size]
         head_out = union_rebase(head_in, labels_swept[:union_size])
         changed = head_out != head_in
@@ -565,13 +582,13 @@ class ScreeningEngine:
                     tiles = None  # host-driven path stays symmetric
             if mode == "bidir":
                 ti, tj = tiles
+                parts, windows = self._bidir_partitions(ti, tj, union_size)
                 out, iters, swept = _sparse_fixpoint_bidir(
                     self._coords_dev, labels_dev,
                     jnp.int32(n_below), jnp.float32(max_dist2),
-                    jnp.asarray(ti), jnp.asarray(tj),
-                    jnp.asarray(_first_occ_mask(ti, tj)),
+                    parts,
                     row_block=self.row_block, col_block=self.col_block,
-                    union_size=union_size)
+                    union_size=union_size, windows=windows)
             else:
                 tiles = self._tile_list(row_lo, n_below, max_dist2)
                 if tiles is None:
@@ -639,18 +656,57 @@ class ScreeningEngine:
     # VMEM scratch; the kernel raises XLA's conservative 16MB scoped
     # limit, and v5e accepts >=120MB scratch (measured). Cap at 64MB /
     # 16M frames, leaving ample room for the pipeline's blocks.
-    BIDIR_UNION_CAP = 1 << 24
+    # VMEM budget for the bidirectional sweep's column accumulator;
+    # larger unions split into column-range partitions (no union-size
+    # cap -- the round-2 fallback to symmetric sweeps at >16M below-
+    # threshold frames is gone). Tests shrink this to force partitioning.
+    BIDIR_UNION_VMEM = 64 << 20
 
     def _bidir_ok(self, union_size):
-        """Upper-triangular bidirectional sweeps hold the union's column
-        accumulator in VMEM scratch; compiled TPU lowering wants its lane
-        dim (col_block) to be a multiple of 128."""
-        if union_size > self.BIDIR_UNION_CAP:
+        """Upper-triangular bidirectional sweeps need the compiled TPU
+        lowering's lane dim (col_block) to be a multiple of 128; any
+        union size is served (partitioned when past the VMEM budget);
+        a non-positive budget disables bidir entirely (test hook, same
+        convention as the engine's *_SCRATCH_CAP attributes)."""
+        del union_size
+        if self.BIDIR_UNION_VMEM <= 0:
             return False
         from .pallas_kernels import INTERPRET_MODE
         if not INTERPRET_MODE() and self.col_block % 128 != 0:
             return False
         return True
+
+    def _bidir_partitions(self, ti, tj, union_size):
+        """Column-range partitions of a stacked upper-triangular tile
+        list: one full-range partition when the union's accumulator fits
+        the VMEM budget, else tj-range slices each owning a window of
+        the union (every real tile lands in the partition holding its
+        tj; min-label sweeps are schedule-invariant, so per-partition
+        sweeping reaches the identical fixpoint)."""
+        from .pallas_kernels import _chunk_flat
+        nub = union_size // self.col_block
+        span_cap = max(int(self.BIDIR_UNION_VMEM // (self.col_block * 4)),
+                       1)
+        if nub <= span_cap:
+            parts = ((jnp.asarray(ti), jnp.asarray(tj),
+                      jnp.asarray(_first_occ_mask(ti, tj))),)
+            return parts, ((0, nub),)
+        ti_f = np.asarray(ti, dtype=np.int32).reshape(-1)
+        tj_f = np.asarray(tj, dtype=np.int32).reshape(-1)
+        keep = np.ones(len(ti_f), dtype=bool)
+        keep[1:] = (ti_f[1:] != ti_f[:-1]) | (tj_f[1:] != tj_f[:-1])
+        ti_f, tj_f = ti_f[keep], tj_f[keep]
+        parts, windows = [], []
+        for base in range(0, nub, span_cap):
+            span = min(span_cap, nub - base)
+            sel = (tj_f >= base) & (tj_f < base + span)
+            if not sel.any():
+                continue
+            ti_p, tj_p = _chunk_flat(ti_f[sel], tj_f[sel])
+            parts.append((jnp.asarray(ti_p), jnp.asarray(tj_p),
+                          jnp.asarray(_first_occ_mask(ti_p, tj_p))))
+            windows.append((base, span))
+        return tuple(parts), tuple(windows)
 
     def _union_size(self, n_below):
         """Union prefix: power-of-two col-block count >= n_below keeps the

@@ -166,7 +166,7 @@ def test_bidir_screening_matches_symmetric(blobs):
     s_s = ThresholdSeriesScreener(blobs, fe, thresholds,
                                   row_block=8, col_block=16,
                                   backend="pallas")
-    s_s.engine.BIDIR_UNION_CAP = 0
+    s_s.engine.BIDIR_UNION_VMEM = 0
     a = b = None
     modes_b, modes_s = [], []
     for k in range(len(thresholds)):
@@ -378,6 +378,34 @@ def test_engine_nn_bidir_col_partitioned(monkeypatch):
     np.testing.assert_array_equal(want[2], got[2])
     np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
     np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
+
+
+def test_screening_bidir_union_partitioned(blobs, monkeypatch):
+    """A VMEM budget below the union's column accumulator must split the
+    bidirectional screening sweeps into column-range partitions with
+    identical labels (the round-2 engine capped the union size instead)."""
+    from clustering_tpu.models.density import screening_step
+    pops = ops.populations(blobs, [0.4], backend="xla",
+                           row_block=8, col_block=16)[0.4]
+    fe = ops.free_energies(pops)
+    order = density_model.sorted_fe_order(fe)
+    cs = blobs[order]
+    eng_full = ops.screening.ScreeningEngine(cs, row_block=8, col_block=16,
+                                             backend="pallas")
+    eng_part = ops.screening.ScreeningEngine(cs, row_block=8, col_block=16,
+                                             backend="pallas")
+    # budget -> 2 column blocks per partition
+    monkeypatch.setattr(type(eng_part), "BIDIR_UNION_VMEM", 16 * 4 * 2)
+    prev_f = prev_p = None
+    for t in (0.5, 1.5, 2.5):
+        prev_f = screening_step(fe, np.full(len(blobs), 0.02, np.float32),
+                                t, blobs, prev_f, order=order,
+                                coords_sorted=cs, engine=eng_full)
+        prev_p = screening_step(fe, np.full(len(blobs), 0.02, np.float32),
+                                t, blobs, prev_p, order=order,
+                                coords_sorted=cs, engine=eng_part)
+        assert eng_part.last_stats["mode"] == "bidir"
+        np.testing.assert_array_equal(prev_f, prev_p)
 
 
 def test_series_screener_hd_seeding_matches_unseeded():
