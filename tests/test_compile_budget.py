@@ -1,0 +1,84 @@
+"""Shape-budget regression guard for the density pipeline.
+
+Every distinct compiled program costs ~3-5s through a remote-TPU
+compiler, so the cold 1M-frame CLI wall is (program count) x (compile
+latency): the power-of-two bucketing in the engine/screener exists to
+keep the count fixed. This test runs the full pallas-backend pipeline
+(multi-radius pops, NN with band+pruned phase 2, a 4-step seeded
+threshold series) and pins the number of clustering_tpu-owned programs
+XLA compiles -- a regression here silently re-inflates the cold wall
+that the reference's AOT binary (clustering.cpp) never pays.
+"""
+
+import collections
+import logging
+
+import numpy as np
+import pytest
+
+import jax
+
+from clustering_tpu import ops
+
+# programs defined by clustering_tpu (underscore helpers + public jits);
+# jax-internal wrappers (convert_element_type, reshape, ...) are counted
+# separately and not pinned (they vary with jax version and cost ~no
+# compile time)
+_BUDGET = 22
+
+
+def _run_pipeline(n=1 << 13, row_block=64, col_block=512):
+    from bench import synthetic_fel
+
+    coords = synthetic_fel(n, 4)
+    radii = [0.10, 0.15, 0.20]
+    eng = ops.engine.DensityEngine(coords, row_block=row_block,
+                                   col_block=col_block, backend="pallas")
+    pops = eng.populations(radii)
+    fe = ops.free_energies(pops[radii[0]])
+    nn = eng.nearest_neighbors(fe)
+    md2 = np.float32(4.0 * ops.neighbors.compute_sigma2(nn[1]))
+    series = ops.screening.ThresholdSeriesScreener(
+        coords, fe, [0.5, 1.0, 1.5, 2.0], row_block=row_block,
+        col_block=col_block, backend="pallas",
+        hd_neighbors=(nn[2], nn[3]))
+    clustering = None
+    for k in range(4):
+        clustering = series.step(clustering, k, md2)
+    return clustering
+
+
+def test_pipeline_compile_budget():
+    tally = collections.Counter()
+
+    class Tap(logging.Handler):
+        def emit(self, rec):
+            msg = rec.getMessage()
+            if msg.startswith("Compiling "):
+                name = msg.split("Compiling ", 1)[1].split(" with ", 1)[0]
+                tally[name] += 1
+
+    tap = Tap()
+    log = logging.getLogger("jax._src.interpreters.pxla")
+    log.addHandler(tap)
+    jax.config.update("jax_log_compiles", True)
+    try:
+        _run_pipeline()
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        log.removeHandler(tap)
+
+    if not tally:
+        pytest.skip("jax compile logging produced no events"
+                    " (logger layout changed); budget not checkable")
+    ours = {name: cnt for name, cnt in tally.items()
+            if name.startswith("jit(_") or "sparse" in name
+            or "bbox" in name or "pops" in name}
+    n_ours = sum(ours.values())
+    detail = ", ".join(f"{k}x{v}" for k, v in sorted(ours.items()))
+    assert n_ours <= _BUDGET, (
+        f"pipeline now compiles {n_ours} clustering_tpu programs"
+        f" (budget {_BUDGET}): {detail} -- every extra distinct shape"
+        " adds ~3-5s of remote-compiler latency to every cold CLI run;"
+        " widen a bucket instead of minting a new shape, or raise the"
+        " budget deliberately")
