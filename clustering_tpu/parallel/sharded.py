@@ -248,6 +248,8 @@ def _nn_sharded_sparse(coords_t_padded, fe_padded, oid_padded, n_valid,
                ti_dev, tj_dev)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "row_block", "col_block"))
 def _nn_sharded_bidir(coords_t_padded, fe_padded, oid_padded, n_valid,
                       ti_dev, tj_dev, mesh,
                       row_block=DEFAULT_ROW_BLOCK,
@@ -255,7 +257,12 @@ def _nn_sharded_bidir(coords_t_padded, fe_padded, oid_padded, n_valid,
     """Mesh-sharded bidirectional NN over balanced per-device
     upper-triangular-closure tile lists: each chip's local result already
     folds both orientations of its tiles (nn_tiles_sparse_bidir), and the
-    same two-step lexicographic pmin over ICI merges the chips."""
+    same two-step lexicographic pmin over ICI merges the chips.
+
+    The outer jit is load-bearing: an un-jitted shard_map dispatches its
+    body op-by-op, which on a remote-tunneled TPU costs a round-trip per
+    op (measured 23.7s vs 0.6s for the whole N=2^18 stage -- found the
+    first time this path ran on real hardware, mesh_check.py)."""
     from ..ops import pallas_kernels as pk
 
     n_pad = coords_t_padded.shape[1]
@@ -366,6 +373,9 @@ def _screening_sharded_pallas(coords_t, labels0, n_below, max_dist2,
     return run(coords_t, labels0, n_below, max_dist2, ti_dev, tj_dev)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "row_block", "col_block",
+                                    "union_size"))
 def _screening_sharded_pallas_bidir(coords_t, labels0, n_below, max_dist2,
                                     ti_dev, tj_dev, mesh, row_block,
                                     col_block, union_size):
