@@ -35,6 +35,10 @@ COL_BLOCK = 4096
 RADII = [0.10, 0.15, 0.20]
 
 
+def _p(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     import jax
 
@@ -59,14 +63,17 @@ def main():
             setattr(eng, k, v)
         return eng
 
+    _p("verify phase: pops bidir")
     t0 = time.perf_counter()
     eng_b = engine()
     pops_b = eng_b.populations(RADII)
     result["stages"]["pops_bidir"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
+    _p("verify phase: pops symmetric")
     pops_s = engine(POPS_BIDIR_SCRATCH_CAP=0).populations(RADII)
     result["stages"]["pops_symmetric"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
+    _p("verify phase: pops partitioned")
     pops_p = engine(POPS_BIDIR_SCRATCH_CAP=8 << 20).populations(RADII)
     result["stages"]["pops_partitioned"] = round(
         time.perf_counter() - t0, 3)
@@ -79,12 +86,15 @@ def main():
 
     fe = ops.free_energies(pops_b[RADII[0]])
     t0 = time.perf_counter()
+    _p("verify phase: nn bidir")
     nn_b = eng_b.nearest_neighbors(fe)
     result["stages"]["nn_bidir"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
+    _p("verify phase: nn symmetric")
     nn_s = engine(NN_BIDIR_SCRATCH_CAP=0).nearest_neighbors(fe)
     result["stages"]["nn_symmetric"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
+    _p("verify phase: nn partitioned")
     nn_p = engine(NN_BIDIR_SCRATCH_CAP=8 << 20).nearest_neighbors(fe)
     result["stages"]["nn_partitioned"] = round(time.perf_counter() - t0, 3)
     checks["nn_bidir_eq_symmetric"] = bool(
@@ -96,12 +106,14 @@ def main():
     # --- 2. the 16M-frame partitioned-bidir run ---
     if not os.environ.get("BIGN_SKIP_BIG"):
         del coords, pops_b, pops_s, pops_p, nn_b, nn_s, nn_p, eng_b
+        _p(f"big phase: generating {BIG_N} frames")
         coords = synthetic_fel(BIG_N, 4)
         result["big_n"] = BIG_N
         eng = ops.engine.DensityEngine(coords, row_block=ROW_BLOCK,
                                        col_block=COL_BLOCK,
                                        backend="pallas")
         t0 = time.perf_counter()
+        _p("big phase: pops")
         pops = eng.populations(RADII)
         result["stages"]["big_pops_bidir"] = round(
             time.perf_counter() - t0, 3)
@@ -109,6 +121,7 @@ def main():
             "mode", "bidir")
         fe = ops.free_energies(pops[RADII[0]])
         t0 = time.perf_counter()
+        _p("big phase: nn")
         nn = eng.nearest_neighbors(fe)
         result["stages"]["big_nn_bidir"] = round(
             time.perf_counter() - t0, 3)
