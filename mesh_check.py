@@ -118,6 +118,21 @@ def main():
     t, clust2 = _best_of(lambda: run_series(series2))
     result["stages"]["screening_mesh"] = round(t, 3)
 
+    # --- collective payloads: the per-device bytes each mesh program
+    # moves over ICI, computed from the shapes the programs above actually
+    # ran (BASELINE.md's "4-16MB per merge" claim, made concrete). The
+    # psum/pmin payload is frame-axis-replicated output state, so it is
+    # INDEPENDENT of device count -- scaling to v5e-8 changes only the
+    # ring hop count, not these numbers.
+    n_pad = meng.n_pad
+    result["collectives"] = {
+        "pops_psum_bytes": len(RADII) * n_pad * 4,
+        "nn_pmin_bytes_per_merge": 2 * n_pad * 4,
+        "nn_pmin_merges": 2 * 2,  # (d, j) x (band, phase-2 sweep)
+        "screening_pmin_bytes_per_sweep": n_pad * 4,
+        "coords_replicate_bytes": D * n_pad * 4,
+    }
+
     checks = {}
     pops_eq = all(np.array_equal(pops1[r], pops2[r]) for r in RADII)
     checks["pops_bit_equal"] = bool(pops_eq)
