@@ -58,10 +58,11 @@ def _tiered_layout_sym(coords_t, fe_w, oid_w, tier_w, taus, row_block,
     applies on top of the tier bounds -- tier pruning (~3.5x fewer swept
     pairs than per-row-block max-ub bounds on metastable data) composes
     with the 2x bidirectional saving. Everything runs on device; the only
-    host readback is the (nrb, ncb) active mask.
+    host readback is the bit-packed active mask.
 
     Returns (rows_t (D, N_pad) permuted, fe (1, N_pad), oid (1, N_pad),
-    perm, active (nrb, ncb) bool). Exact: each row block's bound is its
+    perm, active words (nrb, ceil(ncb/32)) uint32 -- unpack with
+    pruning.unpack_planes). Exact: each row block's bound is its
     tier quantile, which dominates every member frame's true ub, so all
     tiles that can hold a frame's minima stay active; mirrored coverage
     is restored by the caller's bidir_closure."""
@@ -90,7 +91,7 @@ def _tiered_layout_sym(coords_t, fe_w, oid_w, tier_w, taus, row_block,
     blk_bound = bounds[jnp.minimum(tiers_p.max(axis=1), n_tiers - 1)]
     has_real = tiers_p.min(axis=1) < n_tiers
     active = (d2b <= blk_bound[:, None]) & has_real[:, None]
-    return rows_t, fe_rows, oid_rows, perm, active
+    return rows_t, fe_rows, oid_rows, perm, pruning.pack_mask_words(active)
 
 
 @functools.partial(jax.jit, static_argnames=("row_block", "n_tiers"))
@@ -103,7 +104,7 @@ def _tiered_layout(coords_t, fe_w, tier_w, cmin, cmax, taus, row_block,
     tiered path through remote-TPU tunnels).
 
     Returns (rows_t (D, N_pad) permuted, fe_rows (N_pad,), perm_rows,
-    active (nrb, ncb) bool)."""
+    active words (nrb, ceil(ncb/32)) uint32)."""
     n_dim, n_pad = coords_t.shape
     # composite key = (tier, position): unique keys make argsort a stable
     # sort by tier with spatial order preserved inside each tier (int32
@@ -131,7 +132,7 @@ def _tiered_layout(coords_t, fe_w, tier_w, cmin, cmax, taus, row_block,
     blk_bound = bounds[jnp.minimum(tiers_p.max(axis=1), n_tiers - 1)]
     has_real = tiers_p.min(axis=1) < n_tiers
     active = (d2b <= blk_bound[:, None]) & has_real[:, None]
-    return rows_t, fe_rows, perm_rows, active
+    return rows_t, fe_rows, perm_rows, pruning.pack_mask_words(active)
 
 
 @jax.jit
@@ -168,8 +169,9 @@ def _nn_finish(out_j, inv_pos, coords_t, n):
 
     ``inv_pos`` maps original position -> position in ``out_j``'s layout;
     ``coords_t`` is the (D, N_pad) original-order frame matrix. Returns
-    (ids (2, n) int32 with int32-max where absent, d2 (2, n) f32 zeroed
-    where absent)."""
+    one (4, n) int32 array: rows 0-1 the ids (int32-max where absent),
+    rows 2-3 the f32 d2 bitcast to int32 (zeroed where absent) -- split
+    host-side with ``fused[2:].view(np.float32)``."""
     j = out_j[:, inv_pos[:n]]
     imax = jnp.int32(np.iinfo(np.int32).max)
     absent = j == imax
@@ -178,7 +180,12 @@ def _nn_finish(out_j, inv_pos, coords_t, n):
     for k in range(coords_t.shape[0]):
         diff = coords_t[k, :n][None, :] - coords_t[k, j_safe]
         acc = acc + diff * diff
-    return j, jnp.where(absent, jnp.float32(0.0), acc)
+    d = jnp.where(absent, jnp.float32(0.0), acc)
+    # one fused (4, n) int32 payload: ids + bitcast distances download in
+    # a single transfer instead of two (each device->host fetch through a
+    # remote tunnel pays its own round-trip latency)
+    return jnp.concatenate(
+        [j, jax.lax.bitcast_convert_type(d, jnp.int32)], axis=0)
 
 
 def _host_pair_d2(coords, idx):
@@ -533,8 +540,10 @@ class DensityEngine:
             self._device(winner), fe_dev_w[0], tier_w,
             jnp.asarray(cmin), jnp.asarray(cmax), taus_dev,
             row_block=rb, n_tiers=n_tiers)
-        # the only host round-trip of the plan: the (nrb, ncb) bool mask
-        active = np.asarray(jax.device_get(active_dev))
+        # the only host round-trip of the plan: the packed active mask
+        # (1/32nd of the bool matrix through the tunnel)
+        active = pruning.unpack_planes(jax.device_get(active_dev),
+                                       n_pad // self.col_block)
         n_active = int(active.sum())
 
         def run():
@@ -574,9 +583,11 @@ class DensityEngine:
         rows_t, fe_rows, oid_rows, perm, active_dev = _tiered_layout_sym(
             self._device(winner), fe_dev_w[0], oid_dev_w[0], tier_w,
             taus_dev, row_block=rb, col_block=cb, n_tiers=n_tiers)
-        # the only host round-trip of the plan: the (nrb, ncb) bool mask
+        # the only host round-trip of the plan: the packed active mask
+        # (1/32nd of the bool matrix through the tunnel)
         active = pruning.bidir_closure(
-            np.asarray(jax.device_get(active_dev)), rb, cb)
+            pruning.unpack_planes(jax.device_get(active_dev), n_pad // cb),
+            rb, cb)
         n_active = int(active.sum())
 
         def run():
@@ -809,10 +820,11 @@ class DensityEngine:
             # measured 2.20s vs 2.59s for the host recompute, and on
             # locally-attached chips the extra 8MB costs ~1ms (see
             # _nn_finish)
-            j_dev, d_dev = _nn_finish(out_idx_dev,
-                                      self._ub_perm(order_name, "orig"),
-                                      self._device("orig"), n)
-            jj, dd = jax.device_get((j_dev, d_dev))
+            fused = np.asarray(jax.device_get(_nn_finish(
+                out_idx_dev, self._ub_perm(order_name, "orig"),
+                self._device("orig"), n)))
+            jj = fused[:2]
+            dd = fused[2:].view(np.float32)
         stats["t_sweep"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         nh_j = jj[0].astype(np.int64)

@@ -222,6 +222,20 @@ def active_mask_rows_device(d2b_dev, row_ub_dev):
 
 
 @jax.jit
+def pack_mask_words(mask):
+    """(nrb, ncb) bool -> (nrb, ceil(ncb/32)) uint32 little-endian bit
+    words (the device half of unpack_planes): lets device-computed
+    active-tile masks download at 1/32nd the bool volume."""
+    nrb, ncb = mask.shape
+    nw = -(-ncb // 32)
+    if nw * 32 != ncb:
+        mask = jnp.pad(mask, ((0, 0), (0, nw * 32 - ncb)))
+    w = mask.reshape(nrb, nw, 32).astype(jnp.uint32)
+    return (w << jnp.arange(32, dtype=jnp.uint32)).sum(
+        axis=-1, dtype=jnp.uint32)
+
+
+@jax.jit
 def _pack_le_rows2(d2b_a, d2b_b, row_ub_2):
     """Both candidate orders' per-row-threshold planes in ONE dispatch and
     transfer (each device->host round-trip costs real latency through

@@ -216,3 +216,20 @@ def test_device_bbox_matches_host():
         lt = pruning.active_masks_device(jnp.asarray(dev), [t],
                                          strict=True)[0]
         np.testing.assert_array_equal(lt, host < t, err_msg=f"t={t}")
+
+
+def test_pack_mask_words_roundtrip():
+    """pack_mask_words (device) -> unpack_planes (host) is the identity
+    on bool masks, including non-multiple-of-32 column counts (the
+    tiered NN plan downloads its active mask through this path)."""
+    import jax
+    from clustering_tpu.ops import pruning
+    rng = np.random.default_rng(7)
+    for nrb, ncb in ((8, 32), (16, 64), (5, 7), (3, 33), (1, 1)):
+        mask = rng.random((nrb, ncb)) < 0.3
+        words = np.asarray(jax.device_get(
+            pruning.pack_mask_words(mask)))
+        assert words.shape == (nrb, -(-ncb // 32))
+        np.testing.assert_array_equal(
+            pruning.unpack_planes(words, ncb), mask,
+            err_msg=f"shape {(nrb, ncb)}")
