@@ -183,9 +183,12 @@ def _nn_finish(out_j, inv_pos, coords_t, n):
     d = jnp.where(absent, jnp.float32(0.0), acc)
     # one fused (4, n) int32 payload: ids + bitcast distances download in
     # a single transfer instead of two (each device->host fetch through a
-    # remote tunnel pays its own round-trip latency)
+    # remote tunnel pays its own round-trip latency); absent frames are
+    # zeroed HERE (id 0, d2 0 -- the reference's no-neighbor convention)
+    # so the host postlude is a bare astype, not full-array compare+store
+    # passes (in-situ numpy at production N pays ~0.5s for those)
     return jnp.concatenate(
-        [j, jax.lax.bitcast_convert_type(d, jnp.int32)], axis=0)
+        [j_safe, jax.lax.bitcast_convert_type(d, jnp.int32)], axis=0)
 
 
 def _host_pair_d2(coords, idx):
@@ -801,7 +804,7 @@ class DensityEngine:
         imax = np.iinfo(np.int32).max
         dd = None
         if out_idx_dev is None:
-            jj = np.full((2, n), imax, dtype=np.int32)
+            jj = np.zeros((2, n), dtype=np.int32)
             dd = np.zeros((2, n), dtype=np.float32)
         elif (os.environ.get("CLUSTERING_TPU_NN_FINISH") == "host"
               or (os.environ.get("CLUSTERING_TPU_NN_FINISH") != "device"
@@ -820,25 +823,34 @@ class DensityEngine:
             # measured 2.20s vs 2.59s for the host recompute, and on
             # locally-attached chips the extra 8MB costs ~1ms (see
             # _nn_finish)
-            fused = np.asarray(jax.device_get(_nn_finish(
+            fused_dev = _nn_finish(
                 out_idx_dev, self._ub_perm(order_name, "orig"),
-                self._device("orig"), n)))
+                self._device("orig"), n)
+            if os.environ.get("CLUSTERING_TPU_PROFILE_SUBSTAGES"):
+                # scalar readback = device-done barrier (~33ms through the
+                # tunnel; block_until_ready is unreliable there): splits
+                # the sweep segment into kernel time vs result download
+                _ = int(np.asarray(jax.device_get(fused_dev[:1, :1]))[0, 0])
+                stats["t_kernel"] = time.perf_counter() - t0
+            fused = np.asarray(jax.device_get(fused_dev))
             jj = fused[:2]
             dd = fused[2:].view(np.float32)
         stats["t_sweep"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         nh_j = jj[0].astype(np.int64)
         hd_j = jj[1].astype(np.int64)
-        no_nh = nh_j == imax
-        nh_j[no_nh] = 0
-        no_hd = hd_j == imax
-        hd_j[no_hd] = 0
         if dd is None:
+            # host recompute path: ids still carry IMAX for absent frames
+            no_nh = nh_j == imax
+            nh_j[no_nh] = 0
+            no_hd = hd_j == imax
+            hd_j[no_hd] = 0
             nh_d = _host_pair_d2(self.coords, nh_j)
             hd_d = _host_pair_d2(self.coords, hd_j)
             nh_d[no_nh] = 0.0
             hd_d[no_hd] = 0.0
         else:
+            # device finish already zeroed absent ids and distances
             nh_d = np.asarray(dd[0])
             hd_d = np.asarray(dd[1])
         stats["t_host"] = time.perf_counter() - t0

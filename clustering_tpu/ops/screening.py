@@ -34,6 +34,7 @@ multi-chip path (clustering_tpu.parallel.sharded).
 """
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -788,6 +789,12 @@ class ThresholdSeriesScreener:
         fe_order = np.argsort(fe, kind="stable")
         self.fe_rank = np.empty(n, dtype=np.int64)
         self.fe_rank[fe_order] = np.arange(n)
+        # series positions listed in FE-ascending frame order: the prefix
+        # filter (< nb) walks any step's admitted frames by FE rank, so
+        # per-component min ranks fall out of one unique(return_index)
+        series_rank = np.empty(n, dtype=np.int64)
+        series_rank[self.order] = np.arange(n)
+        self._fe_asc_pos = series_rank[fe_order]
         self.engine = ScreeningEngine(coords[self.order],
                                       row_block=row_block,
                                       col_block=col_block, backend=backend,
@@ -901,20 +908,31 @@ class ThresholdSeriesScreener:
                    else np.asarray(prev_clustering, dtype=np.int64).copy())
             self._last_out = out
             return out
+        t0 = time.perf_counter()
         labels_dev = self.engine.run_device(labels_dev, nb, max_dist2,
                                             row_lo=prev_last)
+        t1 = time.perf_counter()
         final = self.engine._fetch(labels_dev)[:n]
-        # normalize names by each component's minimal FE-sorted rank
+        t2 = time.perf_counter()
+        # normalize names by each component's minimal FE-sorted rank:
+        # walk the admitted positions in FE-ascending order (precomputed
+        # filter, no per-step sort of ranks); a component's FIRST
+        # appearance in that walk is its min rank, so one
+        # unique(return_index) replaces the np.minimum.at scatter-min
+        # (buffered ufunc.at measured 0.7-4s at 1M frames in-situ)
         comp = final[:nb].astype(np.int64)
-        comp_vals, comp_idx = np.unique(comp, return_inverse=True)
-        comp_min_rank = np.full(len(comp_vals), np.iinfo(np.int64).max)
-        np.minimum.at(comp_min_rank, comp_idx,
-                      self.fe_rank[self.order[:nb]])
+        fe_asc = self._fe_asc_pos[self._fe_asc_pos < nb]
+        comp_vals, first_at = np.unique(comp[fe_asc], return_index=True)
         names = np.empty(len(comp_vals), dtype=np.int64)
-        names[np.argsort(comp_min_rank, kind="stable")] = \
+        names[np.argsort(first_at, kind="stable")] = \
             np.arange(1, len(comp_vals) + 1)
         clustering = np.zeros(n, dtype=np.int64)
-        clustering[self.order[:nb]] = names[comp_idx]
+        clustering[self.order[:nb]] = names[np.searchsorted(comp_vals,
+                                                            comp)]
+        # sub-stage wall clocks (fixpoint is host-driven, so t_fix ends
+        # at a real sync; fetch/normalize split the host postlude)
+        self.last_step_stats = {"t_fix": t1 - t0, "t_fetch": t2 - t1,
+                                "t_norm": time.perf_counter() - t2}
         self._labels_dev = labels_dev
         self._prev_nb = nb
         self._last_out = clustering
