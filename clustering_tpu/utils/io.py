@@ -311,18 +311,22 @@ def _read_table_fast(path):
         return None
     # per-line token counts must all agree (np.loadtxt raises on ragged
     # rows; the fast path must not silently reshape them)
-    a = np.frombuffer(body, dtype=np.uint8)
-    ws = (a == 0x20) | (a == 0x09) | (a == 0x0D)
-    nl = a == 0x0A
-    starts = ~(ws | nl)
-    starts[1:] &= ws[:-1] | nl[:-1]
-    line_id = np.cumsum(nl) - nl  # line index of every byte
-    per_line = np.bincount(line_id[starts])
-    per_line = per_line[per_line > 0]  # blank lines don't count
-    if not len(per_line) or (per_line != per_line[0]).any():
-        return None
-    n_cols = int(per_line[0])
-    if vals.size % n_cols:
+    from . import textio_native
+    n_cols = textio_native.line_cols(body)
+    if n_cols is None:
+        # numpy fallback: mask token starts, bucket them per line
+        a = np.frombuffer(body, dtype=np.uint8)
+        ws = (a == 0x20) | (a == 0x09) | (a == 0x0D)
+        nl = a == 0x0A
+        starts = ~(ws | nl)
+        starts[1:] &= ws[:-1] | nl[:-1]
+        line_id = np.cumsum(nl) - nl  # line index of every byte
+        per_line = np.bincount(line_id[starts])
+        per_line = per_line[per_line > 0]  # blank lines don't count
+        if not len(per_line) or (per_line != per_line[0]).any():
+            return None
+        n_cols = int(per_line[0])
+    if n_cols <= 0 or vals.size % n_cols:
         return None
     return vals.reshape(-1, n_cols)
 

@@ -77,6 +77,21 @@ def set_max_threads(n: int) -> None:
             pass  # stale .so without the symbol; harmless
 
 
+def line_cols(body: bytes):
+    """Uniform tokens-per-line count of a numeric table: >0 common width,
+    0 for no tokens, -1 for ragged lines, None when the native library
+    (or a stale .so without the symbol) is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    try:
+        fn = lib.line_cols
+    except AttributeError:
+        return None  # stale .so without the symbol
+    fn.restype = ctypes.c_longlong
+    return int(fn(body, _LL(len(body))))
+
+
 def parse_tokens(body: bytes, np_dtype):
     """Parse every whitespace-separated token of ``body`` as int64/float64.
 

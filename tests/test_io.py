@@ -186,6 +186,29 @@ def test_fast_table_reader_rejects_ragged(tmp_path):
     assert _read_table_fast(str(p2)) is None
 
 
+def test_native_line_cols_matches_table_shapes():
+    """Native uniform-width scan agrees with the table semantics the
+    numpy validation enforced (blank lines skipped, CRLF and trailing
+    unterminated lines handled, ragged rejected)."""
+    from clustering_tpu.utils import textio_native
+    if not textio_native.available():
+        import pytest
+        pytest.skip("native textio unavailable")
+    cases = [
+        (b"1 2\n3 4\n", 2),
+        (b"1 2\n\n3 4\n", 2),          # blank line doesn't count
+        (b"1 2\n3 4", 2),              # unterminated final line
+        (b"1 2 3\n4 5\n", -1),         # ragged
+        (b"1 2\r\n3 4\r\n", 2),        # CRLF
+        (b"  1   2  \n 3 4\n", 2),     # extra whitespace
+        (b"\n \n", 0),                 # whitespace only
+        (b"", 0),
+        (b"7", 1),
+    ]
+    for body, want in cases:
+        assert textio_native.line_cols(body) == want, body
+
+
 def test_fast_table_reader_roundtrip(tmp_path):
     rng = np.random.default_rng(3)
     arr = rng.normal(size=(500, 4)).astype(np.float32)
