@@ -7,6 +7,7 @@ artifact files, same restart/reuse behavior -- with the O(N^2) compute
 running on TPU via :mod:`clustering_tpu.ops`.
 """
 
+import os
 import sys
 
 import numpy as np
@@ -177,6 +178,21 @@ def main(args, header_comment, comments_map):
     check = getattr(args, "check", False)
     free_energy = None
 
+    # overlap the NN stage's XLA compiles with the populations stage (the
+    # remote-TPU compiler parallelizes across threads; the reference AOT
+    # binary pays no compile at all) -- the daemon thread warms the jit
+    # cache with shape-exact degenerate calls and never raises
+    will_run_nn = (not args.nearest_neighbors_input
+                   and not args.radii
+                   and (args.nearest_neighbors or args.output
+                        or args.radius is None)
+                   and not args.input)
+    if (will_run_nn and engine.backend == "pallas"
+            and n_rows >= (1 << 18)
+            and os.environ.get("CLUSTERING_TPU_PRECOMPILE") != "0"):
+        import threading
+        threading.Thread(target=engine.precompile_nn, daemon=True).start()
+
     if args.input and (args.free_energy or args.nearest_neighbors):
         _die("error: for input (-i) -D/-B should be used.")
 
@@ -340,6 +356,15 @@ def main(args, header_comment, comments_map):
             series = ops.screening.ThresholdSeriesScreener(
                 coords, free_energy, thresholds, mesh=mesh,
                 hd_neighbors=(nh[2], nh[3]))
+            # compile the per-step fixpoint programs concurrently ahead
+            # of their steps (shapes are deterministic given fe +
+            # thresholds + max_dist2; see ThresholdSeriesScreener
+            # .precompile)
+            if (n_rows >= (1 << 18)
+                    and os.environ.get("CLUSTERING_TPU_PRECOMPILE") != "0"):
+                import threading
+                threading.Thread(target=series.precompile,
+                                 args=(max_dist2,), daemon=True).start()
             clustering = None
             # overlap file writes with the next threshold's compute
             # (the reference pipelines reads/writes similarly in the

@@ -358,6 +358,80 @@ class DensityEngine:
         logger(f"    [{stage}: {st['computed_tiles']} tiles computed ="
                f" {frac:.1%} of N^2 incl. padding{mode}]")
 
+    def precompile_nn(self, band_blocks=4):
+        """Best-effort background warm of the NN path's compiled programs.
+
+        The cold 1M-frame CLI wall is compile-dominated (~3-5s per
+        distinct program through a remote-TPU compiler), and the remote
+        compiler parallelizes across threads (measured: 2 concurrent
+        compiles in the time of a fraction of one serial). Calling this
+        from a daemon thread while populations() compiles+runs overlaps
+        the NN stage's compiles with the pops stage; the reference's AOT
+        binary pays no compile at all (clustering.cpp), so this is how
+        the JIT path approaches its cold start.
+
+        Every call here uses freshly built zero arrays with EXACTLY the
+        avals the real NN call produces (shape-identical dummy calls
+        populate the same jit cache); tile contents are degenerate
+        repeats, whose compute the kernels elide, so device time is
+        negligible. Data-dependent shapes (phase-2 chunk counts) are
+        warmed for the common large-N cases; a miss just compiles lazily
+        as before. Never raises."""
+        if self.backend != "pallas" or self.mesh is not None:
+            return
+        try:
+            from . import pallas_kernels as pk
+            n, n_pad, d = self.n, self.n_pad, self.d
+            rb, cb = self.row_block, self.col_block
+            nrb, ncb = n_pad // rb, n_pad // cb
+            coords0 = jnp.zeros((d, n_pad), jnp.float32)
+            fe2d = jnp.zeros((1, n_pad), jnp.float32)
+            oid2d = jnp.zeros((1, n_pad), jnp.int32)
+            perm0 = jnp.zeros((n_pad,), jnp.int32)
+            # band sweep: the band tile list is fe-independent, so its
+            # stacked chunk shape (and the scan program) is exact
+            if ncb > 2 * band_blocks:
+                band = pruning.band_mask(nrb, ncb, rb, cb,
+                                         band_blocks * cb)
+                if self._nn_bidir_ok():
+                    band = pruning.bidir_closure(band, rb, cb)
+                tiles = pruning.tile_list(band)
+                if tiles is not None:
+                    pk.nn_tiles_bidir_all(
+                        coords0, fe2d, oid2d, np.int32(n), tiles[0],
+                        tiles[1], row_block=rb, col_block=cb,
+                        max_acc_bytes=self.NN_BIDIR_SCRATCH_CAP)
+                    # phase 2 at production N runs full 2^16 buckets;
+                    # warm the 2-chunk scan too when it would differ
+                    if tiles[0].shape != (2, 1 << 16) and n >= (1 << 20):
+                        z2 = np.zeros((2, 1 << 16), np.int32)
+                        pk.nn_tiles_bidir_all(
+                            coords0, fe2d, oid2d, np.int32(n), z2, z2,
+                            row_block=rb, col_block=cb,
+                            max_acc_bytes=self.NN_BIDIR_SCRATCH_CAP)
+            # bound reduction + packed planes
+            _row_ub2(jnp.zeros((2, n_pad), jnp.float32), perm0, perm0,
+                     row_block=rb)
+            pruning._pack_le_rows2(jnp.zeros((nrb, ncb), jnp.float32),
+                                   jnp.zeros((nrb, ncb), jnp.float32),
+                                   jnp.zeros((2, nrb), jnp.float32))
+            # tiered-bidir plan + finish programs
+            n_tiers = len(self.TIER_QS_DEFAULT) + 1
+            _ub_tiers(jnp.zeros((2, n_pad), jnp.float32), jnp.int32(n),
+                      qs=tuple(self.TIER_QS_DEFAULT))
+            _tiered_layout_sym(coords0, jnp.zeros((n_pad,), jnp.float32),
+                               jnp.zeros((n_pad,), jnp.int32),
+                               jnp.zeros((n_pad,), jnp.int32),
+                               jnp.zeros((len(self.TIER_QS_DEFAULT),),
+                                         jnp.float32),
+                               row_block=rb, col_block=cb,
+                               n_tiers=n_tiers)
+            ids0 = jnp.zeros((2, n_pad), jnp.int32)
+            _unpermute_cols(ids0, perm0)
+            _nn_finish(ids0, perm0, coords0, n)
+        except Exception:  # best-effort: a warm miss only delays compiles
+            pass
+
     def _best_sort(self, thresh2):
         """Pick the ordering (dim0 vs morton) with the higher measured tile
         skip fraction at this radius (device compare, scalar readback)."""

@@ -34,6 +34,7 @@ multi-chip path (clustering_tpu.parallel.sharded).
 """
 
 import functools
+import threading
 import time
 
 import jax
@@ -457,9 +458,18 @@ class ScreeningEngine:
             self._coords_dev = jnp.asarray(dev)
         self._bbox_d2_dev = None
         self._bbox_mask = None  # (max_dist2, strict-< tile mask)
+        # serializes _tile_list's bbox-mask cache fill between the main
+        # thread and the series' compile-prefetch daemon
+        self._plan_lock = threading.Lock()
         self.last_stats = {}  # sweep/tile accounting of the last fixpoint
 
     def _tile_list(self, row_lo, n_below, max_dist2, triangular=False):
+        with self._plan_lock:
+            return self._tile_list_locked(row_lo, n_below, max_dist2,
+                                          triangular)
+
+    def _tile_list_locked(self, row_lo, n_below, max_dist2,
+                          triangular=False):
         """Active tiles: bbox distance below the linking distance, at least
         partly below the FE threshold, and touching the new-frame cross
         when ``row_lo`` > 0. Row-major sorted; padded by repetition to the
@@ -818,6 +828,48 @@ class ThresholdSeriesScreener:
             series_rank[self.order] = np.arange(n)
             self._hd_pos = series_rank[hd_j[self.order]].astype(np.int32)
             self._hd_d = hd_d[self.order]
+
+    def precompile(self, max_dist2):
+        """Best-effort warm of every step's fixpoint program.
+
+        Each step's tile-list shapes, union size and partition windows
+        are fully determined by (fe, thresholds, max_dist2) -- all known
+        at construction -- so a daemon thread can compile the per-step
+        while_loop programs concurrently ahead of the steps (the remote
+        TPU compiler parallelizes across threads; each distinct program
+        otherwise costs ~3-5s on the cold CLI path). The warm call runs
+        the real fixpoint from identity labels and discards the result;
+        device time is the step's own (dirty-gated) sweep cost. Shared
+        plan caches are guarded by the engine's plan lock. Never
+        raises."""
+        try:
+            from .pallas_kernels import DISPATCH_CHUNK_GROUP
+            eng = self.engine
+            if eng.backend != "pallas" or eng.mesh is not None:
+                return
+            prev = 0
+            for k in range(len(self.thresholds)):
+                nb = int(self.n_below_per_band[k])
+                row_lo, prev = prev, nb
+                if nb <= row_lo:
+                    continue
+                union = eng._union_size(nb)
+                if not eng._bidir_ok(union):
+                    continue
+                tiles = eng._tile_list(row_lo, nb, max_dist2,
+                                       triangular=True)
+                if tiles is None or tiles[0].shape[0] > DISPATCH_CHUNK_GROUP:
+                    continue
+                parts, windows = eng._bidir_partitions(tiles[0], tiles[1],
+                                                       union)
+                _sparse_fixpoint_bidir(
+                    eng._coords_dev,
+                    jnp.arange(eng.n_pad, dtype=jnp.int32),
+                    jnp.int32(nb), jnp.float32(max_dist2), parts,
+                    row_block=eng.row_block, col_block=eng.col_block,
+                    union_size=union, windows=windows)
+        except Exception:  # warm miss only delays a compile
+            pass
 
     def _seed_vals(self, lo, hi, max_dist2):
         """Label seeds for newly-admitted positions [lo, hi): the frame's

@@ -82,3 +82,106 @@ def test_pipeline_compile_budget():
         " adds ~3-5s of remote-compiler latency to every cold CLI run;"
         " widen a bucket instead of minting a new shape, or raise the"
         " budget deliberately")
+
+
+def test_precompile_nn_covers_nn_programs():
+    """engine.precompile_nn (the CLI's background compile-overlap hook)
+    must warm every clustering_tpu program the real NN call needs --
+    shape-exact dummy calls populate the same jit cache, so a follow-up
+    nearest_neighbors() may compile only jax-internal wrappers
+    (reshape/convert), never a framework kernel."""
+    from bench import synthetic_fel
+
+    tally = collections.Counter()
+
+    class Tap(logging.Handler):
+        def emit(self, rec):
+            msg = rec.getMessage()
+            if msg.startswith("Compiling "):
+                name = msg.split("Compiling ", 1)[1].split(" with ", 1)[0]
+                tally[name] += 1
+
+    n = 1 << 13
+    coords = synthetic_fel(n, 4)
+    eng = ops.engine.DensityEngine(coords, row_block=64, col_block=512,
+                                   backend="pallas")
+    pops = eng.populations([0.10])
+    fe = ops.free_energies(pops[0.10])
+
+    tap = Tap()
+    log = logging.getLogger("jax._src.interpreters.pxla")
+    log.addHandler(tap)
+    jax.config.update("jax_log_compiles", True)
+    try:
+        eng.precompile_nn()
+        warmed = sum(tally.values())
+        tally.clear()
+        eng.nearest_neighbors(fe)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        log.removeHandler(tap)
+
+    if not warmed:
+        pytest.skip("jax compile logging produced no events"
+                    " (logger layout changed); coverage not checkable")
+    missed = {name: cnt for name, cnt in tally.items()
+              if name.startswith("jit(_") or "sparse" in name
+              or "bbox" in name}
+    assert not missed, (
+        f"nearest_neighbors compiled framework programs the precompile"
+        f" missed: {sorted(missed)} -- update precompile_nn's dummy-call"
+        " list so the CLI's compile overlap keeps covering the NN path")
+
+
+def test_series_precompile_covers_fixpoint_programs():
+    """ThresholdSeriesScreener.precompile must warm each step's fixpoint
+    program exactly (shapes are deterministic given fe + thresholds +
+    max_dist2): running the steps afterwards may not compile another
+    _sparse_fixpoint program."""
+    from bench import synthetic_fel
+
+    tally = collections.Counter()
+
+    class Tap(logging.Handler):
+        def emit(self, rec):
+            msg = rec.getMessage()
+            if msg.startswith("Compiling "):
+                name = msg.split("Compiling ", 1)[1].split(" with ", 1)[0]
+                tally[name] += 1
+
+    n = 1 << 13
+    coords = synthetic_fel(n, 4)
+    eng = ops.engine.DensityEngine(coords, row_block=64, col_block=512,
+                                   backend="pallas")
+    pops = eng.populations([0.10])
+    fe = ops.free_energies(pops[0.10])
+    nn = eng.nearest_neighbors(fe)
+    md2 = np.float32(4.0 * ops.neighbors.compute_sigma2(nn[1]))
+    series = ops.screening.ThresholdSeriesScreener(
+        coords, fe, [0.5, 1.0, 1.5, 2.0], row_block=64, col_block=512,
+        backend="pallas", hd_neighbors=(nn[2], nn[3]))
+
+    tap = Tap()
+    log = logging.getLogger("jax._src.interpreters.pxla")
+    log.addHandler(tap)
+    jax.config.update("jax_log_compiles", True)
+    try:
+        series.precompile(md2)
+        warmed = sum(tally.values())
+        tally.clear()
+        c = None
+        for k in range(4):
+            c = series.step(c, k, md2)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        log.removeHandler(tap)
+
+    if not warmed:
+        pytest.skip("jax compile logging produced no events"
+                    " (logger layout changed); coverage not checkable")
+    missed = {name: cnt for name, cnt in tally.items()
+              if "_sparse_fixpoint" in name}
+    assert not missed, (
+        f"series steps compiled fixpoint programs the precompile missed:"
+        f" {sorted(missed)} -- keep precompile's planning identical to"
+        " run_device's")
