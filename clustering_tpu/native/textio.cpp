@@ -518,6 +518,71 @@ long long format_nn(const long long* nh_idx, const double* nh_dist,
   });
 }
 
+// NN-finish host postlude: take the raw (2, n) int32 neighbor-id
+// download (INT32_MAX marks frames with no admissible neighbor), emit
+// zeroed int64 id rows plus fp32 squared distances recomputed from the
+// (n_frames, d) row-major coords. The accumulation is one multiply and
+// one add per dimension in ascending order -- fp32 with a rounding per
+// op, bit-identical to the Pallas sweep kernel's VPU arithmetic and to
+// the numpy fallback in ops/engine.py::_host_pair_d2 (x86-64 baseline
+// has no FMA and -ffp-contract is irrelevant here; fuzz-pinned in
+// tests/test_engine.py). Replaces ~4 full-array numpy passes that cost
+// ~0.5s at 1M frames on this VM (reference stores distances straight
+// from its kernels: src/density_clustering.cpp:256-286 -- it never
+// pays a device->host link for them; this keeps the link payload to
+// the ids alone).
+void nn_finish_host(const float* coords, long long n_frames, long long d,
+                    const int* jj, long long n,
+                    long long* nh_j, long long* hd_j,
+                    float* nh_d, float* hd_d) {
+  (void)n_frames;
+  const int kAbsent = 2147483647;
+  for (int row = 0; row < 2; ++row) {
+    const int* ids = jj + row * n;
+    long long* out_j = row ? hd_j : nh_j;
+    float* out_d = row ? hd_d : nh_d;
+    for (long long i = 0; i < n; ++i) {
+      int j = ids[i];
+      if (j == kAbsent) {
+        out_j[i] = 0;
+        out_d[i] = 0.0f;
+        continue;
+      }
+      out_j[i] = j;
+      const float* a = coords + i * d;
+      const float* b = coords + (long long)j * d;
+      float acc = 0.0f;
+      for (long long k = 0; k < d; ++k) {
+        float diff = a[k] - b[k];
+        acc += diff * diff;
+      }
+      out_d[i] = acc;
+    }
+  }
+}
+
+// pops-finish host postlude: scatter each radius's int32 count row
+// (laid out at ``stride`` >= n, i.e. straight off the padded device
+// download -- no host slice/copy) back to original frame positions
+// while widening to int64 in the same pass. ``order`` maps sorted
+// position -> original frame id (null = rows already in original
+// order). Replaces a numpy scatter + per-radius astype(int64) that
+// cost 0.3-5s at 1M frames x 3 radii on this VM (reference counts
+// never leave host memory: src/density_clustering.cpp:155-193).
+void pops_finish_host(const int* counts, long long r, long long n,
+                      long long stride, const long long* order,
+                      long long* out) {
+  for (long long ri = 0; ri < r; ++ri) {
+    const int* src = counts + ri * stride;
+    long long* dst = out + ri * n;
+    if (order) {
+      for (long long i = 0; i < n; ++i) dst[order[i]] = src[i];
+    } else {
+      for (long long i = 0; i < n; ++i) dst[i] = src[i];
+    }
+  }
+}
+
 // two-column "key value\n" map lines: int64 keys, "%g" values
 // (reference writer: tools.hxx:207-226); swap=1 emits "value key\n"
 long long format_kv_ig(const long long* keys, const double* vals,

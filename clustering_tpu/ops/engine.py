@@ -19,6 +19,7 @@ import numpy as np
 from . import density as dops
 from . import neighbors as nops
 from . import pruning
+from ..utils import textio_native
 
 DEFAULT_ROW_BLOCK = 128
 DEFAULT_COL_BLOCK = 4096
@@ -160,12 +161,15 @@ def _nn_finish(out_j, inv_pos, coords_t, n):
     this matches the sweep kernel bit-for-bit; verified bit-identical to
     the host numpy recompute on v5e).
 
-    Default finish mode: downloads (2, n) f32 distances alongside the
-    ids instead of recomputing them on host. Wins on locally-attached
-    chips (PCIe makes the extra 8MB at N=2^20 ~1ms) and measured faster
-    even through the remote tunnel (paired A/B: 2.20s vs 2.59s total NN
-    -- the in-situ numpy recompute pays heavy page-fault cost at
-    production N). CLUSTERING_TPU_NN_FINISH=host opts out.
+    Finish mode for small N (and for CLUSTERING_TPU_NN_FINISH=device):
+    downloads (2, n) f32 distances alongside the ids instead of
+    recomputing them on host. Wins on locally-attached chips (PCIe makes
+    the extra 8MB at N=2^20 ~1ms) and beat the *numpy* host recompute
+    through the remote tunnel (paired A/B: 2.20s vs 2.59s total NN --
+    in-situ numpy pays heavy page-fault cost at production N); the
+    *native* single-pass recompute (native/textio.cpp::nn_finish_host)
+    inverts that decisively (1.61s vs 2.69s at 2^20), so it is the
+    default at n >= 512k when the native library loads.
 
     ``inv_pos`` maps original position -> position in ``out_j``'s layout;
     ``coords_t`` is the (D, N_pad) original-order frame matrix. Returns
@@ -478,9 +482,8 @@ class DensityEngine:
             counts = dops._populations_padded(
                 self._device("orig"), radii2, jnp.int32(self.n),
                 row_block=self.row_block, col_block=self.col_block)
-            counts = np.asarray(jax.device_get(counts))[:, :self.n]
-            return {r: counts[i].astype(np.int64)
-                    for i, r in enumerate(radii)}
+            return self._pops_finish(np.asarray(jax.device_get(counts)),
+                                     None, radii)
         from . import pallas_kernels as pk
         r_max2 = np.float32(max(radii)) * np.float32(max(radii))
         bidir = prune and self._pops_bidir_ok(len(radii))
@@ -542,7 +545,19 @@ class DensityEngine:
                                            tiles[0], tiles[1], rmask=rmask,
                                            row_block=self.row_block,
                                            col_block=self.col_block)
-        counts = np.asarray(jax.device_get(acc))[:, :self.n]
+        return self._pops_finish(np.asarray(jax.device_get(acc)), order,
+                                 radii)
+
+    def _pops_finish(self, counts_padded, order, radii):
+        """Host postlude of a populations run: scatter-unsort the padded
+        (R, N_pad) int32 download to original frame positions and widen
+        to int64 -- one native pass when the library loads (the numpy
+        scatter + per-radius astype cost 0.3-5s at 1M frames x 3 radii
+        on this VM's in-situ numpy), numpy fallback otherwise."""
+        res = textio_native.pops_finish(counts_padded, self.n, order)
+        if res is not None:
+            return {r: res[i] for i, r in enumerate(radii)}
+        counts = counts_padded[:, :self.n]
         if order is not None:
             unsorted = np.empty_like(counts)
             unsorted[:, order] = counts
@@ -931,18 +946,26 @@ class DensityEngine:
                 out_idx_dev = out[1]
         imax = np.iinfo(np.int32).max
         dd = None
+        finish_env = os.environ.get("CLUSTERING_TPU_NN_FINISH")
         if out_idx_dev is None:
             jj = np.zeros((2, n), dtype=np.int32)
             dd = np.zeros((2, n), dtype=np.float32)
-        elif (os.environ.get("CLUSTERING_TPU_NN_FINISH") == "host"
-              or (os.environ.get("CLUSTERING_TPU_NN_FINISH") != "device"
-                  and n > (1 << 22))):
-            # beyond ~4M frames the extra distance download (8B/frame)
-            # outweighs the host recompute even on fast links; explicit
-            # CLUSTERING_TPU_NN_FINISH=device overrides
-            # device re-layout, ids-only download; distances recomputed on
-            # host (halves the fresh-download volume for hosts where the
-            # numpy recompute is cheaper than the extra transfer)
+        elif (finish_env == "host"
+              or (finish_env != "device"
+                  and (n > (1 << 22)
+                       or (n >= (1 << 19)
+                           and textio_native.available())))):
+            # ids-only download; distances recomputed on host. Taken
+            # when the native single-pass recompute is available at
+            # n >= 512k (halving the fresh-download volume and skipping
+            # the fused path's full-array host conversions beats the
+            # ~40ms native pass: paired A/B at 2^20 through the remote
+            # tunnel 1.61s vs 2.69s total NN, bit-identical outputs)
+            # and unconditionally beyond ~4M frames, where the extra
+            # distance payload (8B/frame) outweighs even the numpy
+            # recompute. Explicit CLUSTERING_TPU_NN_FINISH=device
+            # restores the fused fetch (right for locally-attached
+            # chips, where 8MB costs ~1ms and any host pass loses).
             jj = np.asarray(jax.device_get(_nn_finish_idx(
                 out_idx_dev, self._ub_perm(order_name, "orig"), n)))
         else:
@@ -965,20 +988,26 @@ class DensityEngine:
             dd = fused[2:].view(np.float32)
         stats["t_sweep"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        nh_j = jj[0].astype(np.int64)
-        hd_j = jj[1].astype(np.int64)
         if dd is None:
             # host recompute path: ids still carry IMAX for absent frames
-            no_nh = nh_j == imax
-            nh_j[no_nh] = 0
-            no_hd = hd_j == imax
-            hd_j[no_hd] = 0
-            nh_d = _host_pair_d2(self.coords, nh_j)
-            hd_d = _host_pair_d2(self.coords, hd_j)
-            nh_d[no_nh] = 0.0
-            hd_d[no_hd] = 0.0
+            native = textio_native.nn_finish(self.coords, jj)
+            if native is not None:
+                nh_j, hd_j, nh_d, hd_d = native
+            else:
+                nh_j = jj[0].astype(np.int64)
+                hd_j = jj[1].astype(np.int64)
+                no_nh = nh_j == imax
+                nh_j[no_nh] = 0
+                no_hd = hd_j == imax
+                hd_j[no_hd] = 0
+                nh_d = _host_pair_d2(self.coords, nh_j)
+                hd_d = _host_pair_d2(self.coords, hd_j)
+                nh_d[no_nh] = 0.0
+                hd_d[no_hd] = 0.0
         else:
             # device finish already zeroed absent ids and distances
+            nh_j = jj[0].astype(np.int64)
+            hd_j = jj[1].astype(np.int64)
             nh_d = np.asarray(dd[0])
             hd_d = np.asarray(dd[1])
         stats["t_host"] = time.perf_counter() - t0

@@ -118,6 +118,59 @@ def parse_tokens(body: bytes, np_dtype):
     return out[:int(got)]
 
 
+def nn_finish(coords, jj):
+    """NN-finish host postlude: zeroed int64 id rows + fp32 squared
+    distances recomputed from ``coords`` (n, d) for the raw (2, n) int32
+    id download ``jj`` (INT32_MAX = no admissible neighbor). One native
+    pass, bit-identical to the numpy fallback in ops/engine.py (see
+    native/textio.cpp::nn_finish_host). Returns (nh_j, hd_j, nh_d, hd_d)
+    or None when the native library is unavailable/stale."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "nn_finish_host"):
+        return None
+    c = np.ascontiguousarray(coords, dtype=np.float32)
+    ids = np.ascontiguousarray(jj, dtype=np.int32)
+    n = ids.shape[1]
+    nh_j = np.empty(n, dtype=np.int64)
+    hd_j = np.empty(n, dtype=np.int64)
+    nh_d = np.empty(n, dtype=np.float32)
+    hd_d = np.empty(n, dtype=np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int)
+    lib.nn_finish_host(c.ctypes.data_as(f32p), _LL(c.shape[0]),
+                       _LL(c.shape[1]), ids.ctypes.data_as(i32p), _LL(n),
+                       nh_j.ctypes.data_as(_I64P),
+                       hd_j.ctypes.data_as(_I64P),
+                       nh_d.ctypes.data_as(f32p),
+                       hd_d.ctypes.data_as(f32p))
+    return nh_j, hd_j, nh_d, hd_d
+
+
+def pops_finish(counts_padded, n, order):
+    """Pops-finish host postlude: scatter-unsort each radius row of the
+    padded (r, n_pad) int32 device download back to original frame
+    positions (``order``: sorted position -> original id, or None) and
+    widen to int64, one native pass (see textio.cpp::pops_finish_host).
+    Returns an (r, n) int64 array, or None when the native library is
+    unavailable/stale."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pops_finish_host"):
+        return None
+    c = np.ascontiguousarray(counts_padded, dtype=np.int32)
+    r = c.shape[0]
+    i32p = ctypes.POINTER(ctypes.c_int)
+    if order is None:
+        optr = None
+    else:
+        order = np.ascontiguousarray(order, dtype=np.int64)
+        optr = order.ctypes.data_as(_I64P)
+    out = np.empty((r, n), dtype=np.int64)
+    lib.pops_finish_host(c.ctypes.data_as(i32p), _LL(r), _LL(n),
+                         _LL(c.shape[1]), optr,
+                         out.ctypes.data_as(_I64P))
+    return out
+
+
 def _run_format(fn, arrays, n, per_line, extra=()):
     buf = np.empty(n * per_line + 16, dtype=np.uint8)
     w = fn(*arrays, _LL(n), *extra, buf.ctypes.data_as(_U8P),

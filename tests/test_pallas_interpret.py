@@ -277,6 +277,82 @@ def test_engine_nn_no_neighbor_sentinels():
                                       np.zeros(16, dtype=np.asarray(arr).dtype))
 
 
+def test_engine_nn_finish_host_matches_device(monkeypatch):
+    """The host finish (ids-only download + distance recompute — native
+    single pass when the library loads, numpy fallback otherwise) must
+    agree with the fused device finish: ids/partitions exactly;
+    distances to fma-contraction ulps (XLA:CPU contracts the device
+    finish's mul+add — the same documented nuance as docs/PARITY.md's
+    TPU-vs-CPU nn-distance note; on real v5e the two paths are
+    bit-identical, pinned by the paired A/B in ops/engine.py)."""
+    coords = _bigger_blobs(n=500, seed=11)
+    eng = ops.engine.DensityEngine(coords, row_block=8, col_block=16,
+                                   backend="pallas")
+    fe = ops.free_energies(eng.populations([0.4])[0.4])
+    monkeypatch.setenv("CLUSTERING_TPU_NN_FINISH", "device")
+    want = eng.nearest_neighbors(fe)
+    monkeypatch.setenv("CLUSTERING_TPU_NN_FINISH", "host")
+    got = eng.nearest_neighbors(fe)
+    np.testing.assert_array_equal(np.asarray(want[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(want[2]), np.asarray(got[2]))
+    np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
+    np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
+
+
+def test_native_nn_finish_matches_numpy_fallback():
+    """Fuzz-pin the native nn_finish postlude against the engine's numpy
+    fallback semantics, including the INT32_MAX no-neighbor sentinel."""
+    from clustering_tpu.utils import textio_native
+    if not textio_native.available():
+        import pytest
+        pytest.skip("native textio unavailable")
+    rng = np.random.default_rng(7)
+    imax = np.iinfo(np.int32).max
+    for n, d in ((1, 1), (63, 3), (1000, 4), (257, 9)):
+        coords = (rng.normal(size=(n, d)) * 8).astype(np.float32)
+        jj = rng.integers(0, n, size=(2, n)).astype(np.int32)
+        jj[:, rng.random(n) < 0.1] = imax
+        res = textio_native.nn_finish(coords, jj)
+        if res is None:
+            import pytest
+            pytest.skip("stale native library without nn_finish_host")
+        for row, (j_got, d_got) in enumerate(zip(res[:2], res[2:])):
+            j = jj[row].astype(np.int64)
+            absent = j == imax
+            j[absent] = 0
+            acc = np.zeros(n, dtype=np.float32)
+            for k in range(d):
+                diff = coords[:, k] - coords[j, k]
+                acc = acc + diff * diff
+            acc[absent] = 0.0
+            np.testing.assert_array_equal(j_got, j)
+            np.testing.assert_array_equal(d_got.view(np.uint32),
+                                          acc.view(np.uint32))
+
+
+def test_native_pops_finish_matches_numpy_fallback():
+    """Fuzz-pin the native pops postlude (strided scatter-unsort +
+    int64 widen) against the engine's numpy fallback semantics."""
+    from clustering_tpu.utils import textio_native
+    if not textio_native.available():
+        import pytest
+        pytest.skip("native textio unavailable")
+    rng = np.random.default_rng(13)
+    for r, n, pad in ((1, 1, 0), (3, 777, 247), (2, 4096, 0)):
+        cp = rng.integers(0, 1 << 20, size=(r, n + pad)).astype(np.int32)
+        order = np.argsort(rng.random(n))
+        got = textio_native.pops_finish(cp, n, order)
+        if got is None:
+            import pytest
+            pytest.skip("stale native library without pops_finish_host")
+        want = np.empty((r, n), dtype=np.int64)
+        want[:, order] = cp[:, :n]
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(
+            textio_native.pops_finish(cp, n, None),
+            cp[:, :n].astype(np.int64))
+
+
 def test_engine_nn_tiered_phase2():
     """ub-quantile-tiered phase 2 (tier_qs) must agree exactly with the
     per-row-block-bounded pass and the XLA oracle."""
