@@ -24,6 +24,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <malloc.h>
 #include <thread>
 #include <vector>
 
@@ -149,6 +150,19 @@ const char* chunk_start(const char* base, const char* end, long long off) {
 static std::atomic<int> g_max_threads{0};
 
 extern "C" void set_max_threads(int n) { g_max_threads.store(n); }
+
+// Raise glibc's mmap threshold so repeated multi-MB numpy buffers
+// (NN/pops finish outputs, download destinations) are served from the
+// reusable sbrk heap instead of fresh mmaps. glibc munmaps large blocks
+// on free, so without this every postlude allocation re-faults all its
+// pages -- measured 2.2s for a 24MB first touch in a 0.5GB-RSS process
+// on the single-core target VM vs ~2ms from reused heap pages. 256MB
+// keeps truly huge buffers (16M-frame arrays) on mmap so peak RSS stays
+// bounded. Returns 1 on success, 0 if mallopt rejected the setting.
+extern "C" int tune_host_malloc() {
+  int ok = mallopt(M_MMAP_THRESHOLD, 256 << 20);
+  return ok;
+}
 
 int pick_threads(long long work, long long per_thread) {
   unsigned hw = std::thread::hardware_concurrency();

@@ -152,6 +152,27 @@ def _nn_finish_idx(out_j, inv_pos, n):
     return out_j[:, inv_pos[:n]]
 
 
+def _nn_finish_mode(n):
+    """Pick the NN finish: "host" = ids-only download + host distance
+    recompute, "device" = fused ids+distances fetch.
+
+    Host wins when the native single-pass recompute is available at
+    n >= 512k (halves the fresh-download volume and skips the fused
+    path's full-array host conversions for a ~40ms native pass: paired
+    A/B at 2^20 through the remote tunnel 1.61s vs 2.69s total NN,
+    bit-identical outputs) and unconditionally beyond ~4M frames, where
+    the extra distance payload (8B/frame) outweighs even the numpy
+    recompute. CLUSTERING_TPU_NN_FINISH overrides either way (device is
+    right for locally-attached chips, where 8MB costs ~1ms and any host
+    pass loses)."""
+    env = os.environ.get("CLUSTERING_TPU_NN_FINISH")
+    if env in ("host", "device"):
+        return env
+    if n > (1 << 22) or (n >= (1 << 19) and textio_native.available()):
+        return "host"
+    return "device"
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _nn_finish(out_j, inv_pos, coords_t, n):
     """All-device NN finish: re-lay the stacked (2, N_pad) neighbor ids
@@ -946,26 +967,12 @@ class DensityEngine:
                 out_idx_dev = out[1]
         imax = np.iinfo(np.int32).max
         dd = None
-        finish_env = os.environ.get("CLUSTERING_TPU_NN_FINISH")
         if out_idx_dev is None:
             jj = np.zeros((2, n), dtype=np.int32)
             dd = np.zeros((2, n), dtype=np.float32)
-        elif (finish_env == "host"
-              or (finish_env != "device"
-                  and (n > (1 << 22)
-                       or (n >= (1 << 19)
-                           and textio_native.available())))):
-            # ids-only download; distances recomputed on host. Taken
-            # when the native single-pass recompute is available at
-            # n >= 512k (halving the fresh-download volume and skipping
-            # the fused path's full-array host conversions beats the
-            # ~40ms native pass: paired A/B at 2^20 through the remote
-            # tunnel 1.61s vs 2.69s total NN, bit-identical outputs)
-            # and unconditionally beyond ~4M frames, where the extra
-            # distance payload (8B/frame) outweighs even the numpy
-            # recompute. Explicit CLUSTERING_TPU_NN_FINISH=device
-            # restores the fused fetch (right for locally-attached
-            # chips, where 8MB costs ~1ms and any host pass loses).
+        elif _nn_finish_mode(n) == "host":
+            # ids-only download; distances recomputed on host
+            # (rationale in _nn_finish_mode)
             jj = np.asarray(jax.device_get(_nn_finish_idx(
                 out_idx_dev, self._ub_perm(order_name, "orig"), n)))
         else:

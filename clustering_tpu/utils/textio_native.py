@@ -56,6 +56,16 @@ def _load():
         lib.format_kv_ig.argtypes = [_I64P, _F64P, _LL, ctypes.c_int,
                                      _U8P, _LL]
         _LIB = lib
+        if os.environ.get("CLUSTERING_TPU_MALLOC_TUNE") != "0":
+            try:
+                # raise glibc's mmap threshold once per process: repeated
+                # multi-MB numpy buffers (finish postludes, download
+                # destinations) then reuse heap pages instead of paying
+                # a fresh-mmap page-fault storm (2.2s for a 24MB first
+                # touch measured in-situ on the target VM; ~2ms reused)
+                lib.tune_host_malloc()
+            except AttributeError:
+                pass  # stale .so without the symbol; harmless
     except OSError:
         _LIB = None
     return _LIB

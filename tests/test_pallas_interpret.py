@@ -277,6 +277,23 @@ def test_engine_nn_no_neighbor_sentinels():
                                       np.zeros(16, dtype=np.asarray(arr).dtype))
 
 
+def test_nn_finish_mode_gate(monkeypatch):
+    """Finish-mode auto-select: fused device fetch at small n, ids-only
+    host recompute at >=512k when the native pass loads and always
+    beyond 4M; env overrides win unconditionally."""
+    from clustering_tpu.ops.engine import _nn_finish_mode
+    from clustering_tpu.utils import textio_native
+    monkeypatch.delenv("CLUSTERING_TPU_NN_FINISH", raising=False)
+    assert _nn_finish_mode(1 << 16) == "device"
+    assert _nn_finish_mode((1 << 22) + 1) == "host"
+    native = textio_native.available()
+    assert _nn_finish_mode(1 << 19) == ("host" if native else "device")
+    monkeypatch.setenv("CLUSTERING_TPU_NN_FINISH", "device")
+    assert _nn_finish_mode(1 << 23) == "device"
+    monkeypatch.setenv("CLUSTERING_TPU_NN_FINISH", "host")
+    assert _nn_finish_mode(16) == "host"
+
+
 def test_engine_nn_finish_host_matches_device(monkeypatch):
     """The host finish (ids-only download + distance recompute — native
     single pass when the library loads, numpy fallback otherwise) must
