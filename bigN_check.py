@@ -130,6 +130,12 @@ def main():
             if isinstance(v, (int, float, str, bool))}
         result["big_nn_finite"] = bool(np.isfinite(nn[1][:BIG_N]).all())
 
+    result["notes"] = (
+        "wall times are single cold runs through the remote tunnel: the "
+        "first stage of each kind pays every distinct-shape XLA compile "
+        "(~3-5s each, remote) and any tunnel stalls (wedges self-recover "
+        "in ~3-5min); the bit-equality checks are the artifact's point. "
+        "Warm per-stage rates live in BENCH_r*.json.")
     result["ok"] = all(checks.values())
     print(json.dumps(result, indent=1))
     with open(OUT, "w") as fh:
