@@ -241,17 +241,24 @@ def main():
         hd_neighbors=(nn[2], nn[3]))
 
     def run_series():
-        clustering = None
+        from concurrent.futures import ThreadPoolExecutor
+        series.reset()  # each rep re-runs the series cold
         computed = 0.0
-        for k in range(len(thresholds)):
-            clustering = series.step(clustering, k, max_dist2)
-            st = series.engine.last_stats
-            if st:
-                # measured: dirty-gated tiles the kernel actually swept
-                # (upper-bound fallback for paths without the counter)
-                tiles = st.get("swept_tiles",
-                               float(st["sweeps"]) * st["tiles_per_sweep"])
-                computed += tiles * st["tile_pairs"]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = []
+            for k in range(len(thresholds)):
+                # postludes (label fetch + renaming) overlap the next
+                # step's device sweeps; the with-exit joins them all
+                futs.append(series.step_submit(k, max_dist2, pool))
+                st = series.engine.last_stats
+                if st:
+                    # measured: dirty-gated tiles the kernel actually
+                    # swept (upper-bound fallback without the counter)
+                    tiles = st.get(
+                        "swept_tiles",
+                        float(st["sweeps"]) * st["tiles_per_sweep"])
+                    computed += tiles * st["tile_pairs"]
+            clustering = futs[-1].result()
         return clustering, computed
 
     t_scr, (clustering, scr_computed) = _best_of(

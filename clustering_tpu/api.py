@@ -79,12 +79,13 @@ def screening_series(coords, free_energy, nh_dist, thresholds, mesh=None,
     series = ops.screening.ThresholdSeriesScreener(
         np.asarray(coords, np.float32), np.asarray(free_energy, np.float32),
         thresholds, mesh=mesh, hd_neighbors=hd_neighbors)
-    out = []
-    clustering = None
-    for k in range(len(thresholds)):
-        clustering = series.step(clustering, k, max_dist2)
-        out.append(clustering)
-    return out
+    # each step's host postlude overlaps the next threshold's device
+    # sweeps (ThresholdSeriesScreener.step_submit)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [series.step_submit(k, max_dist2, pool)
+                for k in range(len(thresholds))]
+        return [f.result() for f in futs]
 
 
 def fill_landscape(clustering, neighborhoods, free_energy):

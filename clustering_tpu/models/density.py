@@ -178,6 +178,24 @@ def main(args, header_comment, comments_map):
     check = getattr(args, "check", False)
     free_energy = None
 
+    # deferred file writes: the pops / free-energy / neighborhood outputs
+    # are written on a worker thread so the next compute stage (NN,
+    # screening) starts immediately -- at 1M frames these ASCII writes
+    # are 0.2-1s each and sit on the serial chain otherwise (the
+    # reference's writes are serial, density_clustering.cpp:700-757).
+    # comments_map is snapshotted at submit time (it gains e.g.
+    # lumping_radius later), so the bytes match the serial-order output.
+    # All writes are joined before the final log; a failure still fails
+    # the run, just at the join instead of mid-pipeline.
+    from concurrent.futures import ThreadPoolExecutor
+    write_pool = ThreadPoolExecutor(max_workers=2)
+    deferred_writes = []
+
+    def _defer_write(fn, path, data):
+        snap = dict(comments_map)
+        deferred_writes.append(
+            write_pool.submit(fn, path, data, header_comment, snap))
+
     # overlap the NN stage's XLA compiles with the populations stage (the
     # remote-TPU compiler parallelizes across threads; the reference AOT
     # binary pays no compile at all) -- the daemon thread warms the jit
@@ -257,13 +275,11 @@ def main(args, header_comment, comments_map):
                                 {radius: pops}, radii=[radius])
             if args.population:
                 logger("    storing population in: " + args.population)
-                io.write_pops(args.population, pops, header_comment,
-                              comments_map)
+                _defer_write(io.write_pops, args.population, pops)
             free_energy = ops.free_energies(pops)
             if args.free_energy:
                 logger("    storing free energy in: " + args.free_energy)
-                io.write_fes(args.free_energy, free_energy, header_comment,
-                             comments_map)
+                _defer_write(io.write_fes, args.free_energy, free_energy)
 
     # nearest neighbors
     nh = None
@@ -295,10 +311,10 @@ def main(args, header_comment, comments_map):
         if args.nearest_neighbors:
             logger("    storing nearest neighbors in: "
                    + args.nearest_neighbors)
-            io.write_neighborhood(args.nearest_neighbors,
-                                  nh[0], nh[1], nh[2], nh[3],
-                                  io.append_comments_map(header_comment,
-                                                         comments_map))
+            deferred_writes.append(write_pool.submit(
+                io.write_neighborhood, args.nearest_neighbors,
+                nh[0], nh[1], nh[2], nh[3],
+                io.append_comments_map(header_comment, comments_map)))
 
     # clustering
     if args.output:
@@ -365,24 +381,31 @@ def main(args, header_comment, comments_map):
                 import threading
                 threading.Thread(target=series.precompile,
                                  args=(max_dist2,), daemon=True).start()
-            clustering = None
-            # overlap file writes with the next threshold's compute
-            # (the reference pipelines reads/writes similarly in the
-            # network builder, network_builder.cpp:438-464)
+            # overlap each step's host postlude (label fetch + name
+            # normalization, step_submit) and its file write with the
+            # next threshold's device sweeps (the reference pipelines
+            # reads/writes similarly in the network builder,
+            # network_builder.cpp:438-464)
             from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=2) as pool:
+            with ThreadPoolExecutor(max_workers=2) as post_pool, \
+                    ThreadPoolExecutor(max_workers=2) as io_pool:
                 pending = []
                 for k, tk in enumerate(thresholds):
                     logger("    %6s %9i"
                            % ("%.2f" % tk,
                               int(series.n_below_per_band[k])))
-                    clustering = series.step(clustering, k, max_dist2)
-                    pending.append(pool.submit(
-                        io.write_clustered_trajectory,
-                        io.stringprintf(args.output + ".%0.2f", float(tk)),
-                        clustering, header_comment, comments_map))
+                    fut = series.step_submit(k, max_dist2, post_pool)
+                    path = io.stringprintf(args.output + ".%0.2f",
+                                           float(tk))
+                    pending.append(io_pool.submit(
+                        lambda f=fut, p=path:
+                        io.write_clustered_trajectory(
+                            p, f.result(), header_comment, comments_map)))
                 for fut in pending:
                     fut.result()
         else:
             _die("error: one of -T/-i is needed to generate output.")
+    for fut in deferred_writes:
+        fut.result()
+    write_pool.shutdown()
     logger("~~~ freeing memory")

@@ -813,6 +813,7 @@ class ThresholdSeriesScreener:
         self._prev_nb = 0
         self._labels_dev = None
         self._last_out = None
+        self._last_future = None
         # hd_neighbors = (hd_idx, hd_dist2) per original frame from the NN
         # stage: a frame's nearest-higher-density edge below 4*sigma^2 is a
         # genuine screening-graph edge whose endpoint is always admitted
@@ -897,29 +898,9 @@ class ThresholdSeriesScreener:
                       and prev_clustering is self._last_out
                       and self._labels_dev is not None)
         if continuing:
-            prev_last = int(self._prev_nb)
-            labels_dev = self._labels_dev
-            seeds = self._seed_vals(prev_last, nb, max_dist2)
-            if seeds is not None:
-                # pad to a power of two with identity values (positions
-                # beyond nb still hold identity labels) so a handful of
-                # compiled update shapes serve the whole series
-                lo, length = prev_last, nb - prev_last
-                cap = 1 << int(np.ceil(np.log2(max(length, 1))))
-                cap = min(cap, self.engine.n_pad - lo)
-                if cap > length:
-                    seeds = np.concatenate(
-                        [seeds, np.arange(lo + length, lo + cap,
-                                          dtype=np.int32)])
-                labels_dev = _seed_update(labels_dev, jnp.asarray(seeds),
-                                          jnp.int32(lo))
+            labels_dev, prev_last = self._continuation_seed(nb, max_dist2)
         elif prev_clustering is None:
-            prev_last = 0
-            labels0 = np.arange(self.engine.n_pad, dtype=np.int32)
-            seeds = self._seed_vals(0, nb, max_dist2)
-            if seeds is not None:
-                labels0[:nb] = seeds
-            labels_dev = self.engine._upload(labels0)
+            labels_dev, prev_last = self._cold_seed(nb, max_dist2)
         else:
             # generic host seed path (arbitrary previous clustering):
             # rebuild first-occurrence pointers from the state names.
@@ -963,8 +944,49 @@ class ThresholdSeriesScreener:
         t0 = time.perf_counter()
         labels_dev = self.engine.run_device(labels_dev, nb, max_dist2,
                                             row_lo=prev_last)
+        self._labels_dev = labels_dev
+        self._prev_nb = nb
+        clustering = self._postlude(labels_dev, nb,
+                                    time.perf_counter() - t0)
+        self._last_out = clustering
+        return clustering
+
+    def _continuation_seed(self, nb, max_dist2):
+        """Seed the newly-admitted positions [prev_nb, nb) of the
+        device-resident labels with their hd edges (one fused dispatch);
+        returns (labels_dev, row_lo)."""
+        prev_last = int(self._prev_nb)
+        labels_dev = self._labels_dev
+        seeds = self._seed_vals(prev_last, nb, max_dist2)
+        if seeds is not None:
+            # pad to a power of two with identity values (positions
+            # beyond nb still hold identity labels) so a handful of
+            # compiled update shapes serve the whole series
+            lo, length = prev_last, nb - prev_last
+            cap = 1 << int(np.ceil(np.log2(max(length, 1))))
+            cap = min(cap, self.engine.n_pad - lo)
+            if cap > length:
+                seeds = np.concatenate(
+                    [seeds, np.arange(lo + length, lo + cap,
+                                      dtype=np.int32)])
+            labels_dev = _seed_update(labels_dev, jnp.asarray(seeds),
+                                      jnp.int32(lo))
+        return labels_dev, prev_last
+
+    def _cold_seed(self, nb, max_dist2):
+        """Identity labels with hd-edge seeds on [0, nb); returns
+        (labels_dev, row_lo=0)."""
+        labels0 = np.arange(self.engine.n_pad, dtype=np.int32)
+        seeds = self._seed_vals(0, nb, max_dist2)
+        if seeds is not None:
+            labels0[:nb] = seeds
+        return self.engine._upload(labels0), 0
+
+    def _postlude(self, labels_dev, nb, t_fix):
+        """Fetch the fixpoint labels and normalize component names;
+        returns the clustered trajectory in original frame order."""
         t1 = time.perf_counter()
-        final = self.engine._fetch(labels_dev)[:n]
+        final = self.engine._fetch(labels_dev)[:self.n]
         t2 = time.perf_counter()
         # normalize names by each component's minimal FE-sorted rank:
         # walk the admitted positions in FE-ascending order (precomputed
@@ -978,17 +1000,76 @@ class ThresholdSeriesScreener:
         names = np.empty(len(comp_vals), dtype=np.int64)
         names[np.argsort(first_at, kind="stable")] = \
             np.arange(1, len(comp_vals) + 1)
-        clustering = np.zeros(n, dtype=np.int64)
+        clustering = np.zeros(self.n, dtype=np.int64)
         clustering[self.order[:nb]] = names[np.searchsorted(comp_vals,
                                                             comp)]
         # sub-stage wall clocks (fixpoint is host-driven, so t_fix ends
         # at a real sync; fetch/normalize split the host postlude)
-        self.last_step_stats = {"t_fix": t1 - t0, "t_fetch": t2 - t1,
+        self.last_step_stats = {"t_fix": t_fix, "t_fetch": t2 - t1,
                                 "t_norm": time.perf_counter() - t2}
+        return clustering
+
+    def reset(self):
+        """Forget all series state (device labels, pending postludes);
+        the next step runs as a cold start. Lets one screener instance
+        re-run its series (benchmark repetitions)."""
+        self._prev_nb = 0
+        self._labels_dev = None
+        self._last_out = None
+        self._last_future = None
+
+    def step_submit(self, k, max_dist2, pool):
+        """Series-order step with a deferred host postlude.
+
+        Runs threshold index ``k``'s device fixpoint synchronously, hands
+        the label download + FE-rank name normalization to ``pool``, and
+        returns the Future of the normalized clustered trajectory (what
+        ``step`` returns). Driving the series through this method
+        overlaps every step's host postlude -- a full-length device
+        fetch plus the component renaming, 0.1-0.3s each at 1M frames
+        through a remote tunnel -- with the NEXT threshold's device
+        sweeps: the continuation seed needs only the device-resident
+        fixpoint labels, never the previous step's normalized output.
+
+        Only valid when the whole series is driven in ascending order
+        through this method from a fresh (or ``reset``) screener;
+        ``step`` remains the synchronous / arbitrary-seed API. Results
+        are bit-identical to ``step`` (tests/test_pallas_interpret.py
+        pins the equality, including empty-band early-outs)."""
+        import concurrent.futures
+        nb = int(self.n_below_per_band[k])
+        cold = self._labels_dev is None
+        if cold:
+            labels_dev, prev_last = self._cold_seed(nb, max_dist2)
+        else:
+            labels_dev, prev_last = self._continuation_seed(nb, max_dist2)
+        if prev_last >= nb:
+            # nothing new below this threshold (reference early-out,
+            # density_clustering_cuda.cu:459-463): repeat the previous
+            # step's output (zeros on a cold start). Chain on the
+            # previous postlude without occupying a pool slot.
+            prev_fut = self._last_future
+            out = concurrent.futures.Future()
+            if cold or prev_fut is None:
+                out.set_result(np.zeros(self.n, dtype=np.int64))
+            else:
+                def _chain(f):
+                    try:
+                        out.set_result(f.result().copy())
+                    except BaseException as exc:  # propagate, don't hang
+                        out.set_exception(exc)
+                prev_fut.add_done_callback(_chain)
+            self._last_future = out
+            return out
+        t0 = time.perf_counter()
+        labels_dev = self.engine.run_device(labels_dev, nb, max_dist2,
+                                            row_lo=prev_last)
         self._labels_dev = labels_dev
         self._prev_nb = nb
-        self._last_out = clustering
-        return clustering
+        fut = pool.submit(self._postlude, labels_dev, nb,
+                          time.perf_counter() - t0)
+        self._last_future = fut
+        return fut
 
 
 def screening_labels(coords_sorted, initial_labels, n_below, max_dist2,

@@ -537,6 +537,54 @@ def test_series_screener_hd_seeding_matches_unseeded():
             np.testing.assert_array_equal(per_step[k], c)
 
 
+def test_series_step_submit_matches_step():
+    """step_submit (deferred fetch+normalize postlude, overlapping the
+    next step's device sweeps) must be bit-identical to the synchronous
+    step across the series, including a cold empty band, an empty
+    mid-series band (early-out repeats the previous output), and a
+    re-run after reset()."""
+    from concurrent.futures import ThreadPoolExecutor
+    coords = _bigger_blobs(n=500, seed=29)
+    pops = ops.populations(coords, [0.4], backend="xla",
+                           row_block=8, col_block=16)[0.4]
+    fe = ops.free_energies(pops)
+    nn = ops.nearest_neighbors(coords, fe, backend="xla",
+                               row_block=8, col_block=16)
+    md2 = np.float32(4.0 * ops.neighbors.compute_sigma2(nn[1]))
+    finite = fe[np.isfinite(fe)]
+    q = np.quantile(finite, [0.4, 1.0])
+    thresholds = [np.float32(finite.min() - 1.0),  # cold empty band
+                  np.float32(q[0]),
+                  np.float32(q[0]) + np.float32(1e-6),  # empty band
+                  np.float32(q[1])]
+    for backend in ("pallas", "xla"):
+        sync = ops.screening.ThresholdSeriesScreener(
+            coords, fe, thresholds, row_block=8, col_block=16,
+            backend=backend, hd_neighbors=(nn[2], nn[3]))
+        asyn = ops.screening.ThresholdSeriesScreener(
+            coords, fe, thresholds, row_block=8, col_block=16,
+            backend=backend, hd_neighbors=(nn[2], nn[3]))
+        assert (asyn.n_below_per_band[2] == asyn.n_below_per_band[1]
+                and asyn.n_below_per_band[0] == 0), "bands not empty"
+        want = []
+        a = None
+        for k in range(len(thresholds)):
+            a = sync.step(a, k, md2)
+            want.append(a)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [asyn.step_submit(k, md2, pool)
+                    for k in range(len(thresholds))]
+            for k, f in enumerate(futs):
+                np.testing.assert_array_equal(want[k], f.result())
+            # reset() forgets all series state: a second driving of the
+            # same screener must reproduce the series from cold
+            asyn.reset()
+            futs = [asyn.step_submit(k, md2, pool)
+                    for k in range(len(thresholds))]
+            for k, f in enumerate(futs):
+                np.testing.assert_array_equal(want[k], f.result())
+
+
 def test_host_driven_fixpoint_matches(monkeypatch):
     """Tile lists longer than the dispatch cap run the host-driven sweep
     loop (bounded programs); results must match the fused fixpoint."""

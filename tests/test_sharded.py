@@ -146,6 +146,37 @@ def test_threshold_series_mesh_matches_single_chip(mesh8, blobs, backend):
         np.testing.assert_array_equal(c_s, c_m, err_msg=f"threshold {k}")
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_threshold_series_mesh_step_submit(mesh8, blobs, backend):
+    """step_submit (deferred postlude on a worker thread; what
+    api.screening_series drives) must be bit-identical to the sync step
+    under a mesh — the worker's mesh fetch runs concurrently with the
+    next step's shard_map dispatches."""
+    from concurrent.futures import ThreadPoolExecutor
+    from clustering_tpu.ops.screening import ThresholdSeriesScreener
+    fe, nn, max_dist2 = _series_inputs(blobs)
+    thresholds = [np.float32(t) for t in (0.1, 0.3, 0.6)]
+    sync = ThresholdSeriesScreener(blobs, fe, thresholds,
+                                   row_block=8, col_block=16,
+                                   backend=backend, mesh=mesh8,
+                                   hd_neighbors=(nn[2], nn[3]))
+    asyn = ThresholdSeriesScreener(blobs, fe, thresholds,
+                                   row_block=8, col_block=16,
+                                   backend=backend, mesh=mesh8,
+                                   hd_neighbors=(nn[2], nn[3]))
+    want = []
+    c = None
+    for k in range(len(thresholds)):
+        c = sync.step(c, k, max_dist2)
+        want.append(c)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [asyn.step_submit(k, max_dist2, pool)
+                for k in range(len(thresholds))]
+        for k, f in enumerate(futs):
+            np.testing.assert_array_equal(want[k], f.result(),
+                                          err_msg=f"threshold {k}")
+
+
 def test_threshold_series_mesh_pallas_host_driven(mesh8, blobs,
                                                   monkeypatch):
     """Force tiny dispatch groups and tile chunks so the mesh pallas path
