@@ -146,6 +146,34 @@ def screening_step(free_energy, nh_dist, threshold, coords, prev_clustering,
     return normalized_cluster_names(n_below, clustering, order)
 
 
+def _parse_threshold_series(params, free_energy):
+    """-T FROM STEP TO -> the threshold list, with the reference's fp32
+    loop arithmetic (density_clustering.cpp:801-817). Raises ValueError
+    on the reference's usage errors (caller decides when to die)."""
+    if len(params) > 3:
+        raise ValueError("error: option -T expects at most three floating"
+                         " point arguments: FROM STEP TO.")
+    t_from = np.float32(0.1)
+    t_step = np.float32(0.1)
+    t_to = np.float32(np.max(free_energy))
+    if len(params) >= 1 and params[0] >= 0.0:
+        t_from = np.float32(params[0])
+    if len(params) >= 2:
+        t_step = np.float32(params[1])
+    if len(params) == 3:
+        t_to = np.float32(params[2])
+    if not (has_2_digits(t_from) and has_2_digits(t_step)):
+        raise ValueError("error: -T can handle at maximum two digits.")
+    t_to_low = np.float32(t_to - t_step / np.float32(10.0) + t_step)
+    t_to_high = np.float32(t_to + t_step / np.float32(10.0) + t_step)
+    thresholds = []
+    t = t_from
+    while (t < t_to_low) and not (t_to_high < t):
+        thresholds.append(np.float32(t))
+        t = np.float32(t + t_step)
+    return t_from, t_step, t_to, thresholds
+
+
 def _check_backends(engine, coords, kind, got, radii=None, fe=None):
     """--check mode: recompute on the XLA backend and report disagreement
     (tolerating the documented 1-ulp fma boundary ties)."""
@@ -177,6 +205,7 @@ def main(args, header_comment, comments_map):
     engine = ops.engine.DensityEngine(coords, mesh=mesh)
     check = getattr(args, "check", False)
     free_energy = None
+    series_fut = None  # screener built during the NN stage (see below)
 
     # deferred file writes: the pops / free-energy / neighborhood outputs
     # are written on a worker thread so the next compute stage (NN,
@@ -299,6 +328,25 @@ def main(args, header_comment, comments_map):
             _die("error: nearest-neighbor search requires free energies"
                  " (-d/-p/-o or -D).")
         logger("    calculating nearest neighbors")
+        # the screening layout (band/Morton ordering, engine upload of
+        # the reordered coords) depends only on (coords, fe,
+        # thresholds) -- build the screener on a worker thread while
+        # the NN stage runs on device (~0.3-0.5s of host work at 1M
+        # frames otherwise serialized); the hd edges attach after NN.
+        # comments_map is deliberately NOT touched here: the screening_*
+        # keys enter it at the original (reference) point below, after
+        # the pops/fe/neighborhood headers were snapshotted.
+        series_fut = None
+        if (args.output and args.threshold_screening is not None
+                and not args.input):
+            try:
+                _, _, _, thresholds_early = _parse_threshold_series(
+                    list(args.threshold_screening), free_energy)
+                series_fut = write_pool.submit(
+                    ops.screening.ThresholdSeriesScreener,
+                    coords, free_energy, thresholds_early, mesh=mesh)
+            except ValueError:
+                pass  # the original parse site reports the usage error
         with stage_timer("nearest neighbors"):
             nh = engine.nearest_neighbors(free_energy)
         if check:
@@ -339,39 +387,24 @@ def main(args, header_comment, comments_map):
                                           header_comment, comments_map)
         elif args.threshold_screening is not None:
             logger("\n~~~ free energy screening")
-            params = list(args.threshold_screening)
-            if len(params) > 3:
-                _die("error: option -T expects at most three floating point"
-                     " arguments: FROM STEP TO.")
-            t_from = np.float32(0.1)
-            t_step = np.float32(0.1)
-            t_to = np.float32(np.max(free_energy))
-            if len(params) >= 1 and params[0] >= 0.0:
-                t_from = np.float32(params[0])
-            if len(params) >= 2:
-                t_step = np.float32(params[1])
-            if len(params) == 3:
-                t_to = np.float32(params[2])
-            if not (has_2_digits(t_from) and has_2_digits(t_step)):
-                _die("error: -T can handle at maximum two digits.")
+            try:
+                t_from, t_step, t_to, thresholds = _parse_threshold_series(
+                    list(args.threshold_screening), free_energy)
+            except ValueError as exc:
+                _die(str(exc))
             comments_map["screening_to"] = float(t_to)
             comments_map["screening_from"] = float(t_from)
             comments_map["screening_step"] = float(t_step)
             logger("\n        fe    frames")
-            # fp32 loop arithmetic mirrors the reference exactly
-            # (density_clustering.cpp:801-817)
-            t_to_low = np.float32(t_to - t_step / np.float32(10.0) + t_step)
-            t_to_high = np.float32(t_to + t_step / np.float32(10.0) + t_step)
-            thresholds = []
-            t = t_from
-            while (t < t_to_low) and not (t_to_high < t):
-                thresholds.append(np.float32(t))
-                t = np.float32(t + t_step)
             sigma2 = ops.neighbors.compute_sigma2(nh[1])
             max_dist2 = np.float32(4.0 * sigma2)
-            series = ops.screening.ThresholdSeriesScreener(
-                coords, free_energy, thresholds, mesh=mesh,
-                hd_neighbors=(nh[2], nh[3]))
+            if series_fut is not None:
+                series = series_fut.result()
+                series.set_hd_neighbors((nh[2], nh[3]))
+            else:
+                series = ops.screening.ThresholdSeriesScreener(
+                    coords, free_energy, thresholds, mesh=mesh,
+                    hd_neighbors=(nh[2], nh[3]))
             # compile the per-step fixpoint programs concurrently ahead
             # of their steps (shapes are deterministic given fe +
             # thresholds + max_dist2; see ThresholdSeriesScreener

@@ -823,12 +823,20 @@ class ThresholdSeriesScreener:
         # CPU path's lump_initial_clusters, density_clustering.cpp:506).
         self._hd_pos = None
         if hd_neighbors is not None:
-            hd_j = np.asarray(hd_neighbors[0], dtype=np.int64)
-            hd_d = np.asarray(hd_neighbors[1], dtype=np.float32)
-            series_rank = np.empty(n, dtype=np.int64)
-            series_rank[self.order] = np.arange(n)
-            self._hd_pos = series_rank[hd_j[self.order]].astype(np.int32)
-            self._hd_d = hd_d[self.order]
+            self.set_hd_neighbors(hd_neighbors)
+
+    def set_hd_neighbors(self, hd_neighbors):
+        """Attach the NN stage's nearest-higher-density edges after
+        construction. Everything else in ``__init__`` depends only on
+        (coords, fe, thresholds), so the CLI builds the screener on a
+        worker thread WHILE the NN stage runs on device and attaches
+        the hd edges here once they exist."""
+        hd_j = np.asarray(hd_neighbors[0], dtype=np.int64)
+        hd_d = np.asarray(hd_neighbors[1], dtype=np.float32)
+        series_rank = np.empty(self.n, dtype=np.int64)
+        series_rank[self.order] = np.arange(self.n)
+        self._hd_pos = series_rank[hd_j[self.order]].astype(np.int32)
+        self._hd_d = hd_d[self.order]
 
     def precompile(self, max_dist2):
         """Best-effort warm of every step's fixpoint program.
