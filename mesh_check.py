@@ -96,10 +96,13 @@ def main():
         backend="pallas", hd_neighbors=(nn1[2], nn1[3]))
 
     def run_series(series):
-        clustering = None
-        for k in range(len(THRESHOLDS)):
-            clustering = series.step(clustering, k, max_dist2)
-        return clustering
+        # the production driving mode: postludes overlap the next step
+        from concurrent.futures import ThreadPoolExecutor
+        series.reset()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [series.step_submit(k, max_dist2, pool)
+                    for k in range(len(THRESHOLDS))]
+            return futs[-1].result()
 
     t, clust1 = _best_of(lambda: run_series(series1))
     result["stages"]["screening_single"] = round(t, 3)
