@@ -184,6 +184,19 @@ def test_density_default_screening_params(workdir):
     assert "cl.0.20" in files
 
 
+def test_density_screening_usage_errors(workdir, capsys):
+    # reference usage errors (density_clustering.cpp:789-800): more than
+    # three -T parameters, and FROM/STEP with >2 decimal digits
+    with pytest.raises(SystemExit):
+        cli.main(["density", "-f", "coords.dat", "-r", "0.25", "-d", "fe",
+                  "-o", "cl", "-T", "0.1", "0.1", "1.0", "2.0"])
+    assert "at most three" in capsys.readouterr().err
+    with pytest.raises(SystemExit):
+        cli.main(["density", "-f", "coords.dat", "-r", "0.25", "-d", "fe",
+                  "-o", "cl", "-T", "0.125", "0.1", "1.0"])
+    assert "two digits" in capsys.readouterr().err
+
+
 def test_coring_windows_file(workdir):
     states = np.array([1] * 10 + [2] * 10 + [1, 2] * 5)
     np.savetxt("states.dat", states, fmt="%d")
