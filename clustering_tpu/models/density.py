@@ -336,7 +336,6 @@ def main(args, header_comment, comments_map):
         # comments_map is deliberately NOT touched here: the screening_*
         # keys enter it at the original (reference) point below, after
         # the pops/fe/neighborhood headers were snapshotted.
-        series_fut = None
         if (args.output and args.threshold_screening is not None
                 and not args.input):
             try:
