@@ -272,13 +272,15 @@ def main(args, header_comment, comments_map):
             for radius in sorted(pops_map):
                 pops = pops_map[radius]
                 if args.population:
-                    io.write_pops(
+                    _defer_write(
+                        io.write_pops,
                         io.stringprintf(args.population + "_%f", radius),
-                        pops, header_comment, comments_map)
+                        pops)
                 if args.free_energy:
-                    io.write_fes(
+                    _defer_write(
+                        io.write_fes,
                         io.stringprintf(args.free_energy + "_%f", radius),
-                        ops.free_energies(pops), header_comment, comments_map)
+                        ops.free_energies(pops))
         else:
             if args.radius is None:
                 # no radius: compute the lumping radius from NN statistics
