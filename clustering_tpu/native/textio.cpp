@@ -549,7 +549,6 @@ void nn_finish_host(const float* coords, long long n_frames, long long d,
                     const int* jj, long long n,
                     long long* nh_j, long long* hd_j,
                     float* nh_d, float* hd_d) {
-  (void)n_frames;
   const int kAbsent = 2147483647;
   for (int row = 0; row < 2; ++row) {
     const int* ids = jj + row * n;
@@ -557,7 +556,9 @@ void nn_finish_host(const float* coords, long long n_frames, long long d,
     float* out_d = row ? hd_d : nh_d;
     for (long long i = 0; i < n; ++i) {
       int j = ids[i];
-      if (j == kAbsent) {
+      // out-of-range ids (absent sentinel, or a corrupt transfer)
+      // must not index coords
+      if (j == kAbsent || j < 0 || (long long)j >= n_frames) {
         out_j[i] = 0;
         out_d[i] = 0.0f;
         continue;
