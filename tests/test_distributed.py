@@ -65,11 +65,13 @@ series = ThresholdSeriesScreener(coords, fe,
                                  [np.float32(0.4), np.float32(0.9)],
                                  row_block=8, col_block=16,
                                  backend="xla", mesh=mesh)
-c = None
-clusterings = []
-for k in range(2):
-    c = series.step(c, k, max_dist2)
-    clusterings.append(c)
+# drive via step_submit (what the CLI does): the worker-thread postlude
+# must stay multi-process safe -- its fetch reads a local replicated
+# shard and never launches a collective out of order
+from concurrent.futures import ThreadPoolExecutor
+with ThreadPoolExecutor(max_workers=2) as pool:
+    futs = [series.step_submit(k, max_dist2, pool) for k in range(2)]
+    clusterings = [f.result() for f in futs]
 
 np.savez(sys.argv[1], pops3=pops[0.3], pops6=pops[0.6],
          nh=nn[0], nhd=nn[1], hd=nn[2], hdd=nn[3], labels=labels,
