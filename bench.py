@@ -243,7 +243,7 @@ def main():
     def run_series():
         from concurrent.futures import ThreadPoolExecutor
         series.reset()  # each rep re-runs the series cold
-        computed = 0.0
+        per_step = []
         with ThreadPoolExecutor(max_workers=2) as pool:
             futs = []
             for k in range(len(thresholds)):
@@ -252,13 +252,18 @@ def main():
                 futs.append(series.step_submit(k, max_dist2, pool))
                 st = series.engine.last_stats
                 if st:
-                    # measured: dirty-gated tiles the kernel actually
-                    # swept (upper-bound fallback without the counter)
-                    tiles = st.get(
-                        "swept_tiles",
-                        float(st["sweeps"]) * st["tiles_per_sweep"])
-                    computed += tiles * st["tile_pairs"]
+                    per_step.append(dict(st))
             clustering = futs[-1].result()
+        # measured: dirty-gated tiles the kernel actually swept
+        # (upper-bound fallback without the counter). sweeps/swept may
+        # be lazy device scalars -- coerce only now, after the series
+        # pipeline drained, so the loop above never syncs mid-flight.
+        computed = 0.0
+        for st in per_step:
+            swept = st.get("swept_tiles")
+            tiles = (float(swept) if swept is not None
+                     else float(st["sweeps"]) * st["tiles_per_sweep"])
+            computed += tiles * st["tile_pairs"]
         return clustering, computed
 
     t_scr, (clustering, scr_computed) = _best_of(

@@ -624,18 +624,25 @@ class ScreeningEngine:
             # compute accounting: swept_tiles is the dirty-gated count of
             # tiles the kernel actually computed (measured, mirrors the
             # kernel's own skip condition); tiles_per_sweep x sweeps
-            # remains as the upper bound for comparison
+            # remains as the upper bound for comparison. iters/swept stay
+            # DEVICE scalars unless verbose: converting here would sync
+            # on the fixpoint and stop the host from pipelining the next
+            # series step's dispatches behind it (each sync is a full
+            # remote round-trip on a tunneled TPU); consumers coerce
+            # with int()/float() after their timed region.
+            if is_verbose():
+                iters = int(iters)
+                swept = float(swept)
+                logger(f"    [screening fixpoint: {iters} sweeps,"
+                       f" {ti.shape[0] * ti.shape[1]} tiles/sweep,"
+                       f" {swept:.0f} swept, {mode}]")
             self.last_stats = {
-                "sweeps": int(iters),
+                "sweeps": iters,
                 "tiles_per_sweep": int(ti.shape[0] * ti.shape[1]),
-                "swept_tiles": float(swept),
+                "swept_tiles": swept,
                 "tile_pairs": self.row_block * self.col_block,
                 "mode": mode,
             }
-            if is_verbose():
-                logger(f"    [screening fixpoint: {int(iters)} sweeps,"
-                       f" {ti.shape[0] * ti.shape[1]} tiles/sweep,"
-                       f" {float(swept):.0f} swept, {mode}]")
             return out
         if self.mesh is not None:
             from ..parallel import sharded
