@@ -106,7 +106,7 @@ def mpp_lump(trajectory, free_energy, lagtime, qmin_values=None,
     traj = np.asarray(trajectory, dtype=np.int64)
     if qmin_values is None:
         qmin_values = np.round(np.arange(0.01, 1.0001, 0.01), 4)
-    names = sorted(set(traj.tolist()))
+    names = np.unique(traj).tolist()
     counts = _mpp.transition_counts(traj, concat_limits or [len(traj)],
                                     lagtime)
     tmat = _mpp.row_normalized(counts, names)
@@ -153,15 +153,10 @@ def assign_noise(trajectory, highest_clustering, cmin=0.1,
 def waiting_time_distribution(trajectory, state):
     """P(streak >= t) of consecutive-frame streaks of ``state``."""
     traj = np.asarray(trajectory, dtype=np.int64)
-    streaks = []
-    current, count = int(traj[0]), 0
-    for s in traj.tolist():
-        if s == current:
-            count += 1
-        else:
-            if current == state:
-                streaks.append(count)
-            current, count = s, 1
-    if current == state:
-        streaks.append(count)
+    if not len(traj):
+        return _coring.compute_wtd([])
+    change = np.flatnonzero(traj[1:] != traj[:-1]) + 1
+    bounds = np.concatenate(([0], change, [len(traj)]))
+    lengths = np.diff(bounds)
+    streaks = lengths[traj[bounds[:-1]] == state]
     return _coring.compute_wtd(streaks)

@@ -211,7 +211,7 @@ def main(args, header_comment, comments_map):
                                       header_coring, comments_map)
     if args.cores:
         hc = io.append_comments_map(header_coring, comments_map)
-        io.write_single_column(args.cores, [int(c) for c in cores], hc)
+        io.write_single_column(args.cores, cores, hc)
     if args.distribution:
         logger("~~~ generating distribution")
         # streak lengths over the whole cored trajectory, grouped by

@@ -470,7 +470,7 @@ def main(args, header_comment, comments_map):
         tmat = read_transition_probabilities(args.tprob)
     else:
         logger("    compute it")
-        names = sorted(set(traj.tolist()))
+        names = np.unique(traj).tolist()
         if diff_sized_chunks:
             counts = weighted_transition_counts(traj, concat_limits, lagtime)
         else:
@@ -488,14 +488,14 @@ def main(args, header_comment, comments_map):
         traj = traj_out
         io.write_single_column(
             io.stringprintf("%s_traj_%0.3f.dat", basename, float(q_min)),
-            [int(s) for s in traj], header_qmin)
+            traj, header_qmin)
         for frm, to in lumping.items():
             transitions[frm] = (to, float(q_min))
         pops = io.microstate_populations(traj)
         io.write_map(
             io.stringprintf("%s_pop_%0.3f.dat", basename, float(q_min)),
             pops, header_qmin)
-        for state in set(traj.tolist()):
+        for state in np.unique(traj).tolist():
             max_pop[state] = pops[state]
             max_qmin[state] = float(q_min)
         q_min = np.float32(q_min + q_min_step)

@@ -93,7 +93,7 @@ def save_traj_of_leaves(fname, leaves, d_min, d_max, d_step, remapped_name,
     hc += ("#\n# All frames beloning to a leaf node are marked with\n"
            "# the custer id. All others with zero.\n")
     hc += "#\n# state/cluster id frames are assigned to\n"
-    io.write_single_column(fname, [int(s) for s in traj], hc)
+    io.write_single_column(fname, traj, hc)
 
 
 # --------------------------------------------------------------------------

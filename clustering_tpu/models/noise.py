@@ -158,4 +158,4 @@ def main(args, header_comment, comments_map):
                                       header_comment, comments_map)
     if args.cores:
         hc = io.append_comments_map(header_comment, comments_map)
-        io.write_single_column(args.cores, [int(c) for c in cores], hc)
+        io.write_single_column(args.cores, cores, hc)

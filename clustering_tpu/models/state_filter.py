@@ -132,7 +132,7 @@ def main(args, header_comment, comments_map, list_mode):
         if args.selected_states:
             selected = list(args.selected_states)
         else:
-            selected = sorted(set(states.tolist()))
+            selected = np.unique(states).tolist()
         every_nth = int(args.every_nth)
         n_random = int(args.n_random) if args.n_random else 0
         if n_random and every_nth > 1:
