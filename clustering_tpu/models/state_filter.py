@@ -63,6 +63,41 @@ def print_stats(states, concat_limits):
           f"                    transitions: {total_entered}")
 
 
+def _ascii_table(path, n_frames):
+    """One-pass float32 table read for the ASCII filter fast path; None
+    falls back to the row-streaming handler (native lib unavailable,
+    comment lines, ragged rows, short files)."""
+    from ..utils import textio_native
+    if textio_native.format_g_rows(np.zeros((1, 1), np.float32)) is None:
+        return None
+    try:
+        with open(path, "rb") as fh:
+            first = fh.read(1)
+    except OSError:
+        return None
+    if first == b"#":
+        return None  # the streaming handler rejects comment lines too
+    arr = io._read_table_fast(path)
+    if arr is None or len(arr) < n_frames:
+        return None
+    return np.ascontiguousarray(arr[:n_frames], dtype=np.float32)
+
+
+def _write_ascii_selection(table, states, selected, output_name,
+                           every_nth, chosen_idx):
+    """Bulk equivalent of the per-frame streaming loop below: same row
+    selection, same " %g %g ...\\n" bytes (native formatter)."""
+    from ..utils import textio_native
+    if chosen_idx is not None:
+        keep = np.fromiter(sorted(chosen_idx), dtype=np.int64,
+                           count=len(chosen_idx))
+    else:
+        keep = np.flatnonzero(states == selected)[::max(every_nth, 1)]
+    body = textio_native.format_g_rows(table[keep])
+    with open(output_name, "wb") as fh:
+        fh.write(body)
+
+
 def filter_coords(states, coords_name, output_basename, selected_states,
                   every_nth, n_random):
     """Reference: state_filter.cpp:170-273."""
@@ -78,6 +113,8 @@ def filter_coords(states, coords_name, output_basename, selected_states,
     if every_nth > 1:
         logger(f"    use only every {every_nth}th frame")
     rng = random.SystemRandom()
+    table = None if file_extension == ".xtc" \
+        else _ascii_table(coords_name, n_frames)
     for selected in selected_states:
         chosen_idx = None
         if n_random > 0:
@@ -85,9 +122,14 @@ def filter_coords(states, coords_name, output_basename, selected_states,
             rng_local = random.Random(rng.randint(0, 2**63))
             rng_local.shuffle(idx)
             chosen_idx = set(idx[:min(n_random, len(idx))])
-        coords_in = open_coords_file(coords_name, "r")
         output_name = io.stringprintf(
             output_basename + ".state%i" + file_extension, selected)
+        if table is not None:
+            logger(f"    {selected} : {output_name}")
+            _write_ascii_selection(table, states, selected, output_name,
+                                   every_nth, chosen_idx)
+            continue
+        coords_in = open_coords_file(coords_name, "r")
         coords_out = open_coords_file(output_name, "w")
         logger(f"    {selected} : {output_name}")
         nth = 0

@@ -532,6 +532,28 @@ long long format_nn(const long long* nh_idx, const double* nh_dist,
   });
 }
 
+// ASCII coords rows: " %g %g ...\n" per (n_cols,) float32 row. The
+// reference AsciiHandler::write streams " " << f with default ostream
+// float formatting (src/coords_file/coords_file.cpp:76-84), which is
+// printf %g of the value promoted to double -- identical to the Python
+// streaming handler's ' %g' % float(np.float32(v)).
+long long format_g_rows(const float* v, long long n_rows, long long n_cols,
+                        char* out, long long cap) {
+  return format_mt(n_rows, out, cap, n_cols * 41 + 2,
+                   [v, n_cols](long long i, char* o) {
+    int w = 0;
+    const float* row = v + i * n_cols;
+    for (long long c = 0; c < n_cols; ++c) {
+      o[w++] = ' ';
+      int k = snprintf(o + w, 40, "%g", (double)row[c]);
+      if (k < 0 || k >= 40) return -1;
+      w += k;
+    }
+    o[w++] = '\n';
+    return w;
+  });
+}
+
 // NN-finish host postlude: take the raw (2, n) int32 neighbor-id
 // download (INT32_MAX marks frames with no admissible neighbor), emit
 // zeroed int64 id rows plus fp32 squared distances recomputed from the

@@ -205,6 +205,21 @@ def format_i64(values):
                        24)
 
 
+def format_g_rows(rows):
+    """b" %g %g ...\\n" per float32 row of a 2-D array (bytes-like), the
+    ASCII coords-row format of the filter mode. None when the native
+    library (or a stale .so without the symbol) is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "format_g_rows"):
+        return None
+    v = np.ascontiguousarray(rows, dtype=np.float32)
+    n, d = v.shape
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.format_g_rows.restype = _LL
+    return _run_format(lib.format_g_rows, [v.ctypes.data_as(f32p)], n,
+                       41 * d + 2, extra=(_LL(d),))
+
+
 def format_kv_ig(keys, vals, swap=False):
     """b"key value\\n" (or "value key\\n" with swap) rows: int64 keys,
     %g values (bytes-like)."""
