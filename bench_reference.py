@@ -161,6 +161,13 @@ def bench_host_modes(workdir):
         lab = np.where(fe_frames <= t, traj // (1 << k) + 1, 0)
         np.savetxt(os.path.join(workdir, f"clust.{t:.2f}"), lab, fmt="%d")
 
+    # filter fixture: (N, 4) float coords in the filter mode's own
+    # " %g ..." row format (native formatter; np.savetxt is ~15s at 1M)
+    from clustering_tpu.utils import textio_native
+    coords4 = rng.normal(0.0, 1.0, (n, 4)).astype(np.float32)
+    with open(os.path.join(workdir, "coords4.dat"), "wb") as fh:
+        fh.write(textio_native.format_g_rows(coords4))
+
     exe = build_modes(workdir)
     cli = os.path.join(REPO, "clustering")
     pairs = {
@@ -181,6 +188,11 @@ def bench_host_modes(workdir):
         "stats": (
             [exe, "stats", "states.dat"],
             [cli, "stats", "-s", "states.dat"]),
+        "filter": (
+            [exe, "filter", "states.dat", "coords4.dat", "ref_sel", "1",
+             "3", "4", "5"],
+            [cli, "filter", "-s", "states.dat", "-c", "coords4.dat",
+             "-o", "sel", "-S", "3", "4", "5"]),
     }
     out = {}
     for name, (ref_cmd, cli_cmd) in pairs.items():

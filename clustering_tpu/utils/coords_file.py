@@ -82,7 +82,7 @@ class XtcHandler(CoordsHandler):
         if self._mode == "r":
             frame = self._reader.read_frame()
             if frame is not None:
-                return frame.coords.reshape(-1).tolist()
+                return frame.coords.reshape(-1)
         self._eof = True
         return []
 
