@@ -165,8 +165,12 @@ def bench_host_modes(workdir):
     # " %g ..." row format (native formatter; np.savetxt is ~15s at 1M)
     from clustering_tpu.utils import textio_native
     coords4 = rng.normal(0.0, 1.0, (n, 4)).astype(np.float32)
-    with open(os.path.join(workdir, "coords4.dat"), "wb") as fh:
-        fh.write(textio_native.format_g_rows(coords4))
+    body = textio_native.format_g_rows(coords4)
+    if body is not None:
+        with open(os.path.join(workdir, "coords4.dat"), "wb") as fh:
+            fh.write(body)
+    else:  # native lib unavailable/stale
+        np.savetxt(os.path.join(workdir, "coords4.dat"), coords4, fmt="%g")
 
     exe = build_modes(workdir)
     cli = os.path.join(REPO, "clustering")

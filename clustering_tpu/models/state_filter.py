@@ -72,11 +72,14 @@ def _ascii_table(path, n_frames):
         return None
     try:
         with open(path, "rb") as fh:
-            first = fh.read(1)
+            head = fh.read(1 << 16)
     except OSError:
         return None
-    if first == b"#":
-        return None  # the streaming handler rejects comment lines too
+    stripped = head.lstrip(b" \t\r\n")
+    if not stripped or stripped[:1] == b"#":
+        # comment header (even after blank lines): the streaming handler
+        # rejects it, so the bulk path must not silently accept it
+        return None
     arr = io._read_table_fast(path)
     if arr is None or len(arr) < n_frames:
         return None
@@ -92,7 +95,7 @@ def _write_ascii_selection(table, states, selected, output_name,
         keep = np.fromiter(sorted(chosen_idx), dtype=np.int64,
                            count=len(chosen_idx))
     else:
-        keep = np.flatnonzero(states == selected)[::max(every_nth, 1)]
+        keep = np.flatnonzero(states == selected)[::every_nth]
     body = textio_native.format_g_rows(table[keep])
     with open(output_name, "wb") as fh:
         fh.write(body)
@@ -113,7 +116,9 @@ def filter_coords(states, coords_name, output_basename, selected_states,
     if every_nth > 1:
         logger(f"    use only every {every_nth}th frame")
     rng = random.SystemRandom()
-    table = None if file_extension == ".xtc" \
+    # bulk path only for the well-defined sampling domain; anything odd
+    # (every_nth < 1) keeps the streaming loop's exact behavior
+    table = None if (file_extension == ".xtc" or every_nth < 1) \
         else _ascii_table(coords_name, n_frames)
     for selected in selected_states:
         chosen_idx = None

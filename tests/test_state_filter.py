@@ -79,7 +79,21 @@ def test_fast_path_declines_comments_and_short_files(tmp_path):
     with open(path, "w") as fh:
         fh.write("# header\n 1.0 2.0\n 3.0 4.0\n")
     assert sf._ascii_table(path, 2) is None  # leading comment -> streaming
+    with open(path, "w") as fh:  # blank lines before the comment too
+        fh.write("\n  \n # header\n 1.0 2.0\n 3.0 4.0\n")
+    assert sf._ascii_table(path, 2) is None
     _write_coords(path, np.ones((3, 2), np.float32))
     assert sf._ascii_table(path, 5) is None  # fewer rows than frames
     tbl = sf._ascii_table(path, 3)
     assert tbl is not None and tbl.shape == (3, 2)
+
+
+def test_nonpositive_every_nth_keeps_streaming_semantics(tmp_path):
+    """every_nth=0 must raise exactly like the streaming loop (the
+    reference SIGFPEs on the size_t modulo), not silently write."""
+    coords = np.ones((10, 2), np.float32)
+    path = str(tmp_path / "c.dat")
+    _write_coords(path, coords)
+    states = np.ones(10, dtype=np.int64)
+    with pytest.raises(ZeroDivisionError):
+        sf.filter_coords(states, path, str(tmp_path / "o"), [1], 0, 0)
