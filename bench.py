@@ -248,7 +248,11 @@ def main():
             futs = []
             for k in range(len(thresholds)):
                 # postludes (label fetch + renaming) overlap the next
-                # step's device sweeps; the with-exit joins them all
+                # step's device sweeps; the with-exit joins them all.
+                # Clear the stats first: a step that early-outs (empty
+                # band, degenerate tile list) never writes them, and the
+                # previous step's counts must not be double-counted.
+                series.engine.last_stats = {}
                 futs.append(series.step_submit(k, max_dist2, pool))
                 st = series.engine.last_stats
                 if st:

@@ -194,9 +194,10 @@ def _nn_finish(out_j, inv_pos, coords_t, n):
 
     ``inv_pos`` maps original position -> position in ``out_j``'s layout;
     ``coords_t`` is the (D, N_pad) original-order frame matrix. Returns
-    one (4, n) int32 array: rows 0-1 the ids (int32-max where absent),
-    rows 2-3 the f32 d2 bitcast to int32 (zeroed where absent) -- split
-    host-side with ``fused[2:].view(np.float32)``."""
+    one (4, n) int32 array: rows 0-1 the ids and rows 2-3 the f32 d2
+    bitcast to int32, both zeroed where no admissible neighbor exists
+    (the reference's no-neighbor convention) -- split host-side with
+    ``fused[2:].view(np.float32)``."""
     j = out_j[:, inv_pos[:n]]
     imax = jnp.int32(np.iinfo(np.int32).max)
     absent = j == imax
@@ -456,7 +457,13 @@ class DensityEngine:
                                n_tiers=n_tiers)
             ids0 = jnp.zeros((2, n_pad), jnp.int32)
             _unpermute_cols(ids0, perm0)
-            _nn_finish(ids0, perm0, coords0, n)
+            # warm the finish the real call will select (at production N
+            # with the native lib that is the ids-only host finish, not
+            # the fused device one)
+            if _nn_finish_mode(n) == "host":
+                _nn_finish_idx(ids0, perm0, n)
+            else:
+                _nn_finish(ids0, perm0, coords0, n)
         except Exception:  # best-effort: a warm miss only delays compiles
             pass
 

@@ -44,6 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import pruning
+
 DEFAULT_ROW_BLOCK = 128
 DEFAULT_COL_BLOCK = 4096
 
@@ -436,8 +438,7 @@ def _chunk_flat_noop(ti, tj, rm):
     bucket) triples, padding with (last ti, -1, 0) no-ops (counts are
     not idempotent, unlike the min-reduction kernels)."""
     n = len(ti)
-    bucket = 1 << int(np.ceil(np.log2(max(min(n, 1 << 16), 1024))))
-    bucket = min(bucket, 1 << 16)
+    bucket = pruning.chunk_bucket(n)
     n_chunks = -(-n // bucket)
     pad = n_chunks * bucket - n
     ti_p = np.concatenate([ti, np.full(pad, ti[-1], np.int32)])
@@ -817,11 +818,10 @@ def _place_cols(cd, cj, lo, n_pad):
 
 def _chunk_flat(ti, tj, pad_j=None):
     """Re-chunk flat tile index arrays into a stacked (n_chunks, bucket)
-    pair with power-of-two buckets (same policy as pruning.tile_list);
+    pair with power-of-two buckets (pruning.chunk_bucket, the one policy);
     pads repeat the last tile (``pad_j`` overrides the pad tj value)."""
     n = len(ti)
-    bucket = 1 << int(np.ceil(np.log2(max(min(n, 1 << 16), 1024))))
-    bucket = min(bucket, 1 << 16)
+    bucket = pruning.chunk_bucket(n)
     n_chunks = -(-n // bucket)
     pad = n_chunks * bucket - n
     ti_p = np.concatenate([ti, np.full(pad, ti[-1], np.int32)])

@@ -244,14 +244,6 @@ def _pack_le_rows2(d2b_a, d2b_b, row_ub_2):
                       _pack_le_rows(d2b_b, row_ub_2[1])])
 
 
-def active_mask_rows_device2(d2b_a, d2b_b, row_ub_2):
-    """(2, nrb, ncb) bool masks for two bbox matrices against their
-    per-row bounds, one packed download."""
-    ncb = d2b_a.shape[1]
-    words = _pack_le_rows2(d2b_a, d2b_b, row_ub_2)
-    return unpack_planes(jax.device_get(words), ncb)
-
-
 def bidir_closure(active, row_block, col_block):
     """Upper-triangular closure of an active-tile set for bidirectional
     sweeps: tiles ``upper AND (A OR M)``, where M marks the mirrors of
@@ -284,6 +276,16 @@ def bidir_closure(active, row_block, col_block):
 MAX_TILE_ENTRIES = 1 << 16
 
 
+def chunk_bucket(n, max_entries=MAX_TILE_ENTRIES):
+    """THE per-chunk bucket size for stacked tile lists: the flat length
+    rounded up to a power of two with a 1024 floor and ``max_entries``
+    cap — bounded compile variety (each grid size compiles once per
+    process), at most 2x padding waste. Every re-chunker must use this
+    so stacked shapes hit the same compiled programs."""
+    return min(1 << int(np.ceil(np.log2(max(min(n, max_entries), 1024)))),
+               max_entries)
+
+
 def tile_list(active, pad_mode="repeat", max_entries=MAX_TILE_ENTRIES):
     """Row-major active-tile index lists as stacked (n_chunks, bucket)
     int32 arrays (ti, tj).
@@ -301,11 +303,7 @@ def tile_list(active, pad_mode="repeat", max_entries=MAX_TILE_ENTRIES):
     n = len(ti_all)
     if n == 0:
         return None
-    per_chunk = min(n, max_entries)
-    # power-of-2 buckets with a floor: bounded compile variety (each grid
-    # size compiles once per process) and at most 2x padding waste
-    bucket = 1 << int(np.ceil(np.log2(max(per_chunk, 1024))))
-    bucket = min(bucket, max_entries)
+    bucket = chunk_bucket(n, max_entries)
     n_chunks = -(-n // bucket)
     ti = np.empty((n_chunks, bucket), dtype=np.int32)
     tj = np.empty((n_chunks, bucket), dtype=np.int32)

@@ -213,10 +213,13 @@ def _sparse_fixpoint_host(coords_t, labels0, n_below, max_dist2,
     labels = labels0
     dirty = jnp.ones((ncb,), dtype=jnp.int32)
     iters = 0
-    swept_total = 0.0
+    # device-resident accumulator: the per-sweep count rides along with
+    # the sweep dispatches and is read back ONCE at the end (a blocking
+    # readback here would add a tunnel round-trip to every sweep)
+    swept_total_dev = jnp.float32(0.0)
     while True:
-        swept_total += float(jax.device_get(_swept_count(
-            first_occ, tile_i_dev, tile_j_dev, dirty)))
+        swept_total_dev = swept_total_dev + _swept_count(
+            first_occ, tile_i_dev, tile_j_dev, dirty)
         swept = labels
         for lo in range(0, tile_i.shape[0], group):
             ti_g, tj_g = tile_i[lo:lo + group], tile_j[lo:lo + group]
@@ -234,7 +237,7 @@ def _sparse_fixpoint_host(coords_t, labels0, n_below, max_dist2,
         iters += 1
         if not bool(changed):
             break
-    return labels, iters, swept_total
+    return labels, iters, float(jax.device_get(swept_total_dev))
 
 
 def _first_occ_mask(tile_i, tile_j):
@@ -809,9 +812,9 @@ class ThresholdSeriesScreener:
         # series positions listed in FE-ascending frame order: the prefix
         # filter (< nb) walks any step's admitted frames by FE rank, so
         # per-component min ranks fall out of one unique(return_index)
-        series_rank = np.empty(n, dtype=np.int64)
-        series_rank[self.order] = np.arange(n)
-        self._fe_asc_pos = series_rank[fe_order]
+        self._series_rank = np.empty(n, dtype=np.int64)
+        self._series_rank[self.order] = np.arange(n)
+        self._fe_asc_pos = self._series_rank[fe_order]
         self.engine = ScreeningEngine(coords[self.order],
                                       row_block=row_block,
                                       col_block=col_block, backend=backend,
@@ -840,9 +843,8 @@ class ThresholdSeriesScreener:
         the hd edges here once they exist."""
         hd_j = np.asarray(hd_neighbors[0], dtype=np.int64)
         hd_d = np.asarray(hd_neighbors[1], dtype=np.float32)
-        series_rank = np.empty(self.n, dtype=np.int64)
-        series_rank[self.order] = np.arange(self.n)
-        self._hd_pos = series_rank[hd_j[self.order]].astype(np.int32)
+        self._hd_pos = (self._series_rank[hd_j[self.order]]
+                        .astype(np.int32))
         self._hd_d = hd_d[self.order]
 
     def precompile(self, max_dist2):

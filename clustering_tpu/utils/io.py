@@ -124,9 +124,10 @@ def _parse_tokens_fast(raw: bytes, np_dtype):
                         tail.rfind(b"\t"), tail.rfind(b"\r")) + 1:]
         try:
             exact = (int(last) if np_dtype == np.int64 else float(last))
-        except ValueError:
-            return None
-        if vals[-1] != np_dtype(exact):
+            if vals[-1] != np_dtype(exact):
+                return None
+        except (ValueError, OverflowError):
+            # unparseable or int64-overflowing tail: strict loop decides
             return None
     return vals
 

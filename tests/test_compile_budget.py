@@ -84,13 +84,18 @@ def test_pipeline_compile_budget():
         " budget deliberately")
 
 
-def test_precompile_nn_covers_nn_programs():
+@pytest.mark.parametrize("finish", ["device", "host"])
+def test_precompile_nn_covers_nn_programs(finish, monkeypatch):
     """engine.precompile_nn (the CLI's background compile-overlap hook)
     must warm every clustering_tpu program the real NN call needs --
     shape-exact dummy calls populate the same jit cache, so a follow-up
     nearest_neighbors() may compile only jax-internal wrappers
-    (reshape/convert), never a framework kernel."""
+    (reshape/convert), never a framework kernel. Both finish modes are
+    pinned: production N with the native lib selects "host", whose
+    ids-only finish program must be warmed too."""
     from bench import synthetic_fel
+
+    monkeypatch.setenv("CLUSTERING_TPU_NN_FINISH", finish)
 
     tally = collections.Counter()
 
