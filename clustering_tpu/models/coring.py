@@ -46,13 +46,6 @@ def _run_end_excl(seg):
     return np.repeat(bounds[1:], np.diff(bounds))
 
 
-def _window_lookup(seg, windows, size_for_all, curr_max):
-    vals = np.unique(seg)
-    wins = np.asarray([min(curr_max, windows.get(int(v), size_for_all))
-                       for v in vals], dtype=np.int64)
-    return wins[np.searchsorted(vals, seg)]
-
-
 def core_trajectory(states, concat_limits, windows, size_for_all,
                     iterative=False):
     """Core a (possibly concatenated) state trajectory.
@@ -60,12 +53,26 @@ def core_trajectory(states, concat_limits, windows, size_for_all,
     Returns (cored_traj, cores, changed_frames) where ``cores[i]`` is the
     core state when frame i is inside a core, else -1.
 
-    Reference: src/coring.cpp:189-289.
+    Reference: src/coring.cpp:189-289. Each (ramp step, chunk) scan runs
+    as one native pass (native/textio.cpp::coring_pass) when the library
+    is available; the vectorized numpy block below is the fallback and
+    the parity oracle (tests/test_coring.py fuzzes their equality).
     """
+    from ..utils import textio_native
     states = np.asarray(states, dtype=np.int64)
     n_frames = len(states)
-    max_window = max([windows.get(int(s), size_for_all)
-                      for s in np.unique(states)])
+    # per-state windows resolved once: coring only ever propagates
+    # existing state values, so every later segment's values are in
+    # vals0. A uniform window (the common single-int -w) skips the
+    # per-frame lookup entirely.
+    if windows:
+        vals0 = np.unique(states)
+        wins0 = np.asarray([windows.get(int(v), size_for_all)
+                            for v in vals0], dtype=np.int64)
+        max_window = int(wins0.max()) if len(wins0) else size_for_all
+    else:
+        vals0 = wins0 = None
+        max_window = size_for_all
     if iterative and max_window > 1:
         window_ramp = list(range(2, max_window + 1))
     else:
@@ -87,8 +94,24 @@ def core_trajectory(states, concat_limits, windows, size_for_all,
                 continue
             seg = prev[lo:hi]
             m = hi - lo
+            if wins0 is None:
+                cw = np.full(m, min(size_for_all, curr_max),
+                             dtype=np.int64)
+            else:
+                cw = np.minimum(wins0[np.searchsorted(vals0, seg)],
+                                curr_max)
+            native = textio_native.coring_pass(seg, cw,
+                                               int(next_limit) - lo,
+                                               iterative)
+            if native is not None:
+                seg_cored, in_core = native
+                cored[lo:hi] = seg_cored
+                if last_pass:
+                    cores[lo:hi] = np.where(in_core, seg_cored, -1)
+                    changed_frames += int(
+                        np.count_nonzero(seg_cored != states[lo:hi]))
+                continue
             run_end = _run_end_excl(seg)
-            cw = _window_lookup(seg, windows, size_for_all, curr_max)
             pos = np.arange(m, dtype=np.int64)
             # full-window membership; the window must fit before the *raw*
             # chunk limit (coring.cpp:244: "last frames can not be in core")

@@ -620,6 +620,69 @@ void pops_finish_host(const int* counts, long long r, long long n,
   }
 }
 
+// One-pass dynamical-coring scan of one concat chunk: the semantics of
+// models/coring.py::core_trajectory's inner loop (itself the vectorized
+// form of reference src/coring.cpp:189-289). ``seg`` holds the chunk's
+// states, ``cw`` the per-frame coring window (already min'd with the
+// ramp's current max), ``limit_rel`` = next_limit - lo (the raw concat
+// limit relative to the chunk start: a window must fit before it for a
+// frame to enter a core). iterative=1 checks only the window's LAST
+// frame against the current one (coring.cpp:248-253). Outputs the cored
+// chunk plus the in-core flags; frames before the first core get the
+// first-truncated-window core (coring.cpp:226-239), seg[0] when no
+// candidate exists.
+void coring_pass(const long long* seg, long long m, const long long* cw,
+                 long long limit_rel, int iterative,
+                 long long* cored, signed char* incore) {
+  if (m <= 0) return;
+  long long first_core = seg[0];
+  int have_first = 0;
+  long long cur = 0;
+  int have_cur = 0;
+  long long prefix = 0;  // frames emitted before any core existed
+  long long r = 0;
+  while (r < m) {
+    const long long v = seg[r];
+    long long e = r + 1;  // exclusive end of the maximal constant run
+    while (e < m && seg[e] == v) ++e;
+    for (long long i = r; i < e; ++i) {
+      const long long w = cw[i];
+      int cwin;
+      if (iterative) {
+        // the window's LAST frame vs the current one -- an equal value
+        // in a LATER run counts too (coring.cpp:248-253), so this must
+        // be a value comparison, not a same-run test
+        long long j = i + w - 1;
+        if (j > m - 1) j = m - 1;
+        cwin = seg[j] == v;
+      } else {
+        cwin = e >= i + w;
+      }
+      const int ic = cwin && (i + w <= m) && (i + w <= limit_rel);
+      if (!have_first) {
+        long long t = i + w;
+        if (t > m) t = m;
+        if (e >= t) {
+          first_core = v;
+          have_first = 1;
+        }
+      }
+      incore[i] = (signed char)ic;
+      if (ic) {
+        cur = v;
+        have_cur = 1;
+      }
+      if (have_cur) {
+        cored[i] = cur;
+      } else {
+        ++prefix;
+      }
+    }
+    r = e;
+  }
+  for (long long i = 0; i < prefix; ++i) cored[i] = first_core;
+}
+
 // two-column "key value\n" map lines: int64 keys, "%g" values
 // (reference writer: tools.hxx:207-226); swap=1 emits "value key\n"
 long long format_kv_ig(const long long* keys, const double* vals,

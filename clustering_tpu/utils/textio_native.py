@@ -205,6 +205,27 @@ def format_i64(values):
                        24)
 
 
+def coring_pass(seg, cw, limit_rel, iterative):
+    """One-pass dynamical-coring scan of one concat chunk (see
+    native/textio.cpp::coring_pass). Returns (cored int64, in_core bool)
+    or None when the native library is unavailable/stale."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "coring_pass"):
+        return None
+    s = np.ascontiguousarray(seg, dtype=np.int64)
+    w = np.ascontiguousarray(cw, dtype=np.int64)
+    m = len(s)
+    cored = np.empty(m, dtype=np.int64)
+    incore = np.empty(m, dtype=np.int8)
+    i8p = ctypes.POINTER(ctypes.c_byte)
+    lib.coring_pass(s.ctypes.data_as(_I64P), _LL(m),
+                    w.ctypes.data_as(_I64P), _LL(limit_rel),
+                    ctypes.c_int(1 if iterative else 0),
+                    cored.ctypes.data_as(_I64P),
+                    incore.ctypes.data_as(i8p))
+    return cored, incore.astype(bool)
+
+
 def format_g_rows(rows):
     """b" %g %g ...\\n" per float32 row of a 2-D array (bytes-like), the
     ASCII coords-row format of the filter mode. None when the native

@@ -122,3 +122,37 @@ def test_wtd():
     assert wtd[2] == 0.75
     assert wtd[3] == 0.5
     assert compute_wtd([]) == {}
+
+
+def test_native_pass_matches_numpy_fallback():
+    """core_trajectory's native one-pass scan must be bit-identical to
+    the vectorized numpy fallback (which the literal oracle above pins)
+    across windows files, concat limits and both ramp modes."""
+    from clustering_tpu.utils import textio_native
+    if not textio_native.available():
+        import pytest
+        pytest.skip("native textio unavailable")
+    rng = np.random.default_rng(23)
+    for trial in range(60):
+        n = int(rng.integers(1, 250))
+        traj = rng.integers(0, 5, size=n).astype(np.int64)
+        if rng.random() < 0.5:
+            traj = np.repeat(traj, rng.integers(1, 6, size=n))[:n]
+        n = len(traj)
+        wmap = ({int(s): int(rng.integers(1, 8)) for s in range(5)
+                 if rng.random() < 0.7} if rng.random() < 0.5 else {})
+        sfa = int(rng.integers(1, 8))
+        lims = sorted(rng.integers(1, n + 5, size=rng.integers(1, 4))
+                      .tolist())
+        if lims[-1] < n:
+            lims.append(n)
+        it = bool(rng.random() < 0.5)
+        got = core_trajectory(traj, lims, wmap, sfa, it)
+        orig = textio_native.coring_pass
+        textio_native.coring_pass = lambda *a: None
+        try:
+            want = core_trajectory(traj, lims, wmap, sfa, it)
+        finally:
+            textio_native.coring_pass = orig
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
