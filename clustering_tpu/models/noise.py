@@ -55,8 +55,12 @@ def noise_assignment(states, clust, cmin_fraction):
     clust = np.asarray(clust, dtype=np.int64)
     n_frames = len(states)
     noise_state = int(states.min()) - 1
-    vals, counts = np.unique(clust, return_counts=True)
-    count_of = counts[np.searchsorted(vals, clust)]
+    if n_frames and clust.min() >= 0 and clust.max() < (1 << 24):
+        # O(n) bincount gather instead of the unique() sort
+        count_of = np.bincount(clust)[clust]
+    else:
+        vals, counts = np.unique(clust, return_counts=True)
+        count_of = counts[np.searchsorted(vals, clust)]
     is_noise = count_of < cmin_fraction * n_frames
     marked = np.where(is_noise, noise_state, states)
     return marked, noise_state, int(np.count_nonzero(is_noise))
