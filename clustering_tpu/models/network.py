@@ -74,8 +74,11 @@ def compute_and_save_leaves(fname, network, header_comment, comments_map):
 
 
 def save_traj_of_leaves(fname, leaves, d_min, d_max, d_step, remapped_name,
-                        n_rows, header_comment, comments_map):
-    """Reference: network_builder.cpp:250-278."""
+                        n_rows, header_comment, comments_map,
+                        remapped_cache=None):
+    """Reference: network_builder.cpp:250-278. ``remapped_cache`` holds
+    the remapped trajectories main() just wrote (same values as the
+    files), so the walk skips re-reading what is already in memory."""
     fname += "_end_node_traj.dat"
     logger("    saving end-node trajectory in: " + fname)
     traj = np.zeros(n_rows, dtype=np.int64)
@@ -83,8 +86,10 @@ def save_traj_of_leaves(fname, leaves, d_min, d_max, d_step, remapped_name,
     d = np.float32(d_min)
     leaf_arr = np.asarray(sorted(leaves), dtype=np.int64)
     while not (d <= d_max + d_step + prec and d >= d_max + d_step - prec):
-        cl_now = io.read_clustered_trajectory(
-            io.stringprintf(remapped_name, float(d)))
+        rname = io.stringprintf(remapped_name, float(d))
+        cl_now = (remapped_cache or {}).get(rname)
+        if cl_now is None:
+            cl_now = io.read_clustered_trajectory(rname)
         if len(leaf_arr):
             is_leaf = np.isin(cl_now, leaf_arr)
             traj = np.where(is_leaf, cl_now, traj)
@@ -365,17 +370,23 @@ def main(args, header_comment, comments_map):
     # network_builder.cpp:438-464); files are distinct, so all writes can
     # be in flight at once
     from concurrent.futures import ThreadPoolExecutor
+    # the end-node-trajectory walk revisits every remapped file; keep
+    # them in memory (bounded) so it never re-reads what we just wrote
+    remapped_cache = {}
+    cache_budget = 512 << 20
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending = []
         while d < d_max - prec and os.path.exists(fname_next):
-            logger("    " + fname_next + " -> "
-                   + io.stringprintf(remapped_name, float(d)))
+            rname = io.stringprintf(remapped_name, float(d))
+            logger("    " + fname_next + " -> " + rname)
             cl_now = cl_next
             fname_next = io.stringprintf(basename, float(d + d_step))
             pending.append(pool.submit(
-                io.write_clustered_trajectory,
-                io.stringprintf(remapped_name, float(d)),
+                io.write_clustered_trajectory, rname,
                 cl_now, header_comment, comments_map))
+            if cl_now.nbytes <= cache_budget:
+                remapped_cache[rname] = cl_now
+                cache_budget -= cl_now.nbytes
             if os.path.exists(fname_next):
                 cl_next = io.read_clustered_trajectory(fname_next)
                 max_id = int(cl_now.max())
@@ -416,6 +427,7 @@ def main(args, header_comment, comments_map):
                                      comments_map)
     save_traj_of_leaves(args.output, leaves, d_min, float(d_max),
                         float(d_step), remapped_name, n_rows,
-                        header_comment, comments_map)
+                        header_comment, comments_map,
+                        remapped_cache=remapped_cache)
     if args.network_html:
         save_network_to_html(args.output, network, free_energies, pops)
