@@ -390,6 +390,14 @@ def main(argv=None):
         elif args.mode == "stats":
             from .models import state_filter
             state_filter.main(args, header, comments_map, list_mode=True)
+    except BrokenPipeError:
+        # downstream pipe closed (e.g. `clustering stats ... | head`):
+        # exit quietly like a SIGPIPE'd C binary would
+        try:
+            sys.stdout.close()
+        except OSError:
+            pass
+        return 0
     except (OSError, ValueError) as exc:
         # expected input failures exit with a concise message like the
         # reference binary (clean fail-fast, tools.hxx:233-235 etc.);

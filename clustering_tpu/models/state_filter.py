@@ -22,8 +22,13 @@ def state_statistics(states, concat_limits):
     state_filter.cpp:66-130)."""
     states = np.asarray(states, dtype=np.int64)
     n_frames = len(states)
-    vals, counts = np.unique(states, return_counts=True)
-    pops = {int(v): int(c) for v, c in zip(vals, counts)}
+    if n_frames and states.min() >= 0 and states.max() < (1 << 24):
+        cnt = np.bincount(states)  # O(n), vs the unique() sort
+        vals = np.flatnonzero(cnt)
+        pops = {int(v): int(cnt[v]) for v in vals}
+    else:
+        vals, counts = np.unique(states, return_counts=True)
+        pops = {int(v): int(c) for v, c in zip(vals, counts)}
     entered = {}
     left = {}
     last_limit = 0
