@@ -277,6 +277,9 @@ class DensityEngine:
         # winning NN frame order of the previous nearest_neighbors call;
         # the speculative tiered dispatch bets on it repeating
         self._nn_spec_name = None
+        # per-device real tile counts of the last mesh NN dispatch
+        # (balance evidence for dryrun/bench artifacts)
+        self._last_mesh_tiles = None
 
     # -- cached layouts ----------------------------------------------------
 
@@ -302,11 +305,25 @@ class DensityEngine:
     def _device(self, name):
         if name not in self._dev:
             _, padded = self._padded(name)
-            if self.backend == "pallas":
-                self._dev[name] = jnp.asarray(padded.T)
+            arr = padded.T if self.backend == "pallas" else padded
+            if self.mesh is not None:
+                # replicate over the mesh ONCE per engine (16MB at 1M x 4);
+                # the stateless mesh path re-uploaded per call
+                from ..parallel.mesh import replicated
+                self._dev[name] = replicated(np.ascontiguousarray(arr),
+                                             self.mesh)
             else:
-                self._dev[name] = jnp.asarray(padded)
+                self._dev[name] = jnp.asarray(arr)
         return self._dev[name]
+
+    def _get(self, x):
+        """Device -> host numpy; multi-process-safe when a mesh is set
+        (a replicated global array is not fully addressable on DCN
+        meshes, so jax.device_get would reject it)."""
+        if self.mesh is not None:
+            from ..parallel.mesh import fetch
+            return fetch(x)
+        return np.asarray(jax.device_get(x))
 
     def _d2b_dev(self, name):
         """Device-resident (nrb, ncb) bbox distance matrix for ``name``'s
@@ -485,19 +502,25 @@ class DensityEngine:
     POPS_BIDIR_SCRATCH_CAP = 64 << 20
 
     def _pops_bidir_ok(self, n_radii):
-        if self.mesh is not None:
-            return False
         if self.POPS_BIDIR_SCRATCH_CAP <= 0:
             return False
         from .pallas_kernels import INTERPRET_MODE
         if not INTERPRET_MODE() and self.col_block % 128 != 0:
             return False
+        if self.mesh is not None:
+            # the sharded bidir program holds the full (n_radii, N_pad)
+            # column accumulator per chip (no column-range partitioning
+            # under shard_map); beyond the cap fall back to the
+            # symmetric tile list
+            if n_radii * self.n_pad * 4 > self.POPS_BIDIR_SCRATCH_CAP:
+                return False
         return True
 
     # -- ops ---------------------------------------------------------------
 
     def populations(self, radii, prune=True):
-        if self.mesh is not None:
+        if self.mesh is not None and self.backend != "pallas":
+            # dense row-ownership XLA program (CPU meshes, smoke runs)
             from ..parallel import sharded
             return sharded.populations(self.coords, list(radii), self.mesh,
                                        row_block=self.row_block,
@@ -537,23 +560,13 @@ class DensityEngine:
             name = "orig"
             active = np.ones((self.n_pad // self.row_block,
                               self.n_pad // self.col_block), dtype=bool)
-        tiles = pruning.tile_list(active, pad_mode="noop")
         order, _ = self._padded(name)
-        # per-tile radius bitmask: a tile whose bbox distance exceeds r^2
-        # skips that radius's compare+count in the kernel (bit r unset);
-        # pads (tj = -1) carry mask 0 and skip the whole tile body
-        if prune:
-            rmask = np.zeros(tiles[0].shape, dtype=np.int32)
-            pad = tiles[1] < 0
-            ti_safe = tiles[0]
-            tj_safe = np.maximum(tiles[1], 0)
-            for r_idx in range(len(radii)):
-                rmask |= (planes[1 + r_idx][ti_safe, tj_safe]
-                          .astype(np.int32) << r_idx)
-            rmask[pad] = 0
-        else:
-            rmask = np.where(tiles[1] >= 0,
-                             np.int32((1 << len(radii)) - 1), np.int32(0))
+        if self.mesh is not None:
+            return self._pops_dispatch_mesh(name, order, radii, radii2,
+                                            active, planes, prune, bidir)
+        tiles = pruning.tile_list(active, pad_mode="noop")
+        rmask = self._pops_rmask(tiles[0], tiles[1], planes, len(radii),
+                                 prune)
         self.last_stats["populations"] = {
             "computed_tiles": int((tiles[1] >= 0).sum()),
             "tile_pairs": self.row_block * self.col_block,
@@ -592,6 +605,63 @@ class DensityEngine:
             counts = unsorted
         return {r: counts[i].astype(np.int64) for i, r in enumerate(radii)}
 
+    @staticmethod
+    def _pops_rmask(ti, tj, planes, n_radii, prune):
+        """Per-tile radius bitmask: a tile whose bbox distance exceeds
+        r^2 skips that radius's compare+count in the kernel (bit r
+        unset); pads (tj = -1) carry mask 0 and skip the whole tile
+        body. Works on tile-index arrays of any shape (chunked lists or
+        per-device splits)."""
+        if prune:
+            rmask = np.zeros(ti.shape, dtype=np.int32)
+            pad = tj < 0
+            tj_safe = np.maximum(tj, 0)
+            for r_idx in range(n_radii):
+                rmask |= (planes[1 + r_idx][ti, tj_safe]
+                          .astype(np.int32) << r_idx)
+            rmask[pad] = 0
+        else:
+            rmask = np.where(tj >= 0, np.int32((1 << n_radii) - 1),
+                             np.int32(0))
+        return rmask
+
+    def _pops_dispatch_mesh(self, name, order, radii, radii2, active,
+                            planes, prune, bidir):
+        """Dispatch the planned populations tile list over the mesh: the
+        list is round-robin balanced over chips
+        (pruning.split_tiles_balanced, within one tile per device) and
+        each chip sweeps its share with the same fused kernel under
+        shard_map; one int32 psum over ICI merges the partials -- the
+        TPU-native analog of the reference's host-side multi-GPU sum
+        (src/density_clustering_cuda.cu:171-181). The planning (device
+        bbox matrix, packed-plane downloads, order choice) is shared
+        with the single-chip path, and the replicated frame matrix is
+        uploaded once per engine, so per-call cost approaches the
+        single-chip warm path plus one collective."""
+        from ..parallel import sharded
+        from ..parallel.mesh import mesh_size, replicated
+        ti, tj = np.nonzero(active)
+        n_dev = mesh_size(self.mesh)
+        ti_d, tj_d, per_dev = pruning.split_tiles_balanced(
+            ti, tj, n_dev, pad_mode="noop")
+        rmask_d = self._pops_rmask(ti_d, tj_d, planes, len(radii), prune)
+        self.last_stats["populations"] = {
+            "computed_tiles": int(len(ti)),
+            "tile_pairs": self.row_block * self.col_block,
+            "effective_pairs": float(self.n) * self.n,
+            "mode": ("bidir" if bidir else "symmetric") + "-mesh",
+            "mesh_devices": n_dev,
+            "per_device_tiles": per_dev.tolist(),
+        }
+        self._log_stats("pops", self.last_stats["populations"])
+        fn = (sharded._pops_sharded_bidir if bidir
+              else sharded._pops_sharded_sparse)
+        acc = fn(self._device(name), radii2, jnp.int32(self.n),
+                 replicated(ti_d, self.mesh), replicated(tj_d, self.mesh),
+                 replicated(rmask_d, self.mesh), self.mesh,
+                 row_block=self.row_block, col_block=self.col_block)
+        return self._pops_finish(self._get(acc), order, radii)
+
     # the bidirectional NN kernel holds 4 (2 x [nh; hd] x [d; j]) column
     # accumulators of N_pad lanes in VMEM; beyond this budget
     # nn_tiles_bidir_all splits the run into column-range partitions, so
@@ -607,6 +677,12 @@ class DensityEngine:
         from .pallas_kernels import INTERPRET_MODE
         if not INTERPRET_MODE() and self.col_block % 128 != 0:
             return False
+        if self.mesh is not None:
+            # the sharded bidir program holds the full 4 x N_pad column
+            # accumulator per chip (no column-range partitioning under
+            # shard_map)
+            if 4 * self.n_pad * 4 > self.NN_BIDIR_SCRATCH_CAP:
+                return False
         return True
 
     def _nn_sparse_chunks(self, order_name, fe_dev, oid_dev, active,
@@ -615,8 +691,28 @@ class DensityEngine:
         stacked (2, N_pad) [nh; hd] outputs lexicographically across SMEM
         chunks. With ``bidir`` the mask must already be an
         upper-triangular closure (pruning.bidir_closure) and every tile
-        serves both orientations."""
+        serves both orientations.
+
+        Under a mesh the SAME tile list is round-robin balanced over the
+        chips and dispatched as the shard_map bidir/sparse NN program
+        (parallel/sharded.py); partial results merge with the two-step
+        lexicographic pmin over ICI, so the return contract is identical."""
         from . import pallas_kernels as pk
+        if self.mesh is not None:
+            from ..parallel import sharded
+            from ..parallel.mesh import mesh_size, replicated
+            ti, tj = np.nonzero(active)
+            n_dev = mesh_size(self.mesh)
+            ti_d, tj_d, per_dev = pruning.split_tiles_balanced(
+                ti, tj, n_dev, pad_mode="repeat")
+            self._last_mesh_tiles = per_dev
+            fn = (sharded._nn_sharded_bidir if bidir
+                  else sharded._nn_sharded_sparse)
+            return fn(self._device(order_name), fe_dev, oid_dev,
+                      jnp.int32(self.n),
+                      replicated(ti_d, self.mesh),
+                      replicated(tj_d, self.mesh), self.mesh,
+                      row_block=self.row_block, col_block=self.col_block)
         tiles = pruning.tile_list(active)
         if bidir:
             return pk.nn_tiles_bidir_all(
@@ -787,7 +883,11 @@ class DensityEngine:
         results are identical to the reference's original-order scan.
         """
         fe = np.asarray(free_energy, dtype=np.float32)
-        if self.mesh is not None:
+        if self.mesh is not None and self.backend != "pallas":
+            # dense row-ownership XLA program (CPU meshes, smoke runs);
+            # the pallas backend keeps the full two-phase pruned path and
+            # dispatches its tile sweeps through shard_map
+            # (_nn_sparse_chunks)
             from ..parallel import sharded
             return sharded.nearest_neighbors(self.coords, fe, self.mesh,
                                              row_block=self.row_block,
@@ -869,7 +969,7 @@ class DensityEngine:
             # across reps of a production series -- falling back to the
             # band order on the first call.
             spec = spec_words = spec_name = None
-            if (tier_qs == "auto" and nn_bidir
+            if (tier_qs == "auto" and nn_bidir and self.mesh is None
                     and n >= self.TIERED_MIN_FRAMES):
                 spec_name = self._nn_spec_name or order_name
                 spec = self._nn_tiered_bidir_dispatch(
@@ -916,8 +1016,11 @@ class DensityEngine:
             # (tier, spatial) re-sort so the upper-triangular sweep
             # composes with the tier bounds; unidirectional sweeps use
             # the row-only re-sort against the cached winner columns
+            # the tiered variants are single-device programs (their
+            # re-sorts and masked dispatches never went through
+            # shard_map); under a mesh phase 2 stays block-bound
             if (tier_qs == "auto" and n >= self.TIERED_MIN_FRAMES
-                    and plan_worthwhile):
+                    and plan_worthwhile and self.mesh is None):
                 if nn_bidir and spec is not None and order_name == spec_name:
                     # the speculative dispatch was for this exact winner
                     # and its mask already arrived with the acts fetch
@@ -935,7 +1038,7 @@ class DensityEngine:
                 if ((block_tiles - est) * float(tile_pairs)
                         > self.TIERED_MIN_SAVED_PAIRS):
                     plan = (est, run_tiered)
-            elif tier_qs not in (None, "auto"):
+            elif tier_qs not in (None, "auto") and self.mesh is None:
                 if nn_bidir:
                     plan = self._nn_tiered_bidir_plan(
                         order_name, band_name, band_out, layout, tier_qs)

@@ -59,7 +59,7 @@ def _pops_sharded(coords_padded, radii2, n_valid, mesh,
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "row_block", "col_block"))
 def _pops_sharded_sparse(coords_t_padded, radii2, n_valid, ti_dev, tj_dev,
-                         mesh, row_block=DEFAULT_ROW_BLOCK,
+                         rmask_dev, mesh, row_block=DEFAULT_ROW_BLOCK,
                          col_block=DEFAULT_COL_BLOCK):
     """Mesh-sharded fused Pallas pops over balanced per-device sparse
     tile lists (GLOBAL row/col indices; any device may count any tile).
@@ -68,7 +68,9 @@ def _pops_sharded_sparse(coords_t_padded, radii2, n_valid, ti_dev, tj_dev,
     blocks stay zero via the kernel's aliased init) and the exact total
     is one int32 ``psum`` over ICI -- the load-balanced analog of the
     reference's host-side partial sum (density_clustering_cuda.cu:171-181).
-    """
+    ``rmask_dev`` carries the per-tile radius bitmask (bit r set = count
+    radius r in this tile; 0 = pad, skip the tile body), same as the
+    single-chip kernel."""
     from ..ops import pallas_kernels as pk
 
     n_pad = coords_t_padded.shape[1]
@@ -77,21 +79,22 @@ def _pops_sharded_sparse(coords_t_padded, radii2, n_valid, ti_dev, tj_dev,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(None, None), P(None), P(),
-                  P(FRAME_AXIS, None, None), P(FRAME_AXIS, None, None)),
+                  P(FRAME_AXIS, None, None), P(FRAME_AXIS, None, None),
+                  P(FRAME_AXIS, None, None)),
         out_specs=P(None, None), check_vma=False)
-    def run(ct, radii2, n_valid, ti_l, tj_l):
+    def run(ct, radii2, n_valid, ti_l, tj_l, rm_l):
         def body(acc, tt):
-            ti_c, tj_c = tt
+            ti_c, tj_c, rm_c = tt
             part = pk.pops_tiles_sparse(
-                ct, radii2, n_valid, ti_c, tj_c,
+                ct, radii2, n_valid, ti_c, tj_c, rmask=rm_c,
                 row_block=row_block, col_block=col_block)
             return acc + part, None
 
         init = jnp.zeros((n_radii, n_pad), dtype=jnp.int32)
-        acc, _ = jax.lax.scan(body, init, (ti_l[0], tj_l[0]))
+        acc, _ = jax.lax.scan(body, init, (ti_l[0], tj_l[0], rm_l[0]))
         return jax.lax.psum(acc, FRAME_AXIS)
 
-    return run(coords_t_padded, radii2, n_valid, ti_dev, tj_dev)
+    return run(coords_t_padded, radii2, n_valid, ti_dev, tj_dev, rmask_dev)
 
 
 @functools.partial(jax.jit,
@@ -184,9 +187,13 @@ def populations(coords, radii, mesh,
                 replicated(rmask_dev, mesh), mesh,
                 row_block=row_block, col_block=col_block)
         else:
+            rmask_dev = np.where(tj_dev >= 0,
+                                 np.int32((1 << len(radii)) - 1),
+                                 np.int32(0))
             counts = _pops_sharded_sparse(
                 replicated(padded.T, mesh), radii2, jnp.int32(n),
-                replicated(ti_dev, mesh), replicated(tj_dev, mesh), mesh,
+                replicated(ti_dev, mesh), replicated(tj_dev, mesh),
+                replicated(rmask_dev, mesh), mesh,
                 row_block=row_block, col_block=col_block)
         counts = fetch(counts)[:, :n]
         unsorted = np.empty_like(counts)

@@ -217,6 +217,58 @@ def test_threshold_series_mesh_pallas_host_driven(mesh8, blobs,
     assert host_calls, "host-driven mesh fixpoint was never exercised"
 
 
+@pytest.mark.parametrize("prune", [True, False])
+def test_engine_mesh_populations(mesh8, blobs, prune):
+    """DensityEngine(mesh=...) must reuse the single-chip planning (bbox
+    planes, per-tile radius bitmask, bidir closure) and dispatch the
+    SAME tile list over the mesh — results exactly equal to the
+    single-chip engine."""
+    radii = [0.3, 0.7]
+    single = ops.engine.DensityEngine(blobs, row_block=8, col_block=16,
+                                      backend="pallas")
+    meshed = ops.engine.DensityEngine(blobs, row_block=8, col_block=16,
+                                      backend="pallas", mesh=mesh8)
+    want = single.populations(radii, prune=prune)
+    got = meshed.populations(radii, prune=prune)
+    for r in radii:
+        np.testing.assert_array_equal(want[r], got[r])
+    assert meshed.last_stats["populations"]["mode"].endswith("-mesh")
+    assert meshed.last_stats["populations"]["mesh_devices"] == 8
+
+
+def test_engine_mesh_nearest_neighbors(mesh8, blobs):
+    """The engine's full two-phase pruned NN path under a mesh: band +
+    phase-2 tile sweeps dispatched through shard_map, lexicographic pmin
+    merges — indices exactly equal to the single-chip engine."""
+    pops = ops.populations(blobs, [0.4], row_block=32, col_block=64)[0.4]
+    fe = ops.free_energies(pops)
+    single = ops.engine.DensityEngine(blobs, row_block=8, col_block=16,
+                                      backend="pallas")
+    meshed = ops.engine.DensityEngine(blobs, row_block=8, col_block=16,
+                                      backend="pallas", mesh=mesh8)
+    want = single.nearest_neighbors(fe)
+    got = meshed.nearest_neighbors(fe)
+    np.testing.assert_array_equal(want[0], got[0])
+    np.testing.assert_array_equal(want[2], got[2])
+    np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
+    np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
+    # the mesh path must have balanced its tiles over all 8 chips
+    assert meshed._last_mesh_tiles is not None
+    assert len(meshed._last_mesh_tiles) == 8
+
+
+def test_engine_mesh_pops_bidir_fallback(mesh8, blobs, monkeypatch):
+    """Above the per-chip column-accumulator budget the mesh bidir pops
+    program stands down to the symmetric sharded sweep — same results."""
+    eng = ops.engine.DensityEngine(blobs, row_block=8, col_block=16,
+                                   backend="pallas", mesh=mesh8)
+    monkeypatch.setattr(type(eng), "POPS_BIDIR_SCRATCH_CAP", 4)
+    want = ops.populations(blobs, [0.3], row_block=8, col_block=16)
+    got = eng.populations([0.3])
+    np.testing.assert_array_equal(want[0.3], got[0.3])
+    assert eng.last_stats["populations"]["mode"] == "symmetric-mesh"
+
+
 def test_balanced_tile_split_on_skewed_data(mesh8):
     """Spatially-skewed data concentrates active tiles in few row blocks;
     the balanced splitter must still hand every device an equal share
