@@ -507,13 +507,6 @@ class DensityEngine:
         from .pallas_kernels import INTERPRET_MODE
         if not INTERPRET_MODE() and self.col_block % 128 != 0:
             return False
-        if self.mesh is not None:
-            # the sharded bidir program holds the full (n_radii, N_pad)
-            # column accumulator per chip (no column-range partitioning
-            # under shard_map); beyond the cap fall back to the
-            # symmetric tile list
-            if n_radii * self.n_pad * 4 > self.POPS_BIDIR_SCRATCH_CAP:
-                return False
         return True
 
     # -- ops ---------------------------------------------------------------
@@ -638,22 +631,64 @@ class DensityEngine:
         with the single-chip path, and the replicated frame matrix is
         uploaded once per engine, so per-call cost approaches the
         single-chip warm path plus one collective."""
+        from . import pallas_kernels as pk
         from ..parallel import sharded
         from ..parallel.mesh import mesh_size, replicated
         ti, tj = np.nonzero(active)
         n_dev = mesh_size(self.mesh)
-        ti_d, tj_d, per_dev = pruning.split_tiles_balanced(
-            ti, tj, n_dev, pad_mode="noop")
-        rmask_d = self._pops_rmask(ti_d, tj_d, planes, len(radii), prune)
-        self.last_stats["populations"] = {
+        ncb = self.n_pad // self.col_block
+        # per-chip VMEM column-accumulator budget -> column-range
+        # partition width (>= ncb means one full-range dispatch)
+        span = ncb
+        if bidir:
+            span = max(int(self.POPS_BIDIR_SCRATCH_CAP
+                           // (self.col_block * 4 * len(radii))), 1)
+        stats = {
             "computed_tiles": int(len(ti)),
             "tile_pairs": self.row_block * self.col_block,
             "effective_pairs": float(self.n) * self.n,
             "mode": ("bidir" if bidir else "symmetric") + "-mesh",
             "mesh_devices": n_dev,
-            "per_device_tiles": per_dev.tolist(),
         }
-        self._log_stats("pops", self.last_stats["populations"])
+        if bidir and span < ncb:
+            # mesh analog of pops_tiles_bidir_all's partitioning: each
+            # window dispatches with a bounded per-chip accumulator, the
+            # psum-merged windows compose on device -- no frame-count cap
+            stats["col_partitions"] = -(-ncb // span)
+            per_dev_total = np.zeros(n_dev, dtype=np.int64)
+            acc = None
+            for base in range(0, ncb, span):
+                width = min(span, ncb - base)
+                sel = (tj >= base) & (tj < base + width)
+                if not sel.any():
+                    continue
+                ti_d, tj_d, per_dev = pruning.split_tiles_balanced(
+                    ti[sel], tj[sel], n_dev, pad_mode="noop")
+                per_dev_total += per_dev
+                rmask_d = self._pops_rmask(ti_d, tj_d, planes,
+                                           len(radii), prune)
+                rows, cols = sharded._pops_sharded_bidir_window(
+                    self._device(name), radii2, jnp.int32(self.n),
+                    replicated(ti_d, self.mesh),
+                    replicated(tj_d, self.mesh),
+                    replicated(rmask_d, self.mesh),
+                    jnp.int32(base), self.mesh,
+                    row_block=self.row_block, col_block=self.col_block,
+                    col_span=width)
+                part = rows + pk._place_cols_sum(
+                    cols, base * self.col_block, self.n_pad)
+                acc = part if acc is None else acc + part
+            acc = pk._add_self_count(acc, jnp.int32(self.n))
+            stats["per_device_tiles"] = per_dev_total.tolist()
+            self.last_stats["populations"] = stats
+            self._log_stats("pops", stats)
+            return self._pops_finish(self._get(acc), order, radii)
+        ti_d, tj_d, per_dev = pruning.split_tiles_balanced(
+            ti, tj, n_dev, pad_mode="noop")
+        rmask_d = self._pops_rmask(ti_d, tj_d, planes, len(radii), prune)
+        stats["per_device_tiles"] = per_dev.tolist()
+        self.last_stats["populations"] = stats
+        self._log_stats("pops", stats)
         fn = (sharded._pops_sharded_bidir if bidir
               else sharded._pops_sharded_sparse)
         acc = fn(self._device(name), radii2, jnp.int32(self.n),
@@ -677,12 +712,6 @@ class DensityEngine:
         from .pallas_kernels import INTERPRET_MODE
         if not INTERPRET_MODE() and self.col_block % 128 != 0:
             return False
-        if self.mesh is not None:
-            # the sharded bidir program holds the full 4 x N_pad column
-            # accumulator per chip (no column-range partitioning under
-            # shard_map)
-            if 4 * self.n_pad * 4 > self.NN_BIDIR_SCRATCH_CAP:
-                return False
         return True
 
     def _nn_sparse_chunks(self, order_name, fe_dev, oid_dev, active,
@@ -703,6 +732,44 @@ class DensityEngine:
             from ..parallel.mesh import mesh_size, replicated
             ti, tj = np.nonzero(active)
             n_dev = mesh_size(self.mesh)
+            ncb = self.n_pad // self.col_block
+            span = ncb
+            if bidir:
+                span = max(int(self.NN_BIDIR_SCRATCH_CAP
+                               // (self.col_block * 16)), 1)
+            if bidir and span < ncb:
+                # column-range partitioning (mesh analog of
+                # nn_tiles_bidir_all): per-chip scratch bounded, window
+                # results fold through the idempotent lexicographic min
+                per_dev_total = np.zeros(n_dev, dtype=np.int64)
+                out = None
+                for base in range(0, ncb, span):
+                    width = min(span, ncb - base)
+                    sel = (tj >= base) & (tj < base + width)
+                    if not sel.any():
+                        continue
+                    # pad/fill tiles must sit INSIDE the window (the
+                    # column accumulator only spans it)
+                    fill = (int(ti[sel][0]), int(tj[sel][0]))
+                    ti_d, tj_d, per_dev = pruning.split_tiles_balanced(
+                        ti[sel], tj[sel], n_dev, pad_mode="repeat",
+                        fill=fill)
+                    per_dev_total += per_dev
+                    od, oj, cd, cj = sharded._nn_sharded_bidir_window(
+                        self._device(order_name), fe_dev, oid_dev,
+                        jnp.int32(self.n),
+                        replicated(ti_d, self.mesh),
+                        replicated(tj_d, self.mesh),
+                        jnp.int32(base), self.mesh,
+                        row_block=self.row_block,
+                        col_block=self.col_block, col_span=width)
+                    placed = pk._place_cols(cd, cj,
+                                            base * self.col_block,
+                                            self.n_pad)
+                    part = pk._lex_min2((od, oj), placed)
+                    out = part if out is None else pk._lex_min2(out, part)
+                self._last_mesh_tiles = per_dev_total
+                return out
             ti_d, tj_d, per_dev = pruning.split_tiles_balanced(
                 ti, tj, n_dev, pad_mode="repeat")
             self._last_mesh_tiles = per_dev

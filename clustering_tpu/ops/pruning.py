@@ -318,7 +318,7 @@ def tile_list(active, pad_mode="repeat", max_entries=MAX_TILE_ENTRIES):
 
 
 def split_tiles_balanced(ti, tj, n_dev, pad_mode="repeat",
-                         max_entries=MAX_TILE_ENTRIES):
+                         max_entries=MAX_TILE_ENTRIES, fill=None):
     """Round-robin a global active-tile list over devices (balanced to
     within one tile per device, unlike row-ownership splits that inherit
     the spatial skew of the pruning) and re-chunk every device's list to
@@ -331,6 +331,11 @@ def split_tiles_balanced(ti, tj, n_dev, pad_mode="repeat",
     row-major sorted, preserving the kernels' first-visit-initializes
     contract. Returns (ti_dev, tj_dev, counts) with counts the per-device
     real (unpadded) tile counts.
+
+    ``fill``: (ti, tj) used for devices that receive ZERO tiles in repeat
+    mode (default (0, 0)). Column-windowed dispatches must pass a tile
+    inside the window -- the min-merge kernels recompute pad tiles
+    idempotently, but their column accumulator only spans the window.
     """
     ti = np.asarray(ti, dtype=np.int32).reshape(-1)
     tj = np.asarray(tj, dtype=np.int32).reshape(-1)
@@ -341,8 +346,10 @@ def split_tiles_balanced(ti, tj, n_dev, pad_mode="repeat",
     bucket = 1 << int(np.ceil(np.log2(max(per_chunk, 1024))))
     bucket = min(bucket, max_entries)
     n_chunks = -(-longest // bucket)
-    fill_j = 0 if pad_mode == "repeat" else -1
-    ti_dev = np.zeros((n_dev, n_chunks, bucket), dtype=np.int32)
+    fill_i, fill_j = (0, 0) if fill is None else fill
+    if pad_mode != "repeat":
+        fill_j = -1
+    ti_dev = np.full((n_dev, n_chunks, bucket), fill_i, dtype=np.int32)
     tj_dev = np.full((n_dev, n_chunks, bucket), fill_j, dtype=np.int32)
     for d, (a, b) in enumerate(per_dev):
         if not len(a):

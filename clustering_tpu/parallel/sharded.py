@@ -136,6 +136,80 @@ def _pops_sharded_bidir(coords_t_padded, radii2, n_valid, ti_dev, tj_dev,
     return run(coords_t_padded, radii2, n_valid, ti_dev, tj_dev, rmask_dev)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "row_block", "col_block",
+                                    "col_span"))
+def _pops_sharded_bidir_window(coords_t_padded, radii2, n_valid, ti_dev,
+                               tj_dev, rmask_dev, col_base, mesh,
+                               row_block=DEFAULT_ROW_BLOCK,
+                               col_block=DEFAULT_COL_BLOCK, col_span=1):
+    """One column-range partition of the mesh bidirectional pops sweep:
+    every chip's VMEM column accumulator covers only column blocks
+    [col_base, col_base + col_span), so the per-chip scratch is bounded
+    regardless of frame count (the mesh analog of
+    pops_tiles_bidir_all's partitioning). The per-device tile lists must
+    only hold tiles with tj in the window (plus (ti, -1, 0) no-op pads).
+    Returns psum-merged (rows (R, N_pad), cols (R, span*col_block));
+    the caller places the window and adds the diagonal once."""
+    from ..ops import pallas_kernels as pk
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, None), P(None), P(),
+                  P(FRAME_AXIS, None, None), P(FRAME_AXIS, None, None),
+                  P(FRAME_AXIS, None, None), P()),
+        out_specs=(P(None, None), P(None, None)), check_vma=False)
+    def run(ct, radii2, n_valid, ti_l, tj_l, rm_l, cb):
+        rows, cols = pk._pops_bidir_group_part(
+            ct, radii2, n_valid, ti_l[0], tj_l[0], rm_l[0], cb, col_span,
+            row_block=row_block, col_block=col_block)
+        return (jax.lax.psum(rows, FRAME_AXIS),
+                jax.lax.psum(cols, FRAME_AXIS))
+
+    return run(coords_t_padded, radii2, n_valid, ti_dev, tj_dev,
+               rmask_dev, col_base)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "row_block", "col_block",
+                                    "col_span"))
+def _nn_sharded_bidir_window(coords_t_padded, fe_padded, oid_padded,
+                             n_valid, ti_dev, tj_dev, col_base, mesh,
+                             row_block=DEFAULT_ROW_BLOCK,
+                             col_block=DEFAULT_COL_BLOCK, col_span=1):
+    """One column-range partition of the mesh bidirectional NN sweep
+    (per-chip scratch bounded like _pops_sharded_bidir_window; pad tiles
+    must repeat a tile INSIDE the window -- idempotent under min). Rows
+    and the window's columns each merge with the two-step lexicographic
+    pmin; the caller places the window and folds partitions."""
+    from ..ops import pallas_kernels as pk
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, None), P(None, None), P(None, None), P(),
+                  P(FRAME_AXIS, None, None), P(FRAME_AXIS, None, None),
+                  P()),
+        out_specs=(P(None, None), P(None, None),
+                   P(None, None), P(None, None)),
+        check_vma=False)
+    def run(ct, fe_all, oid_all, n_valid, ti_l, tj_l, cb):
+        od, oj, cd, cj = pk._nn_bidir_group_part(
+            ct, fe_all, oid_all, n_valid, ti_l[0], tj_l[0], cb, col_span,
+            row_block, col_block)
+
+        def pmin_lex(d, j):
+            d_min = jax.lax.pmin(d, FRAME_AXIS)
+            j_cand = jnp.where(d == d_min, j, jnp.int32(2**31 - 1))
+            return d_min, jax.lax.pmin(j_cand, FRAME_AXIS)
+
+        od_m, oj_m = pmin_lex(od, oj)
+        cd_m, cj_m = pmin_lex(cd, cj)
+        return od_m, oj_m, cd_m, cj_m
+
+    return run(coords_t_padded, fe_padded, oid_padded, n_valid,
+               ti_dev, tj_dev, col_base)
+
+
 def populations(coords, radii, mesh,
                 row_block=DEFAULT_ROW_BLOCK, col_block=DEFAULT_COL_BLOCK,
                 backend="xla", prune=True):

@@ -121,6 +121,25 @@ def main():
     t, clust2 = _best_of(lambda: run_series(series2))
     result["stages"]["screening_mesh"] = round(t, 3)
 
+    # --- column-range-partitioned mesh bidir programs: force the
+    # per-chip VMEM scratch budget down so the pops/NN sweeps split into
+    # ~4 column windows (the no-frame-count-cap path used beyond ~4-5M
+    # frames), and prove the windowed shard_map programs Mosaic-compile
+    # and reproduce the full-range results on hardware.
+    ncb = meng.n_pad // COL_BLOCK
+    win = max(ncb // 4, 1)
+    meng2 = ops.engine.DensityEngine(coords, row_block=ROW_BLOCK,
+                                     col_block=COL_BLOCK,
+                                     backend="pallas", mesh=mesh)
+    meng2.POPS_BIDIR_SCRATCH_CAP = win * COL_BLOCK * 4 * len(RADII)
+    meng2.NN_BIDIR_SCRATCH_CAP = win * COL_BLOCK * 16
+    t, pops3 = _best_of(lambda: meng2.populations(RADII))
+    result["stages"]["pops_mesh_partitioned"] = round(t, 3)
+    result["pops_mesh_col_partitions"] = \
+        meng2.last_stats["populations"].get("col_partitions", 1)
+    t, nn3 = _best_of(lambda: meng2.nearest_neighbors(fe))
+    result["stages"]["nn_mesh_partitioned"] = round(t, 3)
+
     # --- collective payloads: the per-device bytes each mesh program
     # moves over ICI, computed from the shapes the programs above actually
     # ran (BASELINE.md's "4-16MB per merge" claim, made concrete). The
@@ -145,6 +164,10 @@ def main():
         np.array_equal(nn1[1], nn2[1]) and np.array_equal(nn1[3], nn2[3]))
     checks["nn_dist_equal"] = dist_eq
     checks["screening_bit_equal"] = bool(np.array_equal(clust1, clust2))
+    checks["pops_partitioned_bit_equal"] = bool(
+        all(np.array_equal(pops1[r], pops3[r]) for r in RADII))
+    checks["nn_partitioned_idx_equal"] = bool(
+        np.array_equal(nn1[0], nn3[0]) and np.array_equal(nn1[2], nn3[2]))
     if not dist_eq:
         # On real hardware both paths run the same Mosaic kernel and the
         # distances must be bit-identical. Under CPU *interpret* mode the

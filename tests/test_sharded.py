@@ -257,16 +257,40 @@ def test_engine_mesh_nearest_neighbors(mesh8, blobs):
     assert len(meshed._last_mesh_tiles) == 8
 
 
-def test_engine_mesh_pops_bidir_fallback(mesh8, blobs, monkeypatch):
+def test_engine_mesh_pops_bidir_partitioned(mesh8, blobs, monkeypatch):
     """Above the per-chip column-accumulator budget the mesh bidir pops
-    program stands down to the symmetric sharded sweep — same results."""
+    sweep splits into column-range partitions (each window's psum-merged
+    accumulator composed on device) — same results, no frame-count cap."""
     eng = ops.engine.DensityEngine(blobs, row_block=8, col_block=16,
                                    backend="pallas", mesh=mesh8)
     monkeypatch.setattr(type(eng), "POPS_BIDIR_SCRATCH_CAP", 4)
     want = ops.populations(blobs, [0.3], row_block=8, col_block=16)
     got = eng.populations([0.3])
     np.testing.assert_array_equal(want[0.3], got[0.3])
-    assert eng.last_stats["populations"]["mode"] == "symmetric-mesh"
+    stats = eng.last_stats["populations"]
+    assert stats["mode"] == "bidir-mesh"
+    assert stats["col_partitions"] > 1
+    # every computed tile lands in exactly one window exactly once
+    assert sum(stats["per_device_tiles"]) == stats["computed_tiles"]
+
+
+def test_engine_mesh_nn_bidir_partitioned(mesh8, blobs, monkeypatch):
+    """The mesh bidirectional NN sweep with a forced tiny scratch budget:
+    per-window two-step pmin merges folded through the lexicographic min
+    must equal the single-chip result exactly."""
+    eng_cls = ops.engine.DensityEngine
+    pops = ops.populations(blobs, [0.4], row_block=32, col_block=64)[0.4]
+    fe = ops.free_energies(pops)
+    want = eng_cls(blobs, row_block=8, col_block=16,
+                   backend="pallas").nearest_neighbors(fe)
+    monkeypatch.setattr(eng_cls, "NN_BIDIR_SCRATCH_CAP", 4)
+    meshed = eng_cls(blobs, row_block=8, col_block=16,
+                     backend="pallas", mesh=mesh8)
+    got = meshed.nearest_neighbors(fe)
+    np.testing.assert_array_equal(want[0], got[0])
+    np.testing.assert_array_equal(want[2], got[2])
+    np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
+    np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
 
 
 def test_balanced_tile_split_on_skewed_data(mesh8):
