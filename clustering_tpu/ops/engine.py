@@ -302,18 +302,22 @@ class DensityEngine:
             self._orders[name] = (order, padded)
         return self._orders[name]
 
+    def _put(self, x):
+        """Host array -> device; replicated over the mesh when one is
+        set (so jitted programs never re-broadcast a single-device
+        upload per dispatch, and multi-process jit accepts it)."""
+        if self.mesh is not None:
+            from ..parallel.mesh import replicated
+            return replicated(np.ascontiguousarray(x), self.mesh)
+        return jnp.asarray(x)
+
     def _device(self, name):
         if name not in self._dev:
             _, padded = self._padded(name)
-            arr = padded.T if self.backend == "pallas" else padded
-            if self.mesh is not None:
-                # replicate over the mesh ONCE per engine (16MB at 1M x 4);
-                # the stateless mesh path re-uploaded per call
-                from ..parallel.mesh import replicated
-                self._dev[name] = replicated(np.ascontiguousarray(arr),
-                                             self.mesh)
-            else:
-                self._dev[name] = jnp.asarray(arr)
+            # uploaded ONCE per engine (16MB at 1M x 4); the stateless
+            # mesh path re-uploaded per call
+            self._dev[name] = self._put(
+                padded.T if self.backend == "pallas" else padded)
         return self._dev[name]
 
     def _get(self, x):
@@ -384,7 +388,7 @@ class DensityEngine:
                 rank_src[src_order] = np.arange(self.n, dtype=np.int32)
             perm[:self.n] = (rank_src if dst_order is None
                              else rank_src[dst_order])
-            self._dev[key] = jnp.asarray(perm)
+            self._dev[key] = self._put(perm)
         return self._dev[key]
 
     def _log_stats(self, stage, st):
@@ -489,7 +493,7 @@ class DensityEngine:
         skip fraction at this radius (device compare, scalar readback)."""
         best, best_frac = None, -1.0
         for name in ("dim0", "morton"):
-            frac = float(jax.device_get(_skip_frac(
+            frac = float(self._get(_skip_frac(
                 self._d2b_dev(name), jnp.float32(thresh2))))
             if frac > best_frac:
                 best, best_frac = name, frac
@@ -654,14 +658,12 @@ class DensityEngine:
             # mesh analog of pops_tiles_bidir_all's partitioning: each
             # window dispatches with a bounded per-chip accumulator, the
             # psum-merged windows compose on device -- no frame-count cap
-            stats["col_partitions"] = -(-ncb // span)
+            stats["col_partitions"] = 0
             per_dev_total = np.zeros(n_dev, dtype=np.int64)
             acc = None
-            for base in range(0, ncb, span):
-                width = min(span, ncb - base)
-                sel = (tj >= base) & (tj < base + width)
-                if not sel.any():
-                    continue
+            for base, width, sel in pruning.iter_col_windows(tj, ncb,
+                                                             span):
+                stats["col_partitions"] += 1
                 ti_d, tj_d, per_dev = pruning.split_tiles_balanced(
                     ti[sel], tj[sel], n_dev, pad_mode="noop")
                 per_dev_total += per_dev
@@ -743,11 +745,8 @@ class DensityEngine:
                 # results fold through the idempotent lexicographic min
                 per_dev_total = np.zeros(n_dev, dtype=np.int64)
                 out = None
-                for base in range(0, ncb, span):
-                    width = min(span, ncb - base)
-                    sel = (tj >= base) & (tj < base + width)
-                    if not sel.any():
-                        continue
+                for base, width, sel in pruning.iter_col_windows(
+                        tj, ncb, span):
                     # pad/fill tiles must sit INSIDE the window (the
                     # column accumulator only spans it)
                     fill = (int(ti[sel][0]), int(tj[sel][0]))
@@ -981,8 +980,8 @@ class DensityEngine:
                 oid[:n] = (np.arange(n, dtype=np.int32) if order is None
                            else order)
                 layouts[name] = (order, padded,
-                                 jnp.asarray(fe_padded).reshape(1, n_pad),
-                                 jnp.asarray(oid).reshape(1, n_pad))
+                                 self._put(fe_padded.reshape(1, n_pad)),
+                                 self._put(oid.reshape(1, n_pad)))
             return layouts[name]
 
         nrb, ncb = n_pad // self.row_block, n_pad // self.col_block
@@ -1045,7 +1044,7 @@ class DensityEngine:
                 acts_host, spec_words = jax.device_get((acts_words,
                                                         spec[4]))
             else:
-                acts_host = jax.device_get(acts_words)
+                acts_host = self._get(acts_words)
             acts = pruning.unpack_planes(acts_host, ncb)
             best = None
             for idx, name in enumerate(names):
@@ -1150,8 +1149,8 @@ class DensityEngine:
         elif _nn_finish_mode(n) == "host":
             # ids-only download; distances recomputed on host
             # (rationale in _nn_finish_mode)
-            jj = np.asarray(jax.device_get(_nn_finish_idx(
-                out_idx_dev, self._ub_perm(order_name, "orig"), n)))
+            jj = self._get(_nn_finish_idx(
+                out_idx_dev, self._ub_perm(order_name, "orig"), n))
         else:
             # all-device finish (default): ids + distances in one fused
             # fetch -- paired A/B at N=2^20 through the remote tunnel
@@ -1165,9 +1164,9 @@ class DensityEngine:
                 # scalar readback = device-done barrier (~33ms through the
                 # tunnel; block_until_ready is unreliable there): splits
                 # the sweep segment into kernel time vs result download
-                _ = int(np.asarray(jax.device_get(fused_dev[:1, :1]))[0, 0])
+                _ = int(self._get(fused_dev[:1, :1])[0, 0])
                 stats["t_kernel"] = time.perf_counter() - t0
-            fused = np.asarray(jax.device_get(fused_dev))
+            fused = self._get(fused_dev)
             jj = fused[:2]
             dd = fused[2:].view(np.float32)
         stats["t_sweep"] = time.perf_counter() - t0

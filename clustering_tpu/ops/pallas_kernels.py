@@ -502,11 +502,7 @@ def pops_tiles_bidir_all(coords_t, radii2, n_valid, tile_i, tile_j, rmask,
         keep = tj_f >= 0
         ti_f, tj_f, rm_f = ti_f[keep], tj_f[keep], rm_f[keep]
         acc = None
-        for base in range(0, ncb, span):
-            width = min(span, ncb - base)
-            sel = (tj_f >= base) & (tj_f < base + width)
-            if not sel.any():
-                continue
+        for base, width, sel in pruning.iter_col_windows(tj_f, ncb, span):
             ti_p, tj_p, rm_p = _chunk_flat_noop(ti_f[sel], tj_f[sel],
                                                 rm_f[sel])
             part = run_range(ti_p, tj_p, rm_p, base, width)
@@ -880,11 +876,7 @@ def nn_tiles_bidir_all(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
     keep[1:] = (ti_f[1:] != ti_f[:-1]) | (tj_f[1:] != tj_f[:-1])
     ti_f, tj_f = ti_f[keep], tj_f[keep]
     out = None
-    for base in range(0, ncb, span):
-        width = min(span, ncb - base)
-        sel = (tj_f >= base) & (tj_f < base + width)
-        if not sel.any():
-            continue
+    for base, width, sel in pruning.iter_col_windows(tj_f, ncb, span):
         ti_p, tj_p = _chunk_flat(ti_f[sel], tj_f[sel])
         part = run_range(ti_p, tj_p, base, width)
         out = part if out is None else _lex_min2(out, part)

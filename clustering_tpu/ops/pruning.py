@@ -363,6 +363,21 @@ def split_tiles_balanced(ti, tj, n_dev, pad_mode="repeat",
     return ti_dev, tj_dev, counts
 
 
+def iter_col_windows(tj, ncb, span):
+    """Yield (base, width, sel) for each column-range window
+    [base, base+width) of the bidirectional sweeps' accumulator
+    partitioning that holds at least one tile of the flat ``tj`` list
+    (each real tile lands in exactly one window; empty windows dispatch
+    nothing). The one policy shared by the single-chip
+    pops/nn_tiles_bidir_all dispatchers and the engine's mesh loops."""
+    tj = np.asarray(tj)
+    for base in range(0, ncb, span):
+        width = min(span, ncb - base)
+        sel = (tj >= base) & (tj < base + width)
+        if sel.any():
+            yield base, width, sel
+
+
 def no_skip_words(n_row_blocks, n_col_blocks):
     words_per_row = -(-n_col_blocks // WORD_BITS)
     return (np.zeros(n_row_blocks * words_per_row, dtype=np.int32),

@@ -251,24 +251,16 @@ def populations(coords, radii, mesh,
         ti, tj = np.nonzero(active)
         ti_dev, tj_dev, _ = pruning.split_tiles_balanced(
             ti, tj, n_dev, pad_mode="noop")
-        if bidir:
-            rmask_dev = np.where(tj_dev >= 0,
-                                 np.int32((1 << len(radii)) - 1),
-                                 np.int32(0))
-            counts = _pops_sharded_bidir(
-                replicated(padded.T, mesh), radii2, jnp.int32(n),
-                replicated(ti_dev, mesh), replicated(tj_dev, mesh),
-                replicated(rmask_dev, mesh), mesh,
-                row_block=row_block, col_block=col_block)
-        else:
-            rmask_dev = np.where(tj_dev >= 0,
-                                 np.int32((1 << len(radii)) - 1),
-                                 np.int32(0))
-            counts = _pops_sharded_sparse(
-                replicated(padded.T, mesh), radii2, jnp.int32(n),
-                replicated(ti_dev, mesh), replicated(tj_dev, mesh),
-                replicated(rmask_dev, mesh), mesh,
-                row_block=row_block, col_block=col_block)
+        # pads (tj = -1) carry mask 0 and skip the whole tile body
+        rmask_dev = np.where(tj_dev >= 0,
+                             np.int32((1 << len(radii)) - 1),
+                             np.int32(0))
+        fn = _pops_sharded_bidir if bidir else _pops_sharded_sparse
+        counts = fn(
+            replicated(padded.T, mesh), radii2, jnp.int32(n),
+            replicated(ti_dev, mesh), replicated(tj_dev, mesh),
+            replicated(rmask_dev, mesh), mesh,
+            row_block=row_block, col_block=col_block)
         counts = fetch(counts)[:, :n]
         unsorted = np.empty_like(counts)
         unsorted[:, order] = counts

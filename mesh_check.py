@@ -168,6 +168,9 @@ def main():
         all(np.array_equal(pops1[r], pops3[r]) for r in RADII))
     checks["nn_partitioned_idx_equal"] = bool(
         np.array_equal(nn1[0], nn3[0]) and np.array_equal(nn1[2], nn3[2]))
+    part_dist_eq = bool(
+        np.array_equal(nn1[1], nn3[1]) and np.array_equal(nn1[3], nn3[3]))
+    checks["nn_partitioned_dist_equal"] = part_dist_eq
     if not dist_eq:
         # On real hardware both paths run the same Mosaic kernel and the
         # distances must be bit-identical. Under CPU *interpret* mode the
@@ -186,6 +189,10 @@ def main():
     required = dict(checks)
     if platform == "cpu" and not dist_eq:
         required.pop("nn_dist_equal")
+    if platform == "cpu" and not part_dist_eq:
+        # same XLA:CPU fma-contraction class as nn_dist_equal above;
+        # on real hardware the windowed sweeps must be bit-identical
+        required.pop("nn_partitioned_dist_equal")
     result["ok"] = all(required.values())
     print(json.dumps(result, indent=1))
     with open(OUT, "w") as fh:
