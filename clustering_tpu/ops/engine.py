@@ -730,55 +730,8 @@ class DensityEngine:
         lexicographic pmin over ICI, so the return contract is identical."""
         from . import pallas_kernels as pk
         if self.mesh is not None:
-            from ..parallel import sharded
-            from ..parallel.mesh import mesh_size, replicated
-            ti, tj = np.nonzero(active)
-            n_dev = mesh_size(self.mesh)
-            ncb = self.n_pad // self.col_block
-            span = ncb
-            if bidir:
-                span = max(int(self.NN_BIDIR_SCRATCH_CAP
-                               // (self.col_block * 16)), 1)
-            if bidir and span < ncb:
-                # column-range partitioning (mesh analog of
-                # nn_tiles_bidir_all): per-chip scratch bounded, window
-                # results fold through the idempotent lexicographic min
-                per_dev_total = np.zeros(n_dev, dtype=np.int64)
-                out = None
-                for base, width, sel in pruning.iter_col_windows(
-                        tj, ncb, span):
-                    # pad/fill tiles must sit INSIDE the window (the
-                    # column accumulator only spans it)
-                    fill = (int(ti[sel][0]), int(tj[sel][0]))
-                    ti_d, tj_d, per_dev = pruning.split_tiles_balanced(
-                        ti[sel], tj[sel], n_dev, pad_mode="repeat",
-                        fill=fill)
-                    per_dev_total += per_dev
-                    od, oj, cd, cj = sharded._nn_sharded_bidir_window(
-                        self._device(order_name), fe_dev, oid_dev,
-                        jnp.int32(self.n),
-                        replicated(ti_d, self.mesh),
-                        replicated(tj_d, self.mesh),
-                        jnp.int32(base), self.mesh,
-                        row_block=self.row_block,
-                        col_block=self.col_block, col_span=width)
-                    placed = pk._place_cols(cd, cj,
-                                            base * self.col_block,
-                                            self.n_pad)
-                    part = pk._lex_min2((od, oj), placed)
-                    out = part if out is None else pk._lex_min2(out, part)
-                self._last_mesh_tiles = per_dev_total
-                return out
-            ti_d, tj_d, per_dev = pruning.split_tiles_balanced(
-                ti, tj, n_dev, pad_mode="repeat")
-            self._last_mesh_tiles = per_dev
-            fn = (sharded._nn_sharded_bidir if bidir
-                  else sharded._nn_sharded_sparse)
-            return fn(self._device(order_name), fe_dev, oid_dev,
-                      jnp.int32(self.n),
-                      replicated(ti_d, self.mesh),
-                      replicated(tj_d, self.mesh), self.mesh,
-                      row_block=self.row_block, col_block=self.col_block)
+            return self._nn_dispatch_mesh(self._device(order_name),
+                                          fe_dev, oid_dev, active, bidir)
         tiles = pruning.tile_list(active)
         if bidir:
             return pk.nn_tiles_bidir_all(
@@ -791,6 +744,62 @@ class DensityEngine:
                                       tiles[0], tiles[1],
                                       row_block=self.row_block,
                                       col_block=self.col_block)
+
+    def _nn_dispatch_mesh(self, coords_dev, fe_dev, oid_dev, active,
+                          bidir):
+        """Balanced shard_map dispatch of an NN tile sweep over ANY
+        mesh-replicated (D, N_pad) layout (the identity order or the
+        tiered (tier, spatial) re-sort): the tile list is round-robin
+        balanced over chips and partial results merge with the two-step
+        lexicographic pmin over ICI. Bidirectional sweeps whose per-chip
+        column accumulator outgrows NN_BIDIR_SCRATCH_CAP split into
+        column-range windows (mesh analog of nn_tiles_bidir_all) whose
+        results fold through the idempotent lexicographic min. Returns
+        ((2, N_pad) d, (2, N_pad) j) like the single-chip dispatchers."""
+        from . import pallas_kernels as pk
+        from ..parallel import sharded
+        from ..parallel.mesh import mesh_size, replicated
+        ti, tj = np.nonzero(active)
+        n_dev = mesh_size(self.mesh)
+        ncb = self.n_pad // self.col_block
+        span = ncb
+        if bidir:
+            span = max(int(self.NN_BIDIR_SCRATCH_CAP
+                           // (self.col_block * 16)), 1)
+        if bidir and span < ncb:
+            per_dev_total = np.zeros(n_dev, dtype=np.int64)
+            out = None
+            for base, width, sel in pruning.iter_col_windows(
+                    tj, ncb, span):
+                # pad/fill tiles must sit INSIDE the window (the
+                # column accumulator only spans it)
+                fill = (int(ti[sel][0]), int(tj[sel][0]))
+                ti_d, tj_d, per_dev = pruning.split_tiles_balanced(
+                    ti[sel], tj[sel], n_dev, pad_mode="repeat",
+                    fill=fill)
+                per_dev_total += per_dev
+                od, oj, cd, cj = sharded._nn_sharded_bidir_window(
+                    coords_dev, fe_dev, oid_dev, jnp.int32(self.n),
+                    replicated(ti_d, self.mesh),
+                    replicated(tj_d, self.mesh),
+                    jnp.int32(base), self.mesh,
+                    row_block=self.row_block,
+                    col_block=self.col_block, col_span=width)
+                placed = pk._place_cols(cd, cj, base * self.col_block,
+                                        self.n_pad)
+                part = pk._lex_min2((od, oj), placed)
+                out = part if out is None else pk._lex_min2(out, part)
+            self._last_mesh_tiles = per_dev_total
+            return out
+        ti_d, tj_d, per_dev = pruning.split_tiles_balanced(
+            ti, tj, n_dev, pad_mode="repeat")
+        self._last_mesh_tiles = per_dev
+        fn = (sharded._nn_sharded_bidir if bidir
+              else sharded._nn_sharded_sparse)
+        return fn(coords_dev, fe_dev, oid_dev, jnp.int32(self.n),
+                  replicated(ti_d, self.mesh),
+                  replicated(tj_d, self.mesh), self.mesh,
+                  row_block=self.row_block, col_block=self.col_block)
 
     def _nn_tiered_plan(self, winner, band_name, band_out, fe, layout,
                         tier_qs):
@@ -881,7 +890,7 @@ class DensityEngine:
         if words is None:
             # the only host round-trip of the plan: the packed active
             # mask (1/32nd of the bool matrix through the tunnel)
-            words = jax.device_get(active_dev)
+            words = self._get(active_dev)
         active = pruning.bidir_closure(
             pruning.unpack_planes(words, n_pad // cb), rb, cb)
         n_active = int(active.sum())
@@ -890,11 +899,19 @@ class DensityEngine:
             tiles = pruning.tile_list(active)
             if tiles is None:
                 return None
-            out = pk.nn_tiles_bidir_all(
-                rows_t, fe_rows.reshape(1, n_pad),
-                oid_rows.reshape(1, n_pad), np.int32(n),
-                tiles[0], tiles[1], row_block=rb, col_block=cb,
-                max_acc_bytes=self.NN_BIDIR_SCRATCH_CAP)
+            if self.mesh is not None:
+                # the tiered layout arrays are replicated mesh-global
+                # (jitted from replicated inputs), so the same balanced
+                # shard_map dispatch sweeps the re-sorted frame set
+                out = self._nn_dispatch_mesh(
+                    rows_t, fe_rows.reshape(1, n_pad),
+                    oid_rows.reshape(1, n_pad), active, bidir=True)
+            else:
+                out = pk.nn_tiles_bidir_all(
+                    rows_t, fe_rows.reshape(1, n_pad),
+                    oid_rows.reshape(1, n_pad), np.int32(n),
+                    tiles[0], tiles[1], row_block=rb, col_block=cb,
+                    max_acc_bytes=self.NN_BIDIR_SCRATCH_CAP)
             # ids are original frame ids at tiered positions; re-lay to
             # winner positions on device
             return _unpermute_cols(out[1], perm)
@@ -1035,14 +1052,18 @@ class DensityEngine:
             # across reps of a production series -- falling back to the
             # band order on the first call.
             spec = spec_words = spec_name = None
-            if (tier_qs == "auto" and nn_bidir and self.mesh is None
+            if (tier_qs == "auto" and nn_bidir
                     and n >= self.TIERED_MIN_FRAMES):
                 spec_name = self._nn_spec_name or order_name
                 spec = self._nn_tiered_bidir_dispatch(
                     spec_name, order_name, out1, layout,
                     self.TIER_QS_DEFAULT)
-                acts_host, spec_words = jax.device_get((acts_words,
-                                                        spec[4]))
+                if self.mesh is not None:
+                    acts_host = self._get(acts_words)
+                    spec_words = self._get(spec[4])
+                else:
+                    acts_host, spec_words = jax.device_get((acts_words,
+                                                            spec[4]))
             else:
                 acts_host = self._get(acts_words)
             acts = pruning.unpack_planes(acts_host, ncb)
@@ -1082,11 +1103,14 @@ class DensityEngine:
             # (tier, spatial) re-sort so the upper-triangular sweep
             # composes with the tier bounds; unidirectional sweeps use
             # the row-only re-sort against the cached winner columns
-            # the tiered variants are single-device programs (their
-            # re-sorts and masked dispatches never went through
-            # shard_map); under a mesh phase 2 stays block-bound
+            # the BIDIRECTIONAL tiered plan runs under a mesh too (its
+            # device programs are jitted from replicated inputs and its
+            # sweep goes through _nn_dispatch_mesh); the unidirectional
+            # cross-sweep variant stays single-device, so a mesh without
+            # bidir keeps the block-bound phase 2
             if (tier_qs == "auto" and n >= self.TIERED_MIN_FRAMES
-                    and plan_worthwhile and self.mesh is None):
+                    and plan_worthwhile
+                    and (nn_bidir or self.mesh is None)):
                 if nn_bidir and spec is not None and order_name == spec_name:
                     # the speculative dispatch was for this exact winner
                     # and its mask already arrived with the acts fetch
@@ -1104,7 +1128,8 @@ class DensityEngine:
                 if ((block_tiles - est) * float(tile_pairs)
                         > self.TIERED_MIN_SAVED_PAIRS):
                     plan = (est, run_tiered)
-            elif tier_qs not in (None, "auto") and self.mesh is None:
+            elif (tier_qs not in (None, "auto")
+                    and (nn_bidir or self.mesh is None)):
                 if nn_bidir:
                     plan = self._nn_tiered_bidir_plan(
                         order_name, band_name, band_out, layout, tier_qs)

@@ -257,6 +257,34 @@ def test_engine_mesh_nearest_neighbors(mesh8, blobs):
     assert len(meshed._last_mesh_tiles) == 8
 
 
+def test_engine_mesh_nn_tiered(mesh8, blobs):
+    """The tiered BIDIRECTIONAL phase 2 under a mesh: the (tier,
+    spatial) re-sorted layout is mesh-replicated and its sweep dispatches
+    through the balanced shard_map programs — exact results, tiered mode
+    recorded."""
+    pops = ops.populations(blobs, [0.4], row_block=32, col_block=64)[0.4]
+    fe = ops.free_energies(pops)
+    qs = (0.5, 0.9)
+    single = ops.engine.DensityEngine(blobs, row_block=8, col_block=16,
+                                      backend="pallas")
+    meshed = ops.engine.DensityEngine(blobs, row_block=8, col_block=16,
+                                      backend="pallas", mesh=mesh8)
+    want = single.nearest_neighbors(fe, tier_qs=qs)
+    got = meshed.nearest_neighbors(fe, tier_qs=qs)
+    assert single.last_stats["nn"]["mode"] == "tiered"
+    assert meshed.last_stats["nn"]["mode"] == "tiered"
+    np.testing.assert_array_equal(want[0], got[0])
+    np.testing.assert_array_equal(want[2], got[2])
+    np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
+    np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
+    # and the tiered mesh result equals the block-bound mesh result
+    plain = ops.engine.DensityEngine(blobs, row_block=8, col_block=16,
+                                     backend="pallas",
+                                     mesh=mesh8).nearest_neighbors(fe)
+    for i in range(4):
+        np.testing.assert_array_equal(got[i], plain[i])
+
+
 def test_engine_mesh_pops_bidir_partitioned(mesh8, blobs, monkeypatch):
     """Above the per-chip column-accumulator budget the mesh bidir pops
     sweep splits into column-range partitions (each window's psum-merged
