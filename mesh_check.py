@@ -115,6 +115,12 @@ def main():
     result["stages"]["pops_mesh"] = round(t, 3)
     t, nn2 = _best_of(lambda: meng.nearest_neighbors(fe))
     result["stages"]["nn_mesh"] = round(t, 3)
+    # tiered bidirectional phase 2 under the mesh (explicit quantiles;
+    # the auto gate needs larger N to deem the plan worthwhile)
+    tqs = (0.5, 0.9, 0.99)
+    t, nn2t = _best_of(lambda: meng.nearest_neighbors(fe, tier_qs=tqs))
+    result["stages"]["nn_mesh_tiered"] = round(t, 3)
+    assert meng.last_stats["nn"]["mode"] == "tiered", meng.last_stats["nn"]
     series2 = ops.screening.ThresholdSeriesScreener(
         coords, fe, THRESHOLDS, row_block=ROW_BLOCK, col_block=COL_BLOCK,
         backend="pallas", mesh=mesh, hd_neighbors=(nn2[2], nn2[3]))
@@ -163,6 +169,11 @@ def main():
     dist_eq = bool(
         np.array_equal(nn1[1], nn2[1]) and np.array_equal(nn1[3], nn2[3]))
     checks["nn_dist_equal"] = dist_eq
+    checks["nn_tiered_idx_equal"] = bool(
+        np.array_equal(nn1[0], nn2t[0]) and np.array_equal(nn1[2], nn2t[2]))
+    tiered_dist_eq = bool(
+        np.array_equal(nn1[1], nn2t[1]) and np.array_equal(nn1[3], nn2t[3]))
+    checks["nn_tiered_dist_equal"] = tiered_dist_eq
     checks["screening_bit_equal"] = bool(np.array_equal(clust1, clust2))
     checks["pops_partitioned_bit_equal"] = bool(
         all(np.array_equal(pops1[r], pops3[r]) for r in RADII))
@@ -193,6 +204,8 @@ def main():
         # same XLA:CPU fma-contraction class as nn_dist_equal above;
         # on real hardware the windowed sweeps must be bit-identical
         required.pop("nn_partitioned_dist_equal")
+    if platform == "cpu" and not tiered_dist_eq:
+        required.pop("nn_tiered_dist_equal")
     result["ok"] = all(required.values())
     print(json.dumps(result, indent=1))
     with open(OUT, "w") as fh:
