@@ -567,10 +567,11 @@ long long format_g_rows(const float* v, long long n_rows, long long n_cols,
 // from its kernels: src/density_clustering.cpp:256-286 -- it never
 // pays a device->host link for them; this keeps the link payload to
 // the ids alone).
-void nn_finish_host(const float* coords, long long n_frames, long long d,
-                    const int* jj, long long n,
-                    long long* nh_j, long long* hd_j,
-                    float* nh_d, float* hd_d) {
+void nn_finish_host_range(const float* coords, long long n_frames,
+                          long long d, const int* jj, long long n,
+                          long long frame0,
+                          long long* nh_j, long long* hd_j,
+                          float* nh_d, float* hd_d) {
   const int kAbsent = 2147483647;
   for (int row = 0; row < 2; ++row) {
     const int* ids = jj + row * n;
@@ -586,7 +587,9 @@ void nn_finish_host(const float* coords, long long n_frames, long long d,
         continue;
       }
       out_j[i] = j;
-      const float* a = coords + i * d;
+      // ids[i] belongs to global frame frame0 + i (streamed finish
+      // passes frame-range chunks of the full download)
+      const float* a = coords + (frame0 + i) * d;
       const float* b = coords + (long long)j * d;
       float acc = 0.0f;
       for (long long k = 0; k < d; ++k) {
@@ -596,6 +599,14 @@ void nn_finish_host(const float* coords, long long n_frames, long long d,
       out_d[i] = acc;
     }
   }
+}
+
+void nn_finish_host(const float* coords, long long n_frames, long long d,
+                    const int* jj, long long n,
+                    long long* nh_j, long long* hd_j,
+                    float* nh_d, float* hd_d) {
+  nn_finish_host_range(coords, n_frames, d, jj, n, 0, nh_j, hd_j, nh_d,
+                       hd_d);
 }
 
 // pops-finish host postlude: scatter each radius's int32 count row

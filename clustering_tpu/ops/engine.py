@@ -152,6 +152,34 @@ def _nn_finish_idx(out_j, inv_pos, n):
     return out_j[:, inv_pos[:n]]
 
 
+def _nn_finish_chunks(n):
+    """Chunk count for the streamed host finish: the ids download and the
+    native distance recompute overlap chunk-by-chunk (fetch k+1 streams
+    while k recomputes), so the host pass hides under the transfer
+    instead of following it. Default 1 = off: through the axon tunnel a
+    paired best-of-3 A/B at 2^20 measured 4-chunk streaming SLOWER
+    (1.70s vs 1.55s total NN) -- each extra D2H round-trip costs more
+    than the ~0.1-0.3s recompute it hides. Opt in via
+    CLUSTERING_TPU_NN_FINISH_CHUNKS on locally-attached chips at >4M
+    frames, where per-transfer latency is ~zero and the recompute
+    grows with N."""
+    env = os.environ.get("CLUSTERING_TPU_NN_FINISH_CHUNKS")
+    if env:
+        return max(int(env), 1)
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("n", "k_chunks"))
+def _nn_finish_idx_chunked(out_j, inv_pos, n, k_chunks):
+    """_nn_finish_idx split into ``k_chunks`` frame-range outputs from ONE
+    compiled program (separate outputs = separately fetchable buffers; a
+    host-side slice of one download could not overlap its transfer)."""
+    full = out_j[:, inv_pos[:n]]
+    step = -(-n // k_chunks)
+    return tuple(full[:, a:min(a + step, n)]
+                 for a in range(0, n, step))
+
+
 def _nn_finish_mode(n):
     """Pick the NN finish: "host" = ids-only download + host distance
     recompute, "device" = fused ids+distances fetch.
@@ -482,7 +510,12 @@ class DensityEngine:
             # with the native lib that is the ids-only host finish, not
             # the fused device one)
             if _nn_finish_mode(n) == "host":
-                _nn_finish_idx(ids0, perm0, n)
+                k_chunks = _nn_finish_chunks(n)
+                if (k_chunks > 1 and self.mesh is None
+                        and textio_native.available()):
+                    _nn_finish_idx_chunked(ids0, perm0, n, k_chunks)
+                else:
+                    _nn_finish_idx(ids0, perm0, n)
             else:
                 _nn_finish(ids0, perm0, coords0, n)
         except Exception:  # best-effort: a warm miss only delays compiles
@@ -1012,7 +1045,9 @@ class DensityEngine:
         # sub-stage wall clocks (each segment ends at a host sync, so the
         # deltas are real): band = banded pass + row-ub readback, plan =
         # phase-2 planning incl. tiered-mask readback, sweep = phase-2
-        # kernel + index download, host = unpermute + distance recompute
+        # kernel + index download (incl. the overlapped per-chunk
+        # distance recompute when the finish streams), host = the
+        # remaining postlude (full recompute when not streamed)
         t0 = time.perf_counter()
         nn_bidir = self._nn_bidir_ok()
         if prune and ncb > 2 * band_blocks:
@@ -1168,14 +1203,51 @@ class DensityEngine:
                 out_idx_dev = out[1]
         imax = np.iinfo(np.int32).max
         dd = None
+        streamed = None
         if out_idx_dev is None:
             jj = np.zeros((2, n), dtype=np.int32)
             dd = np.zeros((2, n), dtype=np.float32)
         elif _nn_finish_mode(n) == "host":
             # ids-only download; distances recomputed on host
             # (rationale in _nn_finish_mode)
-            jj = self._get(_nn_finish_idx(
-                out_idx_dev, self._ub_perm(order_name, "orig"), n))
+            k_chunks = _nn_finish_chunks(n)
+            if (k_chunks > 1 and self.mesh is None
+                    and textio_native.available()):
+                # streamed finish: every chunk's D2H copy is enqueued
+                # up-front, then chunk k's native distance recompute runs
+                # while chunk k+1 is still in flight -- the host pass
+                # hides under the (tunnel-bound) ids download
+                chunks = _nn_finish_idx_chunked(
+                    out_idx_dev, self._ub_perm(order_name, "orig"), n,
+                    k_chunks)
+                for c in chunks:
+                    c.copy_to_host_async()
+                if os.environ.get("CLUSTERING_TPU_PROFILE_SUBSTAGES"):
+                    _ = int(np.asarray(chunks[0][:1, :1])[0, 0])
+                    stats["t_kernel"] = time.perf_counter() - t0
+                parts, hosts, base = [], [], 0
+                for c in chunks:
+                    h = np.asarray(c)  # blocks until THIS chunk lands
+                    hosts.append(h)
+                    parts.append(textio_native.nn_finish(
+                        self.coords, h, frame0=base))
+                    base += h.shape[1]
+                if all(p is not None for p in parts):
+                    streamed = tuple(
+                        np.concatenate([p[i] for p in parts])
+                        for i in range(4))
+                    jj = None
+                else:  # stale .so without nn_finish_host: numpy path
+                    jj = np.concatenate(hosts, axis=1)
+            else:
+                idx_dev = _nn_finish_idx(
+                    out_idx_dev, self._ub_perm(order_name, "orig"), n)
+                if os.environ.get("CLUSTERING_TPU_PROFILE_SUBSTAGES"):
+                    # scalar readback = device-done barrier (see the fused
+                    # branch below): kernel time vs ids download
+                    _ = int(self._get(idx_dev[:1, :1])[0, 0])
+                    stats["t_kernel"] = time.perf_counter() - t0
+                jj = self._get(idx_dev)
         else:
             # all-device finish (default): ids + distances in one fused
             # fetch -- paired A/B at N=2^20 through the remote tunnel
@@ -1196,7 +1268,11 @@ class DensityEngine:
             dd = fused[2:].view(np.float32)
         stats["t_sweep"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        if dd is None:
+        if streamed is not None:
+            # streamed finish: recompute already overlapped the download
+            # (counted under t_sweep); only the chunk concatenation is left
+            nh_j, hd_j, nh_d, hd_d = streamed
+        elif dd is None:
             # host recompute path: ids still carry IMAX for absent frames
             native = textio_native.nn_finish(self.coords, jj)
             if native is not None:

@@ -128,15 +128,18 @@ def parse_tokens(body: bytes, np_dtype):
     return out[:int(got)]
 
 
-def nn_finish(coords, jj):
+def nn_finish(coords, jj, frame0=0):
     """NN-finish host postlude: zeroed int64 id rows + fp32 squared
     distances recomputed from ``coords`` (n, d) for the raw (2, n) int32
     id download ``jj`` (INT32_MAX = no admissible neighbor). One native
     pass, bit-identical to the numpy fallback in ops/engine.py (see
-    native/textio.cpp::nn_finish_host). Returns (nh_j, hd_j, nh_d, hd_d)
-    or None when the native library is unavailable/stale."""
+    native/textio.cpp::nn_finish_host). ``frame0``: global frame id of
+    ``jj``'s first column (the streamed finish passes frame-range
+    chunks). Returns (nh_j, hd_j, nh_d, hd_d) or None when the native
+    library is unavailable/stale."""
     lib = _load()
-    if lib is None or not hasattr(lib, "nn_finish_host"):
+    sym = "nn_finish_host_range" if frame0 else "nn_finish_host"
+    if lib is None or not hasattr(lib, sym):
         return None
     c = np.ascontiguousarray(coords, dtype=np.float32)
     ids = np.ascontiguousarray(jj, dtype=np.int32)
@@ -147,12 +150,15 @@ def nn_finish(coords, jj):
     hd_d = np.empty(n, dtype=np.float32)
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int)
-    lib.nn_finish_host(c.ctypes.data_as(f32p), _LL(c.shape[0]),
-                       _LL(c.shape[1]), ids.ctypes.data_as(i32p), _LL(n),
-                       nh_j.ctypes.data_as(_I64P),
-                       hd_j.ctypes.data_as(_I64P),
-                       nh_d.ctypes.data_as(f32p),
-                       hd_d.ctypes.data_as(f32p))
+    args = [c.ctypes.data_as(f32p), _LL(c.shape[0]),
+            _LL(c.shape[1]), ids.ctypes.data_as(i32p), _LL(n)]
+    if frame0:
+        args.append(_LL(frame0))
+    getattr(lib, sym)(*args,
+                      nh_j.ctypes.data_as(_I64P),
+                      hd_j.ctypes.data_as(_I64P),
+                      nh_d.ctypes.data_as(f32p),
+                      hd_d.ctypes.data_as(f32p))
     return nh_j, hd_j, nh_d, hd_d
 
 

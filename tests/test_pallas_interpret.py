@@ -316,6 +316,29 @@ def test_engine_nn_finish_host_matches_device(monkeypatch):
     np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
 
 
+def test_engine_nn_finish_streamed_matches_plain(monkeypatch):
+    """The streamed host finish (chunked ids download overlapped with the
+    per-chunk native distance recompute) must be bit-identical to the
+    single-fetch host finish: the recompute is per-element, so chunking
+    cannot change any value. Uneven final chunk exercised (500 % 3)."""
+    from clustering_tpu.utils import textio_native
+    if not textio_native.available():
+        import pytest
+        pytest.skip("native textio unavailable")
+    coords = _bigger_blobs(n=500, seed=11)
+    eng = ops.engine.DensityEngine(coords, row_block=8, col_block=16,
+                                   backend="pallas")
+    fe = ops.free_energies(eng.populations([0.4])[0.4])
+    monkeypatch.setenv("CLUSTERING_TPU_NN_FINISH", "host")
+    monkeypatch.setenv("CLUSTERING_TPU_NN_FINISH_CHUNKS", "1")
+    want = eng.nearest_neighbors(fe)
+    monkeypatch.setenv("CLUSTERING_TPU_NN_FINISH_CHUNKS", "3")
+    got = eng.nearest_neighbors(fe)
+    for i in range(4):
+        np.testing.assert_array_equal(np.asarray(want[i]),
+                                      np.asarray(got[i]))
+
+
 def test_native_nn_finish_matches_numpy_fallback():
     """Fuzz-pin the native nn_finish postlude against the engine's numpy
     fallback semantics, including the INT32_MAX no-neighbor sentinel."""
