@@ -165,7 +165,13 @@ def _nn_finish_chunks(n):
     grows with N."""
     env = os.environ.get("CLUSTERING_TPU_NN_FINISH_CHUNKS")
     if env:
-        return max(int(env), 1)
+        try:
+            k = int(env)
+        except ValueError:
+            return 1
+        # each chunk is a separate program output + D2H fetch + native
+        # call; cap so a typo can't compile an n-output program
+        return max(min(k, 16, n), 1)
     return 1
 
 
@@ -349,13 +355,14 @@ class DensityEngine:
         return self._dev[name]
 
     def _get(self, x):
-        """Device -> host numpy; multi-process-safe when a mesh is set
-        (a replicated global array is not fully addressable on DCN
-        meshes, so jax.device_get would reject it)."""
+        """Device -> host numpy (accepts a pytree; one fused fetch);
+        multi-process-safe when a mesh is set (a replicated global array
+        is not fully addressable on DCN meshes, so jax.device_get would
+        reject it)."""
         if self.mesh is not None:
             from ..parallel.mesh import fetch
             return fetch(x)
-        return np.asarray(jax.device_get(x))
+        return jax.tree_util.tree_map(np.asarray, jax.device_get(x))
 
     def _d2b_dev(self, name):
         """Device-resident (nrb, ncb) bbox distance matrix for ``name``'s
@@ -510,9 +517,10 @@ class DensityEngine:
             # with the native lib that is the ids-only host finish, not
             # the fused device one)
             if _nn_finish_mode(n) == "host":
+                # precompile only runs without a mesh (early return
+                # above), so the runtime gate's mesh check is moot here
                 k_chunks = _nn_finish_chunks(n)
-                if (k_chunks > 1 and self.mesh is None
-                        and textio_native.available()):
+                if k_chunks > 1 and textio_native.available():
                     _nn_finish_idx_chunked(ids0, perm0, n, k_chunks)
                 else:
                     _nn_finish_idx(ids0, perm0, n)
@@ -1093,12 +1101,7 @@ class DensityEngine:
                 spec = self._nn_tiered_bidir_dispatch(
                     spec_name, order_name, out1, layout,
                     self.TIER_QS_DEFAULT)
-                if self.mesh is not None:
-                    acts_host = self._get(acts_words)
-                    spec_words = self._get(spec[4])
-                else:
-                    acts_host, spec_words = jax.device_get((acts_words,
-                                                            spec[4]))
+                acts_host, spec_words = self._get((acts_words, spec[4]))
             else:
                 acts_host = self._get(acts_words)
             acts = pruning.unpack_planes(acts_host, ncb)

@@ -46,12 +46,20 @@ def replicated(x, mesh):
 
 
 def fetch(x):
-    """Fully-replicated device array -> host numpy, multi-process safe.
+    """Fully-replicated device array(s) -> host numpy, multi-process
+    safe. Accepts a pytree: one ready-barrier for the whole tree, then
+    transfers queued back-to-back (round-trip-bound remote links pay one
+    sync, not one per array).
 
     Every process holds a complete copy of a replicated output, so one
     addressable shard is the whole array (no cross-host gather needed).
     """
     x = jax.block_until_ready(x)
-    if jax.process_count() == 1 or not hasattr(x, "addressable_shards"):
-        return np.array(jax.device_get(x))  # writable copy
-    return np.array(x.addressable_shards[0].data)
+
+    def _one(a):
+        if (jax.process_count() == 1
+                or not hasattr(a, "addressable_shards")):
+            return np.array(jax.device_get(a))  # writable copy
+        return np.array(a.addressable_shards[0].data)
+
+    return jax.tree_util.tree_map(_one, x)

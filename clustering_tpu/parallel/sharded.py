@@ -643,10 +643,11 @@ def nearest_neighbors(coords, free_energy, mesh,
                                          jnp.int32(n),
                                          mesh, row_block=row_block,
                                          col_block=col_block)
-    nh_d = fetch(nh_d)[:n]
-    nh_j = fetch(nh_j)[:n].astype(np.int64)
-    hd_d = fetch(hd_d)[:n]
-    hd_j = fetch(hd_j)[:n].astype(np.int64)
+    nh_d, nh_j, hd_d, hd_j = fetch((nh_d, nh_j, hd_d, hd_j))
+    nh_d = nh_d[:n]
+    nh_j = nh_j[:n].astype(np.int64)
+    hd_d = hd_d[:n]
+    hd_j = hd_j[:n].astype(np.int64)
     no_nh = ~np.isfinite(nh_d)
     nh_d[no_nh] = 0.0
     nh_j[no_nh] = 0
@@ -709,8 +710,7 @@ def _nearest_neighbors_pallas_mesh(coords, free_energy, mesh, row_block,
     else:
         active = np.ones((nrb, ncb), dtype=bool)
     out = run(active)
-    out_d = fetch(out[0])
-    out_j = fetch(out[1])
+    out_d, out_j = fetch((out[0], out[1]))
     nh_d, hd_d = out_d[0, :n], out_d[1, :n]
     nh_j = out_j[0, :n].astype(np.int64)
     hd_j = out_j[1, :n].astype(np.int64)
