@@ -339,6 +339,31 @@ def test_engine_nn_finish_streamed_matches_plain(monkeypatch):
                                       np.asarray(got[i]))
 
 
+def test_engine_nn_speculative_tiered(monkeypatch):
+    """The auto-tiered speculative plan on one device (the production
+    path at >=2^19 frames, thresholds lowered to fixture size): the
+    second call speculates on the first call's winning order and must
+    record a spec hit; both calls exactly match the default path."""
+    eng_cls = ops.engine.DensityEngine
+    coords = _bigger_blobs(n=600, seed=3)
+    eng0 = eng_cls(coords, row_block=8, col_block=16, backend="pallas")
+    fe = ops.free_energies(eng0.populations([0.4])[0.4])
+    want = eng0.nearest_neighbors(fe)
+    monkeypatch.setattr(eng_cls, "TIERED_MIN_FRAMES", 64)
+    monkeypatch.setattr(eng_cls, "TIERED_MIN_SAVED_PAIRS", 0)
+    eng = eng_cls(coords, row_block=8, col_block=16, backend="pallas")
+    got1 = eng.nearest_neighbors(fe)
+    got2 = eng.nearest_neighbors(fe)
+    assert eng.last_stats["nn"].get("spec_hit"), eng.last_stats["nn"]
+    for got in (got1, got2):
+        np.testing.assert_array_equal(np.asarray(want[0]),
+                                      np.asarray(got[0]))
+        np.testing.assert_array_equal(np.asarray(want[2]),
+                                      np.asarray(got[2]))
+        np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
+        np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
+
+
 def test_native_nn_finish_matches_numpy_fallback():
     """Fuzz-pin the native nn_finish postlude against the engine's numpy
     fallback semantics, including the INT32_MAX no-neighbor sentinel."""

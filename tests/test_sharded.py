@@ -285,6 +285,31 @@ def test_engine_mesh_nn_tiered(mesh8, blobs):
         np.testing.assert_array_equal(got[i], plain[i])
 
 
+def test_engine_mesh_nn_speculative_tiered(mesh8, blobs, monkeypatch):
+    """The auto-tiered SPECULATIVE plan under a mesh (the 1M-frame
+    production path, thresholds lowered to fixture size): the tiered
+    mask rides the same fused fetch as the activity planes, the second
+    call speculates on the previous winner and must record a spec hit —
+    results exactly equal to the plain single-chip engine."""
+    eng_cls = ops.engine.DensityEngine
+    pops = ops.populations(blobs, [0.4], row_block=32, col_block=64)[0.4]
+    fe = ops.free_energies(pops)
+    want = eng_cls(blobs, row_block=8, col_block=16,
+                   backend="pallas").nearest_neighbors(fe)
+    monkeypatch.setattr(eng_cls, "TIERED_MIN_FRAMES", 64)
+    monkeypatch.setattr(eng_cls, "TIERED_MIN_SAVED_PAIRS", 0)
+    meshed = eng_cls(blobs, row_block=8, col_block=16, backend="pallas",
+                     mesh=mesh8)
+    got1 = meshed.nearest_neighbors(fe)   # speculates on the band order
+    got2 = meshed.nearest_neighbors(fe)   # speculates on call 1's winner
+    assert meshed.last_stats["nn"].get("spec_hit"), meshed.last_stats["nn"]
+    for got in (got1, got2):
+        np.testing.assert_array_equal(want[0], got[0])
+        np.testing.assert_array_equal(want[2], got[2])
+        np.testing.assert_allclose(want[1], got[1], rtol=1e-6)
+        np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
+
+
 def test_engine_mesh_pops_bidir_partitioned(mesh8, blobs, monkeypatch):
     """Above the per-chip column-accumulator budget the mesh bidir pops
     sweep splits into column-range partitions (each window's psum-merged
