@@ -137,6 +137,11 @@ def main():
 
     from clustering_tpu import ops
 
+    # split the NN sweep segment into kernel vs result download (a
+    # ~33ms scalar-readback barrier per rep): the roofline story needs
+    # chip time separated from tunnel-transfer time
+    os.environ.setdefault("CLUSTERING_TPU_PROFILE_SUBSTAGES", "1")
+
     dev = jax.devices()[0]
     print(f"# bench device: {dev}", file=sys.stderr)
 
@@ -225,6 +230,15 @@ def main():
            ("t_band", "t_plan", "t_kernel", "t_sweep", "t_host")
            if k in st},
     }
+    if st.get("t_kernel"):
+        # the phase-2 sweep kernel alone, with transfer time excluded:
+        # the chip-side roofline position (the wall-clock frac above
+        # additionally pays ~0.5s of remote-tunnel transfers at 2^20)
+        p2_pairs = float(st["phase2_tiles"]) * st["tile_pairs"]
+        stages["nn"]["sweep_kernel_gpairs_per_s"] = round(
+            p2_pairs / st["t_kernel"] / 1e9, 1)
+        stages["nn"]["sweep_kernel_roofline_frac"] = round(
+            p2_pairs / st["t_kernel"] / dense_nn_rate, 3)
     total_eff_pairs += float(N) * N
     total_computed += computed
     total_time += t_nn
