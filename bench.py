@@ -13,10 +13,14 @@ are actually computed, so the JSON also carries true compute accounting:
   computed_gpairs_per_s -- post-pruning tiles actually swept, per second
   kernel_roofline_frac  -- computed-pair rate vs this chip's measured
                            dense-kernel ceiling (same kernel, pruning
-                           disabled, all tiles computed): how far the
-                           pruned pipeline runs from the kernel's own
-                           speed of light on this hardware
-  stage breakdown       -- per-stage seconds, effective and computed rates
+                           disabled, all tiles computed, KERNEL TIME
+                           ONLY since round 3): how far the pruned
+                           pipeline runs from the kernel's own speed of
+                           light on this hardware
+  stage breakdown       -- per-stage seconds, effective and computed
+                           rates, sub-stage walls (plan/kernel/sweep/
+                           host) and the sweep kernel's own roofline
+                           position with transfer time excluded
 
 Baseline: the reference publishes no numbers (BASELINE.md), so we compare
 against an optimistic roofline estimate of its CUDA backend on the
@@ -94,9 +98,10 @@ def _best_of(fn, reps, max_reps=None):
 def calibrate_dense_rate(ops):
     """This chip's dense-kernel ceiling: the same fused pops/NN/screening
     kernels with pruning disabled (every tile computed), in computed
-    pairs/s. The pruned pipeline's computed-pair rate over this is the
-    fraction of the kernel's own speed of light the production path
-    sustains."""
+    pairs/s -- kernel time only (device-done barrier), so the ceiling is
+    the kernel's own speed of light, not kernel + result download. The
+    pruned pipeline's computed-pair rate over this is the fraction of
+    that speed of light the production path sustains."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -105,9 +110,25 @@ def calibrate_dense_rate(ops):
     eng = ops.engine.DensityEngine(coords, row_block=ROW_BLOCK,
                                    col_block=COL_BLOCK)
     pairs = float(eng.n_pad) * eng.n_pad
-    t_pops, _ = _best_of(lambda: eng.populations(RADII, prune=False), 2)
-    fe = ops.free_energies(eng.populations(RADII, prune=False)[RADII[0]])
-    t_nn, _ = _best_of(lambda: eng.nearest_neighbors(fe, prune=False), 2)
+
+    # kernel-only ceilings when the substage barrier is on: the dense
+    # run's wall otherwise includes its own result download + host
+    # finish, understating the kernel's true rate (which made the
+    # production bidir kernels measure >1.0 of the "ceiling")
+    def _pops_cal():
+        out = eng.populations(RADII, prune=False)
+        return out, eng.last_stats.get("populations", {}).get("t_kernel")
+
+    t_pops, (pops_cal, tk) = _best_of(_pops_cal, 2)
+    t_pops = tk or t_pops
+    fe = ops.free_energies(pops_cal[RADII[0]])
+
+    def _nn_cal():
+        out = eng.nearest_neighbors(fe, prune=False)
+        return out, eng.last_stats.get("nn", {}).get("t_kernel")
+
+    t_nn, (_, tk) = _best_of(_nn_cal, 2)
+    t_nn = tk or t_nn
     # screening sweep ceiling: one full-grid label-min sweep (the same
     # kernel the fixpoint dispatches, every tile computed)
     from clustering_tpu.ops import pruning, screening as scr
@@ -181,23 +202,35 @@ def main():
     # --- populations (multi-radius, one sweep) ---
     # steady state = best of REPS timed calls (one compile amortizes over
     # a production run; the min damps tunnel jitter)
-    t_pops, pops = _best_of(lambda: engine.populations(RADII), REPS)
-    t_pops, pops = _retry_if_wedged(
-        t_pops, pops, lambda: engine.populations(RADII), "populations",
-        dense_pops_rate)
     # XLA-fallback backends don't record tile stats (CPU smoke runs);
     # charge the full grid so the accounting stays defined
     n_tiles_full = (engine.n_pad // ROW_BLOCK) * (engine.n_pad // COL_BLOCK)
     full = {"computed_tiles": n_tiles_full,
             "tile_pairs": ROW_BLOCK * COL_BLOCK, "mode": "dense"}
-    st = engine.last_stats.get("populations", full)
+
+    def _pops_rep():
+        out = engine.populations(RADII)
+        return out, dict(engine.last_stats.get("populations", full))
+
+    t_pops, (pops, st) = _best_of(_pops_rep, REPS)
+    t_pops, (pops, st) = _retry_if_wedged(
+        t_pops, (pops, st), _pops_rep, "populations", dense_pops_rate)
     computed = float(st["computed_tiles"]) * st["tile_pairs"]
     stages["pops"] = {
         "seconds": round(t_pops, 3),
         "effective_gpairs_per_s": round(N * float(N) / t_pops / 1e9, 1),
         "computed_gpairs_per_s": round(computed / t_pops / 1e9, 1),
         "roofline_frac": round(computed / t_pops / dense_pops_rate, 3),
+        **{k: round(st[k], 3) for k in
+           ("t_plan", "t_kernel", "t_sweep", "t_host") if k in st},
     }
+    if st.get("t_kernel"):
+        # chip-side roofline: sweep kernel alone, counts download and
+        # host finish excluded (those ride the remote tunnel here)
+        stages["pops"]["sweep_kernel_gpairs_per_s"] = round(
+            computed / st["t_kernel"] / 1e9, 1)
+        stages["pops"]["sweep_kernel_roofline_frac"] = round(
+            computed / st["t_kernel"] / dense_pops_rate, 3)
     total_eff_pairs += float(N) * N
     total_computed += computed
     total_time += t_pops
@@ -323,6 +356,16 @@ def main():
                               + t_nn * dense_nn_rate
                               + t_scr * dense_scr_rate), 3),
         "wall_seconds": round(total_time, 3),
+        # round 3 on: ceilings are KERNEL-ONLY (device-done barrier on
+        # the dense calibration runs) -- stricter than the round-1/2
+        # wall-clock ceilings, so roofline fractions are not comparable
+        # across that boundary; stage walls and Gpairs/s are
+        "ceilings_gpairs_per_s": {
+            "kind": "kernel-only",
+            "pops": round(dense_pops_rate / 1e9, 1),
+            "nn": round(dense_nn_rate / 1e9, 1),
+            "screening": round(dense_scr_rate / 1e9, 1),
+        },
         "stages": stages,
     }))
 

@@ -564,6 +564,7 @@ class DensityEngine:
                                        row_block=self.row_block,
                                        col_block=self.col_block,
                                        backend=self.backend, prune=prune)
+        t0 = time.perf_counter()
         radii = list(radii)
         radii2 = jnp.asarray([np.float32(r) * np.float32(r) for r in radii],
                              dtype=jnp.float32)
@@ -605,13 +606,16 @@ class DensityEngine:
         tiles = pruning.tile_list(active, pad_mode="noop")
         rmask = self._pops_rmask(tiles[0], tiles[1], planes, len(radii),
                                  prune)
-        self.last_stats["populations"] = {
+        stats = {
             "computed_tiles": int((tiles[1] >= 0).sum()),
             "tile_pairs": self.row_block * self.col_block,
             "effective_pairs": float(self.n) * self.n,
             "mode": "bidir" if bidir else "symmetric",
         }
-        self._log_stats("pops", self.last_stats["populations"])
+        self.last_stats["populations"] = stats
+        self._log_stats("pops", stats)
+        stats["t_plan"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         if bidir:
             acc = pk.pops_tiles_bidir_all(
                 self._device(name), radii2, np.int32(self.n),
@@ -624,8 +628,17 @@ class DensityEngine:
                                            tiles[0], tiles[1], rmask=rmask,
                                            row_block=self.row_block,
                                            col_block=self.col_block)
-        return self._pops_finish(np.asarray(jax.device_get(acc)), order,
-                                 radii)
+        if os.environ.get("CLUSTERING_TPU_PROFILE_SUBSTAGES"):
+            # scalar readback = device-done barrier (same rationale as
+            # the NN substage split): kernel vs counts download
+            _ = int(self._get(acc[:1, :1])[0, 0])
+            stats["t_kernel"] = time.perf_counter() - t0
+        counts_host = np.asarray(jax.device_get(acc))
+        stats["t_sweep"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = self._pops_finish(counts_host, order, radii)
+        stats["t_host"] = time.perf_counter() - t0
+        return out
 
     def _pops_finish(self, counts_padded, order, radii):
         """Host postlude of a populations run: scatter-unsort the padded
