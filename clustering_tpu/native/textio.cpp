@@ -631,6 +631,22 @@ void pops_finish_host(const int* counts, long long r, long long n,
   }
 }
 
+// narrow variant of pops_finish_host for the engine's halved-bytes
+// uint16 counts download (valid when every per-radius maximum <= 65535)
+void pops_finish_host_u16(const unsigned short* counts, long long r,
+                          long long n, long long stride,
+                          const long long* order, long long* out) {
+  for (long long ri = 0; ri < r; ++ri) {
+    const unsigned short* src = counts + ri * stride;
+    long long* dst = out + ri * n;
+    if (order) {
+      for (long long i = 0; i < n; ++i) dst[order[i]] = src[i];
+    } else {
+      for (long long i = 0; i < n; ++i) dst[i] = src[i];
+    }
+  }
+}
+
 // One-pass dynamical-coring scan of one concat chunk: the semantics of
 // models/coring.py::core_trajectory's inner loop (itself the vectorized
 // form of reference src/coring.cpp:189-289). ``seg`` holds the chunk's

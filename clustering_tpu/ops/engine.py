@@ -628,17 +628,36 @@ class DensityEngine:
                                            tiles[0], tiles[1], rmask=rmask,
                                            row_block=self.row_block,
                                            col_block=self.col_block)
-        if os.environ.get("CLUSTERING_TPU_PROFILE_SUBSTAGES"):
-            # scalar readback = device-done barrier (same rationale as
-            # the NN substage split): kernel vs counts download
-            _ = int(self._get(acc[:1, :1])[0, 0])
-            stats["t_kernel"] = time.perf_counter() - t0
-        counts_host = np.asarray(jax.device_get(acc))
+        counts_host = self._pops_download(acc, stats, t0)
         stats["t_sweep"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         out = self._pops_finish(counts_host, order, radii)
         stats["t_host"] = time.perf_counter() - t0
         return out
+
+    # counts whose per-radius maximum fits uint16 download at half the
+    # bytes (the counts transfer is the pops stage's largest non-kernel
+    # cost through remote-TPU tunnels: 12MB -> 6MB at 1M x 3 radii);
+    # tests lower this to force the int32 fallback on small inputs
+    POPS_COUNTS_NARROW_MAX = np.iinfo(np.uint16).max
+
+    def _pops_download(self, acc, stats, t0):
+        """Fetch the (R, N_pad) int32 count accumulator, narrowed to
+        uint16 when every radius's maximum fits: the per-radius maxima
+        ride a tiny scalar fetch that doubles as the device-done barrier
+        (kernel vs download split), and the u16 copy is dispatched
+        before the barrier so the narrow path costs no extra device
+        round-trip after the decision."""
+        maxima = jnp.max(acc, axis=1)
+        acc_u16 = acc.astype(jnp.uint16)
+        mx = self._get(maxima)
+        if os.environ.get("CLUSTERING_TPU_PROFILE_SUBSTAGES"):
+            stats["t_kernel"] = time.perf_counter() - t0
+        if int(mx.max()) <= self.POPS_COUNTS_NARROW_MAX:
+            stats["counts_dtype"] = "uint16"
+            return self._get(acc_u16)
+        stats["counts_dtype"] = "int32"
+        return self._get(acc)
 
     def _pops_finish(self, counts_padded, order, radii):
         """Host postlude of a populations run: scatter-unsort the padded
@@ -738,7 +757,9 @@ class DensityEngine:
             stats["per_device_tiles"] = per_dev_total.tolist()
             self.last_stats["populations"] = stats
             self._log_stats("pops", stats)
-            return self._pops_finish(self._get(acc), order, radii)
+            return self._pops_finish(
+                self._pops_download(acc, stats, time.perf_counter()),
+                order, radii)
         ti_d, tj_d, per_dev = pruning.split_tiles_balanced(
             ti, tj, n_dev, pad_mode="noop")
         rmask_d = self._pops_rmask(ti_d, tj_d, planes, len(radii), prune)
@@ -751,7 +772,9 @@ class DensityEngine:
                  replicated(ti_d, self.mesh), replicated(tj_d, self.mesh),
                  replicated(rmask_d, self.mesh), self.mesh,
                  row_block=self.row_block, col_block=self.col_block)
-        return self._pops_finish(self._get(acc), order, radii)
+        return self._pops_finish(
+            self._pops_download(acc, stats, time.perf_counter()),
+            order, radii)
 
     # the bidirectional NN kernel holds 4 (2 x [nh; hd] x [d; j]) column
     # accumulators of N_pad lanes in VMEM; beyond this budget

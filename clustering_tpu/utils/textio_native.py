@@ -164,26 +164,35 @@ def nn_finish(coords, jj, frame0=0):
 
 def pops_finish(counts_padded, n, order):
     """Pops-finish host postlude: scatter-unsort each radius row of the
-    padded (r, n_pad) int32 device download back to original frame
-    positions (``order``: sorted position -> original id, or None) and
-    widen to int64, one native pass (see textio.cpp::pops_finish_host).
-    Returns an (r, n) int64 array, or None when the native library is
+    padded (r, n_pad) int32 OR uint16 device download back to original
+    frame positions (``order``: sorted position -> original id, or None)
+    and widen to int64, one native pass (see
+    textio.cpp::pops_finish_host / pops_finish_host_u16; the narrow
+    variant serves the engine's halved-bytes counts fetch).  Returns an
+    (r, n) int64 array, or None when the native library is
     unavailable/stale."""
     lib = _load()
     if lib is None or not hasattr(lib, "pops_finish_host"):
         return None
-    c = np.ascontiguousarray(counts_padded, dtype=np.int32)
+    narrow = (counts_padded.dtype == np.uint16
+              and hasattr(lib, "pops_finish_host_u16"))
+    if narrow:
+        c = np.ascontiguousarray(counts_padded, dtype=np.uint16)
+        fn = lib.pops_finish_host_u16
+        cptr = c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+    else:
+        c = np.ascontiguousarray(counts_padded, dtype=np.int32)
+        fn = lib.pops_finish_host
+        cptr = c.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
     r = c.shape[0]
-    i32p = ctypes.POINTER(ctypes.c_int)
     if order is None:
         optr = None
     else:
         order = np.ascontiguousarray(order, dtype=np.int64)
         optr = order.ctypes.data_as(_I64P)
     out = np.empty((r, n), dtype=np.int64)
-    lib.pops_finish_host(c.ctypes.data_as(i32p), _LL(r), _LL(n),
-                         _LL(c.shape[1]), optr,
-                         out.ctypes.data_as(_I64P))
+    fn(cptr, _LL(r), _LL(n), _LL(c.shape[1]), optr,
+       out.ctypes.data_as(_I64P))
     return out
 
 

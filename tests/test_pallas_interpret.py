@@ -418,6 +418,52 @@ def test_native_pops_finish_matches_numpy_fallback():
             cp[:, :n].astype(np.int64))
 
 
+def test_pops_counts_narrow_download(blobs):
+    """The uint16-narrowed counts download must trigger by default when
+    every per-radius maximum fits, be bit-equal to the XLA oracle, and
+    fall back to the int32 fetch when the cap is exceeded."""
+    radii = [0.3, 0.6]
+    want = ops.populations(blobs, radii, backend="xla",
+                           row_block=8, col_block=16)
+    eng = ops.engine.DensityEngine(blobs, row_block=8, col_block=16,
+                                   backend="pallas")
+    got = eng.populations(radii)
+    assert eng.last_stats["populations"]["counts_dtype"] == "uint16"
+    for r in radii:
+        np.testing.assert_array_equal(want[r], got[r])
+        assert got[r].dtype == np.int64
+    # force the wide fallback (instance override so the class default
+    # stays untouched) and require identical results
+    eng2 = ops.engine.DensityEngine(blobs, row_block=8, col_block=16,
+                                    backend="pallas")
+    eng2.POPS_COUNTS_NARROW_MAX = -1
+    got2 = eng2.populations(radii)
+    assert eng2.last_stats["populations"]["counts_dtype"] == "int32"
+    for r in radii:
+        np.testing.assert_array_equal(want[r], got2[r])
+
+
+def test_native_pops_finish_u16_matches_numpy():
+    """The narrow (uint16) native pops postlude must match the widened
+    numpy semantics, strided and unstrided."""
+    from clustering_tpu.utils import textio_native
+    if not textio_native.available():
+        pytest.skip("native textio unavailable")
+    rng = np.random.default_rng(29)
+    for r, n, pad in ((1, 1, 0), (3, 777, 247), (2, 4096, 0)):
+        cp = rng.integers(0, 1 << 16, size=(r, n + pad)).astype(np.uint16)
+        order = np.argsort(rng.random(n))
+        got = textio_native.pops_finish(cp, n, order)
+        if got is None:
+            pytest.skip("stale native library without pops_finish_host")
+        want = np.empty((r, n), dtype=np.int64)
+        want[:, order] = cp[:, :n]
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(
+            textio_native.pops_finish(cp, n, None),
+            cp[:, :n].astype(np.int64))
+
+
 def test_engine_nn_tiered_phase2():
     """ub-quantile-tiered phase 2 (tier_qs) must agree exactly with the
     per-row-block-bounded pass and the XLA oracle."""
