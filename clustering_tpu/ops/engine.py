@@ -575,6 +575,7 @@ class DensityEngine:
             return self._pops_finish(np.asarray(jax.device_get(counts)),
                                      None, radii)
         from . import pallas_kernels as pk
+        self._warm_pops_download(len(radii))
         r_max2 = np.float32(max(radii)) * np.float32(max(radii))
         bidir = prune and self._pops_bidir_ok(len(radii))
         planes = None
@@ -640,6 +641,32 @@ class DensityEngine:
     # cost through remote-TPU tunnels: 12MB -> 6MB at 1M x 3 radii);
     # tests lower this to force the int32 fallback on small inputs
     POPS_COUNTS_NARROW_MAX = np.iinfo(np.uint16).max
+
+    def _warm_pops_download(self, n_radii):
+        """Warm the counts-download narrowing programs (per-radius max +
+        uint16 copy) on a daemon thread: two tiny compiles that would
+        otherwise land serially after the first cold pops sweep (~s each
+        through a remote compiler, which parallelizes across threads --
+        same rationale as precompile_nn). One-shot per (engine, R)."""
+        if self.mesh is not None:
+            return
+        warmed = getattr(self, "_pops_dl_warmed", None)
+        if warmed is None:
+            warmed = self._pops_dl_warmed = set()
+        if n_radii in warmed:
+            return
+        warmed.add(n_radii)
+
+        def _warm():
+            try:
+                acc0 = jnp.zeros((n_radii, self.n_pad), jnp.int32)
+                jnp.max(acc0, axis=1)
+                acc0.astype(jnp.uint16)
+            except Exception:  # best-effort warm
+                pass
+
+        import threading
+        threading.Thread(target=_warm, daemon=True).start()
 
     def _pops_download(self, acc, stats, t0):
         """Fetch the (R, N_pad) int32 count accumulator, narrowed to
