@@ -609,6 +609,41 @@ void nn_finish_host(const float* coords, long long n_frames, long long d,
                        hd_d);
 }
 
+// u24 variant: ids arrive as three uint8 byte planes per row (layout
+// (2, 3, n) row-major -- 6 bytes/frame instead of 8 through the
+// device->host tunnel); any decoded id >= n_frames means "no admissible
+// neighbor" (the device packer remaps INT32_MAX to 0xFFFFFF).
+void nn_finish_host_u24(const float* coords, long long n_frames,
+                        long long d, const unsigned char* jj, long long n,
+                        long long* nh_j, long long* hd_j,
+                        float* nh_d, float* hd_d) {
+  for (int row = 0; row < 2; ++row) {
+    const unsigned char* b0 = jj + (row * 3 + 0) * n;
+    const unsigned char* b1 = jj + (row * 3 + 1) * n;
+    const unsigned char* b2 = jj + (row * 3 + 2) * n;
+    long long* out_j = row ? hd_j : nh_j;
+    float* out_d = row ? hd_d : nh_d;
+    for (long long i = 0; i < n; ++i) {
+      long long j = (long long)b0[i] | ((long long)b1[i] << 8)
+                    | ((long long)b2[i] << 16);
+      if (j >= n_frames) {
+        out_j[i] = 0;
+        out_d[i] = 0.0f;
+        continue;
+      }
+      out_j[i] = j;
+      const float* a = coords + i * d;
+      const float* b = coords + j * d;
+      float acc = 0.0f;
+      for (long long k = 0; k < d; ++k) {
+        float diff = a[k] - b[k];
+        acc += diff * diff;
+      }
+      out_d[i] = acc;
+    }
+  }
+}
+
 // pops-finish host postlude: scatter each radius's int32 count row
 // (laid out at ``stride`` >= n, i.e. straight off the padded device
 // download -- no host slice/copy) back to original frame positions

@@ -152,6 +152,22 @@ def _nn_finish_idx(out_j, inv_pos, n):
     return out_j[:, inv_pos[:n]]
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _nn_finish_idx_u24(out_j, inv_pos, n):
+    """_nn_finish_idx with the (2, n) int32 ids packed to three uint8
+    byte planes per row -- ids are always < 2^24 at supported N, so the
+    ids-only host-finish download drops from 8 to 6 bytes/frame
+    deterministically (no overflow fallback needed).  The absent
+    sentinel INT32_MAX is remapped to 0xFFFFFF, which the caller's
+    ``n <= 2^24 - 2`` gate keeps >= n_frames -- the native decoder
+    treats any id >= n_frames as absent.  Returns (2, 3, n) uint8."""
+    j = out_j[:, inv_pos[:n]]
+    imax = jnp.int32(np.iinfo(np.int32).max)
+    j = jnp.where(j == imax, jnp.int32(0xFFFFFF), j)
+    return jnp.stack([j & 0xFF, (j >> 8) & 0xFF, (j >> 16) & 0xFF],
+                     axis=1).astype(jnp.uint8)
+
+
 def _nn_finish_chunks(n):
     """Chunk count for the streamed host finish: the ids download and the
     native distance recompute overlap chunk-by-chunk (fetch k+1 streams
@@ -522,6 +538,9 @@ class DensityEngine:
                 k_chunks = _nn_finish_chunks(n)
                 if k_chunks > 1 and textio_native.available():
                     _nn_finish_idx_chunked(ids0, perm0, n, k_chunks)
+                elif (n <= (1 << 24) - 2
+                      and textio_native.has_nn_finish_u24()):
+                    _nn_finish_idx_u24(ids0, perm0, n)
                 else:
                     _nn_finish_idx(ids0, perm0, n)
             else:
@@ -1270,6 +1289,7 @@ class DensityEngine:
         imax = np.iinfo(np.int32).max
         dd = None
         streamed = None
+        jj_u24 = None
         if out_idx_dev is None:
             jj = np.zeros((2, n), dtype=np.int32)
             dd = np.zeros((2, n), dtype=np.float32)
@@ -1306,14 +1326,32 @@ class DensityEngine:
                 else:  # stale .so without nn_finish_host: numpy path
                     jj = np.concatenate(hosts, axis=1)
             else:
-                idx_dev = _nn_finish_idx(
-                    out_idx_dev, self._ub_perm(order_name, "orig"), n)
+                # u24 byte-plane packing: ids are < 2^24 at supported N,
+                # so the download drops 8 -> 6 bytes/frame with no
+                # overflow fallback (the sentinel remap needs
+                # n <= 2^24 - 2 so 0xFFFFFF stays >= n)
+                u24 = (n <= (1 << 24) - 2
+                       and textio_native.has_nn_finish_u24())
+                if u24:
+                    idx_dev = _nn_finish_idx_u24(
+                        out_idx_dev, self._ub_perm(order_name, "orig"), n)
+                    barrier = idx_dev[:1, :1, :1]
+                    stats["ids_format"] = "u24"
+                else:
+                    idx_dev = _nn_finish_idx(
+                        out_idx_dev, self._ub_perm(order_name, "orig"), n)
+                    barrier = idx_dev[:1, :1]
+                    stats["ids_format"] = "i32"
                 if os.environ.get("CLUSTERING_TPU_PROFILE_SUBSTAGES"):
                     # scalar readback = device-done barrier (see the fused
                     # branch below): kernel time vs ids download
-                    _ = int(self._get(idx_dev[:1, :1])[0, 0])
+                    _ = int(np.asarray(self._get(barrier)).ravel()[0])
                     stats["t_kernel"] = time.perf_counter() - t0
-                jj = self._get(idx_dev)
+                got = self._get(idx_dev)
+                if u24:
+                    jj_u24, jj = got, None
+                else:
+                    jj = got
         else:
             # all-device finish (default): ids + distances in one fused
             # fetch -- paired A/B at N=2^20 through the remote tunnel
@@ -1340,7 +1378,17 @@ class DensityEngine:
             nh_j, hd_j, nh_d, hd_d = streamed
         elif dd is None:
             # host recompute path: ids still carry IMAX for absent frames
-            native = textio_native.nn_finish(self.coords, jj)
+            # (u24 packing: decoded ids >= n mean absent)
+            native = None
+            if jj_u24 is not None:
+                native = textio_native.nn_finish_u24(self.coords, jj_u24)
+                if native is None:  # stale .so raced away: numpy decode
+                    jj = (jj_u24[:, 0].astype(np.int32)
+                          | (jj_u24[:, 1].astype(np.int32) << 8)
+                          | (jj_u24[:, 2].astype(np.int32) << 16))
+                    jj[jj >= len(self.coords)] = imax
+            else:
+                native = textio_native.nn_finish(self.coords, jj)
             if native is not None:
                 nh_j, hd_j, nh_d, hd_d = native
             else:

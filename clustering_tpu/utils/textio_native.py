@@ -162,6 +162,39 @@ def nn_finish(coords, jj, frame0=0):
     return nh_j, hd_j, nh_d, hd_d
 
 
+def has_nn_finish_u24():
+    lib = _load()
+    return lib is not None and hasattr(lib, "nn_finish_host_u24")
+
+
+def nn_finish_u24(coords, packed):
+    """nn_finish for the u24-packed ids download: ``packed`` is the
+    (2, 3, n) uint8 byte-plane array from engine._nn_finish_idx_u24
+    (6 bytes/frame instead of 8); decoded ids >= n_frames mean "no
+    admissible neighbor" (see textio.cpp::nn_finish_host_u24).  Returns
+    (nh_j, hd_j, nh_d, hd_d) or None when the library lacks the
+    symbol."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "nn_finish_host_u24"):
+        return None
+    c = np.ascontiguousarray(coords, dtype=np.float32)
+    b = np.ascontiguousarray(packed, dtype=np.uint8)
+    n = b.shape[2]
+    nh_j = np.empty(n, dtype=np.int64)
+    hd_j = np.empty(n, dtype=np.int64)
+    nh_d = np.empty(n, dtype=np.float32)
+    hd_d = np.empty(n, dtype=np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.nn_finish_host_u24(c.ctypes.data_as(f32p), _LL(c.shape[0]),
+                           _LL(c.shape[1]), b.ctypes.data_as(_U8P),
+                           _LL(n),
+                           nh_j.ctypes.data_as(_I64P),
+                           hd_j.ctypes.data_as(_I64P),
+                           nh_d.ctypes.data_as(f32p),
+                           hd_d.ctypes.data_as(f32p))
+    return nh_j, hd_j, nh_d, hd_d
+
+
 def pops_finish(counts_padded, n, order):
     """Pops-finish host postlude: scatter-unsort each radius row of the
     padded (r, n_pad) int32 OR uint16 device download back to original

@@ -316,6 +316,50 @@ def test_engine_nn_finish_host_matches_device(monkeypatch):
     np.testing.assert_allclose(want[3], got[3], rtol=1e-6)
 
 
+def test_engine_nn_finish_u24_matches_i32(monkeypatch):
+    """The u24 byte-plane ids download (6 bytes/frame) must produce
+    results identical to the int32 ids download, and the engine must
+    select it exactly when the native decoder is present."""
+    from clustering_tpu.utils import textio_native
+    if not textio_native.has_nn_finish_u24():
+        pytest.skip("native u24 finish unavailable")
+    coords = _bigger_blobs(n=500, seed=11)
+    eng = ops.engine.DensityEngine(coords, row_block=8, col_block=16,
+                                   backend="pallas")
+    fe = ops.free_energies(eng.populations([0.4])[0.4])
+    monkeypatch.setenv("CLUSTERING_TPU_NN_FINISH", "host")
+    want = eng.nearest_neighbors(fe)
+    assert eng.last_stats["nn"]["ids_format"] == "u24"
+    monkeypatch.setattr(textio_native, "has_nn_finish_u24", lambda: False)
+    got = eng.nearest_neighbors(fe)
+    assert eng.last_stats["nn"]["ids_format"] == "i32"
+    for i in range(4):
+        np.testing.assert_array_equal(np.asarray(want[i]),
+                                      np.asarray(got[i]))
+
+
+def test_native_nn_finish_u24_matches_i32_decoder():
+    """Fuzz the native u24 decoder against the int32 native finish,
+    including absent sentinels (INT32_MAX -> 0xFFFFFF remap)."""
+    from clustering_tpu.utils import textio_native
+    if not textio_native.has_nn_finish_u24():
+        pytest.skip("native u24 finish unavailable")
+    rng = np.random.default_rng(41)
+    n, d = 733, 3
+    coords = rng.normal(size=(n, d)).astype(np.float32)
+    jj = rng.integers(0, n, size=(2, n)).astype(np.int32)
+    imax = np.iinfo(np.int32).max
+    jj[rng.random((2, n)) < 0.07] = imax
+    want = textio_native.nn_finish(coords, jj)
+    j24 = np.where(jj == imax, 0xFFFFFF, jj)
+    packed = np.stack([j24 & 0xFF, (j24 >> 8) & 0xFF,
+                       (j24 >> 16) & 0xFF], axis=1).astype(np.uint8)
+    got = textio_native.nn_finish_u24(coords, packed)
+    assert want is not None and got is not None
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+
+
 def test_engine_nn_finish_streamed_matches_plain(monkeypatch):
     """The streamed host finish (chunked ids download overlapped with the
     per-chunk native distance recompute) must be bit-identical to the
