@@ -1175,6 +1175,30 @@ def nn_tiles_sparse_bidir(coords_t, fe, orig_ids, n_valid,
 # sparse-tile screening sweep (tile list driven)
 # ---------------------------------------------------------------------------
 
+def _redirect_clean_tiles(tile_i, tile_j, gate):
+    """Index-map redirect for dirty-gated sweeps: steps whose tile is
+    clean (``gate`` False) point at the last computing step instead, so
+    they reach the kernel as repeat-duplicates -- their block index maps
+    are unchanged from the previous grid step (Mosaic elides every block
+    DMA) and the body's duplicate check skips them.  A clean-gated visit
+    becomes a true no-op grid step rather than four block fetches plus a
+    row-output write-back.  A clean prefix clips to step 0, which the
+    kernel's dirty check still skips.  Exact: the computed-tile set is
+    unchanged (the kernel already skipped clean tiles).
+
+    ``CLUSTERING_TPU_NO_TILE_REDIRECT`` disables the redirect at trace
+    time (A/B instrumentation only -- pair with jax.clear_caches())."""
+    import os
+    ti = jnp.asarray(tile_i, dtype=jnp.int32)
+    tj = jnp.asarray(tile_j, dtype=jnp.int32)
+    if os.environ.get("CLUSTERING_TPU_NO_TILE_REDIRECT"):
+        return ti, tj
+    idx = jnp.where(gate, jnp.arange(ti.shape[0], dtype=jnp.int32),
+                    jnp.int32(-1))
+    eff = jnp.maximum(jax.lax.cummax(idx), 0)
+    return ti[eff], tj[eff]
+
+
 def _label_min_sparse_kernel(win_ref, max_d2_ref, ti_ref, tj_ref, dirty_ref,
                              xt_ref, yt_ref, lab_y_ref, init_ref, out_ref,
                              *, row_block, col_block, n_dim):
@@ -1235,6 +1259,10 @@ def label_min_sparse_cross(rows_t, cols_t, labels, n_below, max_dist2,
     n_tiles = tile_i.shape[0]
     if dirty is None:
         dirty = jnp.ones((n_cols // col_block,), dtype=jnp.int32)
+    else:
+        tile_i, tile_j = _redirect_clean_tiles(
+            tile_i, tile_j, jnp.asarray(dirty, jnp.int32)[
+                jnp.asarray(tile_j, jnp.int32)] != 0)
     kernel = functools.partial(_label_min_sparse_kernel,
                                row_block=row_block, col_block=col_block,
                                n_dim=n_dim)
@@ -1369,6 +1397,12 @@ def label_min_sparse_bidir(coords_t, labels, n_below, max_dist2,
     n_tiles = tile_i.shape[0]
     if col_span is None:
         col_span = union_size // col_block
+    ti32 = jnp.asarray(tile_i, jnp.int32)
+    tj32 = jnp.asarray(tile_j, jnp.int32)
+    tile_i, tile_j = _redirect_clean_tiles(
+        tile_i, tile_j,
+        (jnp.asarray(dirty_col, jnp.int32)[tj32] != 0)
+        | (jnp.asarray(dirty_row, jnp.int32)[ti32] != 0))
     kernel = functools.partial(_label_min_bidir_kernel,
                                row_block=row_block, col_block=col_block,
                                n_dim=n_dim)
