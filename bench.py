@@ -171,6 +171,62 @@ def calibrate_dense_rate(ops):
     return pairs / t_pops, pairs / t_nn, pairs / t_scr
 
 
+def correctness_guard(ops):
+    """Cheap per-stage answer check: the same pipeline at a small N on
+    the same device, Pallas engine vs the independent XLA fallback
+    (ops/{density,neighbors,screening}.py) -- pops counts, NN indices
+    and screening labels must agree, so a silently-miscompiled kernel
+    change aborts the benchmark instead of publishing a fast wrong
+    number. Index/label comparisons are exact; pops tolerates nothing
+    either (both paths accumulate ascending-d fp32 on one device).
+    Returns the ``checks`` dict for the bench JSON."""
+    n = 1 << 16
+    coords = synthetic_fel(n, D, seed=7)
+    eng = ops.engine.DensityEngine(coords, row_block=ROW_BLOCK,
+                                   col_block=COL_BLOCK)
+    pops_p = eng.populations(RADII, nn_band_radius=RADII[0])
+    pops_x = ops.populations(coords, RADII, backend="xla")
+    pops_bad = int(sum((pops_p[r] != pops_x[r]).sum() for r in RADII))
+    fe = ops.free_energies(pops_p[RADII[0]])
+    nn_p = eng.nearest_neighbors(fe)
+    # the band prefetch must have HIT when the pallas engine ran (its
+    # host fe is bit-equal to ops.free_energies by construction; a
+    # silent formula divergence would quietly disable the overlap
+    # everywhere); CPU smoke runs use the XLA backend, which never
+    # prefetches
+    pf_hit = (bool(eng.last_stats.get("nn", {}).get("band_prefetched"))
+              or eng.backend != "pallas")
+    nn_x = ops.nearest_neighbors(coords, fe, backend="xla")
+    nn_bad = int((np.asarray(nn_p[0]) != np.asarray(nn_x[0])).sum()
+                 + (np.asarray(nn_p[2]) != np.asarray(nn_x[2])).sum())
+    md2 = np.float32(4.0 * ops.neighbors.compute_sigma2(nn_p[1]))
+    order = np.argsort(fe, kind="stable")
+    cs = coords[order]
+    labels0 = np.arange(n, dtype=np.int32)
+    n_below = int(0.8 * n)
+    lab_p = ops.screening.ScreeningEngine(
+        cs, row_block=ROW_BLOCK, col_block=COL_BLOCK,
+        backend="pallas").run(labels0, n_below, md2)
+    lab_x = ops.screening.ScreeningEngine(
+        cs, row_block=ROW_BLOCK, col_block=COL_BLOCK,
+        backend="xla").run(labels0, n_below, md2)
+    scr_bad = int((lab_p != lab_x).sum())
+    checks = {"n": n, "pops_mismatch": pops_bad, "nn_mismatch": nn_bad,
+              "screening_mismatch": scr_bad,
+              "nn_band_prefetch_hit": pf_hit,
+              "ok": (pops_bad == 0 and nn_bad == 0 and scr_bad == 0
+                     and pf_hit)}
+    if not checks["ok"]:
+        print(f"# CORRECTNESS GUARD FAILED: {checks}", file=sys.stderr)
+        print(json.dumps({"metric": "correctness-guard-failed",
+                          "value": 0.0, "unit": "Gpairs/s",
+                          "vs_baseline": 0.0, "checks": checks}))
+        sys.exit(1)
+    print(f"# correctness guard: pops/nn/screening match the XLA"
+          f" fallback at N={n}", file=sys.stderr)
+    return checks
+
+
 def main():
     import jax
 
@@ -183,6 +239,8 @@ def main():
 
     dev = jax.devices()[0]
     print(f"# bench device: {dev}", file=sys.stderr)
+
+    checks = correctness_guard(ops)
 
     dense_pops_rate, dense_nn_rate, dense_scr_rate = \
         calibrate_dense_rate(ops)
@@ -200,39 +258,68 @@ def main():
     total_time = 0.0
     total_computed = 0.0
 
-    def _retry_if_wedged(t_best, out, fn, stats_key, floor_rate):
-        """The tunnel occasionally wedges for a ~3-minute stretch: if a
-        stage's best rep lands implausibly far below the calibrated
-        kernel rate, wait out the wedge once and re-measure."""
-        st = engine.last_stats.get(stats_key)
-        if not st or "computed_tiles" not in st:
-            return t_best, out
-        expect = st["computed_tiles"] * float(st["tile_pairs"]) / floor_rate
-        if t_best < 4.0 * expect + 1.0:
-            return t_best, out
-        print(f"# {stats_key} best {t_best:.1f}s vs ~{expect:.1f}s"
-              " expected -- suspected tunnel wedge, waiting + retrying",
-              file=sys.stderr)
-        time.sleep(120)
-        t2, out2 = _best_of(fn, REPS)
-        return (t2, out2) if t2 < t_best else (t_best, out)
-
-    # --- populations (multi-radius, one sweep) ---
-    # steady state = best of REPS timed calls (one compile amortizes over
-    # a production run; the min damps tunnel jitter)
+    # --- populations + NN as one pipelined sequence ---
+    # production always runs pops -> fe -> NN back to back, and the NN
+    # band phase prefetches off the pops counts (overlapping the counts
+    # download + inter-stage host work), so the two stages are timed as
+    # consecutive segments of the SAME rep: each stage's reported wall
+    # is its best across reps of the real pipeline, not of an isolated
+    # loop the production path never runs.
     # XLA-fallback backends don't record tile stats (CPU smoke runs);
     # charge the full grid so the accounting stays defined
     n_tiles_full = (engine.n_pad // ROW_BLOCK) * (engine.n_pad // COL_BLOCK)
     full = {"computed_tiles": n_tiles_full,
             "tile_pairs": ROW_BLOCK * COL_BLOCK, "mode": "dense"}
 
-    def _pops_rep():
-        out = engine.populations(RADII)
-        return out, dict(engine.last_stats.get("populations", full))
+    def _pipe_rep():
+        t0 = time.perf_counter()
+        pops_o = engine.populations(RADII, nn_band_radius=RADII[0])
+        tp = time.perf_counter() - t0
+        pops_s = dict(engine.last_stats.get("populations", full))
+        fe_k = ops.free_energies(pops_o[RADII[0]])
+        t1 = time.perf_counter()
+        nn_o = engine.nearest_neighbors(fe_k)
+        tn = time.perf_counter() - t1
+        nn_s = dict(engine.last_stats.get("nn", full))
+        return tp, pops_o, pops_s, fe_k, tn, nn_o, nn_s
 
-    t_pops, (pops, st) = _best_of(_pops_rep, REPS)
-    t_pops, (pops, st) = _retry_if_wedged(
-        t_pops, (pops, st), _pops_rep, "populations", dense_pops_rate)
+    def _run_pipeline(reps, max_reps=None):
+        max_reps = max_reps or 2 * reps
+        best = [float("inf"), None, None, None,
+                float("inf"), None, None]
+        done, improving = 0, True
+        while done < reps or (done < max_reps and improving):
+            tp, pops_o, pops_s, fe_k, tn, nn_o, nn_s = _pipe_rep()
+            improving = tp < best[0] * 0.9 or tn < best[4] * 0.9
+            if tp < best[0]:
+                best[0], best[1], best[2] = tp, pops_o, pops_s
+            if tn < best[4]:
+                best[3], best[4], best[5], best[6] = fe_k, tn, nn_o, nn_s
+            done += 1
+        return best
+
+    _pipe_rep()  # warm (compile + upload)
+    t_pops, pops, st, fe, t_nn, nn, nn_st = _run_pipeline(REPS)
+    # tunnel-wedge retry: if either stage's best is implausibly far
+    # below the calibrated kernel rate, wait out the wedge and re-run
+    for key, t_best, rate in (("populations", t_pops, dense_pops_rate),
+                              ("nn", t_nn, dense_nn_rate)):
+        s = st if key == "populations" else nn_st
+        if "computed_tiles" not in s:
+            continue
+        expect = s["computed_tiles"] * float(s["tile_pairs"]) / rate
+        if t_best < 4.0 * expect + 1.0:
+            continue
+        print(f"# {key} best {t_best:.1f}s vs ~{expect:.1f}s expected"
+              " -- suspected tunnel wedge, waiting + retrying",
+              file=sys.stderr)
+        time.sleep(120)
+        t2p, p2, s2, fe2, t2n, n2, ns2 = _run_pipeline(REPS)
+        if t2p < t_pops:
+            t_pops, pops, st = t2p, p2, s2
+        if t2n < t_nn:
+            fe, t_nn, nn, nn_st = fe2, t2n, n2, ns2
+        break
     computed = float(st["computed_tiles"]) * st["tile_pairs"]
     stages["pops"] = {
         "seconds": round(t_pops, 3),
@@ -257,21 +344,13 @@ def main():
           f"  ({stages['pops']['roofline_frac']:.0%} of dense ceiling)",
           file=sys.stderr)
 
-    fe = ops.free_energies(pops[RADII[0]])
-
-    # --- nearest neighbors ---
-    def _nn_rep():
-        out = engine.nearest_neighbors(fe)
-        return out, dict(engine.last_stats.get("nn", full))
-
-    t_nn, (nn, nn_st) = _best_of(_nn_rep, REPS)
-    t_nn, (nn, nn_st) = _retry_if_wedged(
-        t_nn, (nn, nn_st), _nn_rep, "nn", dense_nn_rate)
+    # --- nearest neighbors (timed inside the pipeline reps above) ---
     st = nn_st
     computed = float(st["computed_tiles"]) * st["tile_pairs"]
     stages["nn"] = {
         "seconds": round(t_nn, 3),
         "mode": st["mode"],
+        "band_prefetched": bool(st.get("band_prefetched")),
         "effective_gpairs_per_s": round(N * float(N) / t_nn / 1e9, 1),
         "computed_gpairs_per_s": round(computed / t_nn / 1e9, 1),
         "roofline_frac": round(computed / t_nn / dense_nn_rate, 3),
@@ -308,34 +387,27 @@ def main():
     def run_series():
         from concurrent.futures import ThreadPoolExecutor
         series.reset()  # each rep re-runs the series cold
-        per_step = []
         with ThreadPoolExecutor(max_workers=2) as pool:
-            futs = []
-            for k in range(len(thresholds)):
-                # postludes (label fetch + renaming) overlap the next
-                # step's device sweeps; the with-exit joins them all.
-                # Clear the stats first: a step that early-outs (empty
-                # band, degenerate tile list) never writes them, and the
-                # previous step's counts must not be double-counted.
-                series.engine.last_stats = {}
-                futs.append(series.step_submit(k, max_dist2, pool))
-                st = series.engine.last_stats
-                if st:
-                    per_step.append(dict(st))
+            # postludes (label fetch + renaming) overlap the next step's
+            # device sweeps; the with-exit joins them all. step_submit
+            # accumulates each step's stats dict in per_step_stats (the
+            # postlude worker adds t_wait/t_fetch/t_norm as it drains).
+            futs = [series.step_submit(k, max_dist2, pool)
+                    for k in range(len(thresholds))]
             clustering = futs[-1].result()
         # measured: dirty-gated tiles the kernel actually swept
-        # (upper-bound fallback without the counter). sweeps/swept may
-        # be lazy device scalars -- coerce only now, after the series
-        # pipeline drained, so the loop above never syncs mid-flight.
+        # (upper-bound fallback without the counter). sweeps/swept are
+        # coerced by the postludes after their timed fetch, so the loop
+        # above never syncs mid-flight.
         computed = 0.0
-        for st in per_step:
+        for st in series.per_step_stats:
             swept = st.get("swept_tiles")
             tiles = (float(swept) if swept is not None
                      else float(st["sweeps"]) * st["tiles_per_sweep"])
             computed += tiles * st["tile_pairs"]
-        return clustering, computed
+        return clustering, computed, list(series.per_step_stats)
 
-    t_scr, (clustering, scr_computed) = _best_of(
+    t_scr, (clustering, scr_computed, scr_steps) = _best_of(
         lambda: run_series(), REPS)
     scr_eff = float(sum(float(series.n_below_per_band[k]) ** 2
                         for k in range(len(thresholds))))
@@ -344,7 +416,31 @@ def main():
         "effective_gpairs_per_s": round(scr_eff / t_scr / 1e9, 1),
         "computed_gpairs_per_s": round(scr_computed / t_scr / 1e9, 1),
         "roofline_frac": round(scr_computed / t_scr / dense_scr_rate, 3),
+        # summed per-step sub-stage walls (pipelined: postlude waits
+        # overlap the next step's dispatches, so the sum of components
+        # can exceed the series wall). t_plan = host tile-list planning,
+        # t_kernel = device-done waits (the fixpoint programs' compute
+        # beyond their ~25ms dispatch), t_sweep = wait + label download,
+        # t_host = name normalization.
+        "t_plan": round(sum(st.get("t_plan", 0.0) for st in scr_steps), 3),
+        "t_kernel": round(sum(st.get("t_wait", 0.0) for st in scr_steps),
+                          3),
+        "t_sweep": round(sum(st.get("t_wait", 0.0) + st.get("t_fetch", 0.0)
+                             for st in scr_steps), 3),
+        "t_host": round(sum(st.get("t_norm", 0.0) for st in scr_steps), 3),
+        "t_dispatch": round(sum(st.get("t_dispatch", 0.0)
+                                for st in scr_steps), 3),
+        "per_step": [
+            {k2: (round(v, 4) if isinstance(v, float) else v)
+             for k2, v in st.items() if k2 != "tile_pairs"}
+            for st in scr_steps],
     }
+    if stages["screening"]["t_kernel"]:
+        stages["screening"]["sweep_kernel_gpairs_per_s"] = round(
+            scr_computed / stages["screening"]["t_kernel"] / 1e9, 1)
+        stages["screening"]["sweep_kernel_roofline_frac"] = round(
+            scr_computed / stages["screening"]["t_kernel"]
+            / dense_scr_rate, 3)
     total_eff_pairs += scr_eff
     total_computed += scr_computed
     total_time += t_scr
@@ -381,6 +477,7 @@ def main():
         # bidir-effective NN ceiling, so roofline fractions are not
         # comparable across those boundaries; stage walls and Gpairs/s
         # are
+        "checks": checks,
         "ceilings_gpairs_per_s": {
             "kind": "kernel-only-symmetric-evaluated",
             "pops": round(dense_pops_rate / 1e9, 1),

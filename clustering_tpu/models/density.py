@@ -286,7 +286,7 @@ def main(args, header_comment, comments_map):
                 # no radius: compute the lumping radius from NN statistics
                 # (reference: density_clustering.cpp:646-673)
                 logger("    computing lumping radius")
-                pops = engine.populations([1.0])[1.0]
+                pops = engine.populations([1.0], nn_band_radius=1.0)[1.0]
                 fe_tmp = ops.free_energies(pops)
                 _, nh_dist, _, _ = engine.nearest_neighbors(fe_tmp)
                 sigma2 = ops.neighbors.compute_sigma2(nh_dist)
@@ -300,7 +300,12 @@ def main(args, header_comment, comments_map):
             logger("    using radius: " + io.fmt_float(radius))
             comments_map["clustering_radius"] = radius
             with stage_timer("populations"):
-                pops = engine.populations([radius])[radius]
+                # free_energy below comes from these counts; when NN
+                # follows, the band phase prefetches off the same device
+                # accumulator and overlaps the counts download
+                pops = engine.populations(
+                    [radius],
+                    nn_band_radius=radius if will_run_nn else None)[radius]
             if check:
                 _check_backends(engine, coords, "pops",
                                 {radius: pops}, radii=[radius])

@@ -330,6 +330,9 @@ class DensityEngine:
         # per-device real tile counts of the last mesh NN dispatch
         # (balance evidence for dryrun/bench artifacts)
         self._last_mesh_tiles = None
+        # stash of an NN band phase dispatched during populations()
+        # (consumed at most once by the next nearest_neighbors call)
+        self._band_prefetch = None
 
     # -- cached layouts ----------------------------------------------------
 
@@ -379,6 +382,21 @@ class DensityEngine:
             from ..parallel.mesh import fetch
             return fetch(x)
         return jax.tree_util.tree_map(np.asarray, jax.device_get(x))
+
+    def _oid_dev(self, name):
+        """Device (1, N_pad) int32 original-id vector for ``name``'s
+        layout (pads carry IMAX), cached per engine: it is fe-independent,
+        and re-uploading 4MB per layout per nearest_neighbors call was
+        measurable on the band-prefetch thread through the tunnel."""
+        key = ("oid", name)
+        if key not in self._dev:
+            order, _ = self._padded(name)
+            oid = np.full(self.n_pad, np.iinfo(np.int32).max,
+                          dtype=np.int32)
+            oid[:self.n] = (np.arange(self.n, dtype=np.int32)
+                            if order is None else order)
+            self._dev[key] = self._put(oid.reshape(1, self.n_pad))
+        return self._dev[key]
 
     def _d2b_dev(self, name):
         """Device-resident (nrb, ncb) bbox distance matrix for ``name``'s
@@ -575,7 +593,13 @@ class DensityEngine:
 
     # -- ops ---------------------------------------------------------------
 
-    def populations(self, radii, prune=True):
+    def populations(self, radii, prune=True, nn_band_radius=None):
+        """``nn_band_radius``: when set to one of ``radii``, the NN band
+        phase is prefetched from that radius's counts as soon as the
+        pops sweep lands (fe computed host-side bit-equal to
+        ops.free_energies), overlapping the counts download and the
+        pops->nn inter-stage work; the next nearest_neighbors call
+        consumes it only if its fe matches bit-for-bit."""
         if self.mesh is not None and self.backend != "pallas":
             # dense row-ownership XLA program (CPU meshes, smoke runs)
             from ..parallel import sharded
@@ -622,7 +646,8 @@ class DensityEngine:
         order, _ = self._padded(name)
         if self.mesh is not None:
             return self._pops_dispatch_mesh(name, order, radii, radii2,
-                                            active, planes, prune, bidir)
+                                            active, planes, prune, bidir,
+                                            t0)
         tiles = pruning.tile_list(active, pad_mode="noop")
         rmask = self._pops_rmask(tiles[0], tiles[1], planes, len(radii),
                                  prune)
@@ -648,7 +673,11 @@ class DensityEngine:
                                            tiles[0], tiles[1], rmask=rmask,
                                            row_block=self.row_block,
                                            col_block=self.col_block)
-        counts_host = self._pops_download(acc, stats, t0)
+        band = None
+        if (nn_band_radius in radii and self.mesh is None
+                and os.environ.get("CLUSTERING_TPU_NN_PREFETCH") != "0"):
+            band = (radii.index(nn_band_radius), name)
+        counts_host = self._pops_download(acc, stats, t0, band=band)
         stats["t_sweep"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         out = self._pops_finish(counts_host, order, radii)
@@ -687,23 +716,66 @@ class DensityEngine:
         import threading
         threading.Thread(target=_warm, daemon=True).start()
 
-    def _pops_download(self, acc, stats, t0):
+    def _pops_download(self, acc, stats, t0, band=None):
         """Fetch the (R, N_pad) int32 count accumulator, narrowed to
         uint16 when every radius's maximum fits: the per-radius maxima
         ride a tiny scalar fetch that doubles as the device-done barrier
         (kernel vs download split), and the u16 copy is dispatched
         before the barrier so the narrow path costs no extra device
-        round-trip after the decision."""
+        round-trip after the decision.
+
+        ``band`` = (radius_index, layout_name) requests the NN band
+        prefetch: that radius's counts row, re-laid-out to the band
+        (Morton) order -- gathered from the u16 cast when it exists
+        (2 bytes/frame; exact whenever THIS radius's maximum fits, which
+        the maxima readback verifies) -- rides the SAME barrier fetch.
+        The counts D2H is then requested asynchronously BEFORE the band
+        phase dispatches (so the download streams while the band kernel
+        runs instead of queueing behind it), and the fe + dispatch half
+        runs on a daemon thread off this stage's wall."""
         maxima = jnp.max(acc, axis=1)
-        acc_u16 = acc.astype(jnp.uint16)
-        mx = self._get(maxima)
-        if os.environ.get("CLUSTERING_TPU_PROFILE_SUBSTAGES"):
+        # the u16 copy is speculative; once a call on this engine chose
+        # int32 (overflow), later calls skip the wasted (R, N_pad) cast
+        # and dispatch it lazily only if their maxima do fit
+        acc_u16 = (None if getattr(self, "_pops_counts_wide", False)
+                   else acc.astype(jnp.uint16))
+        band_row = None
+        if band is not None:
+            ridx, name = band
+            src = acc if acc_u16 is None else acc_u16
+            band_row = src[ridx][self._ub_perm(name, "morton")]
+        if band_row is None:
+            mx = self._get(maxima)
+        else:
+            mx, row_host = self._get((maxima, band_row))
+        if (os.environ.get("CLUSTERING_TPU_PROFILE_SUBSTAGES")
+                and "t_kernel" not in stats):
             stats["t_kernel"] = time.perf_counter() - t0
-        if int(mx.max()) <= self.POPS_COUNTS_NARROW_MAX:
+        narrow = int(mx.max()) <= self.POPS_COUNTS_NARROW_MAX
+        self._pops_counts_wide = not narrow
+        if narrow:
+            if acc_u16 is None:
+                acc_u16 = acc.astype(jnp.uint16)
+            buf = acc_u16
             stats["counts_dtype"] = "uint16"
-            return self._get(acc_u16)
-        stats["counts_dtype"] = "int32"
-        return self._get(acc)
+        else:
+            buf = acc
+            stats["counts_dtype"] = "int32"
+        if band_row is None:
+            return self._get(buf)
+        # enqueue the counts D2H first (the buffer exists -- its cast
+        # ran before the barrier -- so this DMA is not blocked by the
+        # band programs the thread is about to dispatch), then start
+        # the fe + band-dispatch thread, then complete the download
+        buf.copy_to_host_async()
+        if (acc_u16 is not None
+                and int(mx[band[0]]) > self.POPS_COUNTS_NARROW_MAX):
+            # the u16 row truncated THIS radius (rare): skip the
+            # prefetch rather than pay a second row trip
+            row_host = None
+        if row_host is not None:
+            self._band_prefetch_start(row_host, stats)
+        return np.asarray(buf)
 
     def _pops_finish(self, counts_padded, order, radii):
         """Host postlude of a populations run: scatter-unsort the padded
@@ -742,7 +814,7 @@ class DensityEngine:
         return rmask
 
     def _pops_dispatch_mesh(self, name, order, radii, radii2, active,
-                            planes, prune, bidir):
+                            planes, prune, bidir, t0):
         """Dispatch the planned populations tile list over the mesh: the
         list is round-robin balanced over chips
         (pruning.split_tiles_balanced, within one tile per device) and
@@ -773,6 +845,11 @@ class DensityEngine:
             "mode": ("bidir" if bidir else "symmetric") + "-mesh",
             "mesh_devices": n_dev,
         }
+        # sub-stage accounting mirrors the single-chip path: planning up
+        # to here, sweep from the first dispatch (the windowed path's
+        # in-loop balancing/rmask host work lands in the sweep segment)
+        stats["t_plan"] = time.perf_counter() - t0
+        t_sweep0 = time.perf_counter()
         if bidir and span < ncb:
             # mesh analog of pops_tiles_bidir_all's partitioning: each
             # window dispatches with a bounded per-chip accumulator, the
@@ -801,26 +878,34 @@ class DensityEngine:
                 acc = part if acc is None else acc + part
             acc = pk._add_self_count(acc, jnp.int32(self.n))
             stats["per_device_tiles"] = per_dev_total.tolist()
+            counts_host = self._pops_download(acc, stats, t_sweep0)
+            stats["t_sweep"] = time.perf_counter() - t_sweep0
+            # log after the download so the line carries the narrowing
+            # decision (counts_dtype) and a real kernel/sweep split
             self.last_stats["populations"] = stats
             self._log_stats("pops", stats)
-            return self._pops_finish(
-                self._pops_download(acc, stats, time.perf_counter()),
-                order, radii)
+            t_host0 = time.perf_counter()
+            out = self._pops_finish(counts_host, order, radii)
+            stats["t_host"] = time.perf_counter() - t_host0
+            return out
         ti_d, tj_d, per_dev = pruning.split_tiles_balanced(
             ti, tj, n_dev, pad_mode="noop")
         rmask_d = self._pops_rmask(ti_d, tj_d, planes, len(radii), prune)
         stats["per_device_tiles"] = per_dev.tolist()
-        self.last_stats["populations"] = stats
-        self._log_stats("pops", stats)
         fn = (sharded._pops_sharded_bidir if bidir
               else sharded._pops_sharded_sparse)
         acc = fn(self._device(name), radii2, jnp.int32(self.n),
                  replicated(ti_d, self.mesh), replicated(tj_d, self.mesh),
                  replicated(rmask_d, self.mesh), self.mesh,
                  row_block=self.row_block, col_block=self.col_block)
-        return self._pops_finish(
-            self._pops_download(acc, stats, time.perf_counter()),
-            order, radii)
+        counts_host = self._pops_download(acc, stats, t_sweep0)
+        stats["t_sweep"] = time.perf_counter() - t_sweep0
+        self.last_stats["populations"] = stats
+        self._log_stats("pops", stats)
+        t_host0 = time.perf_counter()
+        out = self._pops_finish(counts_host, order, radii)
+        stats["t_host"] = time.perf_counter() - t_host0
+        return out
 
     # the bidirectional NN kernel holds 4 (2 x [nh; hd] x [d; j]) column
     # accumulators of N_pad lanes in VMEM; beyond this budget
@@ -867,6 +952,139 @@ class DensityEngine:
                                       tiles[0], tiles[1],
                                       row_block=self.row_block,
                                       col_block=self.col_block)
+
+    def _nn_band_dispatch(self, order_name, band_blocks, nn_bidir,
+                          layout, speculate):
+        """Dispatch every device program of the NN band phase with NO
+        host sync: the banded sweep over sort-neighbor tiles (phase-1
+        upper bounds), the per-row-block bound reduction, the packed
+        activity planes for both candidate orders, and (``speculate``)
+        the speculative tiered phase-2 plan on the previous call's
+        winning order. Returns the handles the selection half consumes;
+        shared by nearest_neighbors' inline path and the populations
+        band prefetch (which overlaps all of this with the counts
+        download + inter-stage host work)."""
+        n_pad = self.n_pad
+        nrb, ncb = n_pad // self.row_block, n_pad // self.col_block
+        _, _, fe_dev, oid_dev = layout(order_name)
+        # phase 1: banded pass over sort-neighbors -> per-frame upper
+        # bounds (order-independent values)
+        band_active = pruning.band_mask(
+            nrb, ncb, self.row_block, self.col_block,
+            band_blocks * self.col_block)
+        band_eff = (pruning.bidir_closure(band_active, self.row_block,
+                                          self.col_block)
+                    if nn_bidir else band_active)
+        out1 = self._nn_sparse_chunks(order_name, fe_dev, oid_dev,
+                                      band_eff, bidir=nn_bidir)
+        # keep the per-frame bounds on device; per candidate order,
+        # permute + reduce there and download only the per-row-block
+        # maxima (device->host is the slow, flaky direction through
+        # remote-TPU tunnels: nrb floats instead of N)
+        row_ubs_dev = _row_ub2(
+            out1[0], self._ub_perm(order_name, "dim0"),
+            self._ub_perm(order_name, "morton"),
+            row_block=self.row_block)
+        # per-row-bound compare on device; BOTH orders' packed planes
+        # in one dispatch + one download (round-trips through the
+        # remote tunnel cost ~0.1-0.2s each)
+        acts_words = pruning._pack_le_rows2(
+            self._d2b_dev("dim0"), self._d2b_dev("morton"), row_ubs_dev)
+        # speculative tiered plan: its device programs (quantiles,
+        # symmetric re-sort, packed mask) run while the acts planes
+        # download, and the mask rides the SAME fetch -- when the
+        # speculated order wins the whole tiered plan costs zero
+        # extra round-trips; a miss just re-dispatches as before
+        # (paying the wasted sort in the fetch window). Speculate on
+        # the PREVIOUS call's winning order -- stable across reps of a
+        # production series -- falling back to the band order on the
+        # first call.
+        spec = spec_name = None
+        if speculate:
+            spec_name = self._nn_spec_name or order_name
+            spec = self._nn_tiered_bidir_dispatch(
+                spec_name, order_name, out1, layout, self.TIER_QS_DEFAULT)
+        return {"order_name": order_name, "band_blocks": band_blocks,
+                "bidir": nn_bidir, "band_active": band_active,
+                "band_eff": band_eff, "out1": out1,
+                "acts_words": acts_words, "spec": spec,
+                "spec_name": spec_name}
+
+    def _prefetch_nn_band(self, fe_sorted, band_blocks=4):
+        """Dispatch the NN band phase ahead of nearest_neighbors from a
+        host free-energy vector already in the band order's frame layout
+        (``fe_sorted``: fp32 (n,), MORTON order). All device programs
+        are enqueued asynchronously; nearest_neighbors consumes the
+        stash only after verifying its fe is bit-equal (fe values gate
+        the hd-neighbor comparisons, so approximate matches are not
+        admissible)."""
+        order_name = "morton"
+        n, n_pad = self.n, self.n_pad
+        if (self.backend != "pallas" or self.mesh is not None
+                or n_pad // self.col_block <= 2 * band_blocks
+                or os.environ.get("CLUSTERING_TPU_NN_PREFETCH") == "0"):
+            return
+        layouts = {}
+
+        def layout(name):
+            if name not in layouts:
+                order, padded = self._padded(name)
+                fe_padded = np.full(n_pad, np.inf, dtype=np.float32)
+                if name == order_name:
+                    fe_padded[:n] = fe_sorted
+                else:
+                    # re-lay-out through the cached host permutation
+                    # (position p of ``name`` order -> band-order
+                    # position of the same frame)
+                    perm = self._host_perm(order_name, name)
+                    fe_padded[:n] = fe_sorted[perm[:n]]
+                layouts[name] = (order, padded,
+                                 self._put(fe_padded.reshape(1, n_pad)),
+                                 self._oid_dev(name))
+            return layouts[name]
+
+        nn_bidir = self._nn_bidir_ok()
+        pf = self._nn_band_dispatch(
+            order_name, band_blocks, nn_bidir, layout,
+            speculate=nn_bidir and n >= self.TIERED_MIN_FRAMES)
+        pf["fe_sorted"] = fe_sorted
+        pf["layouts"] = layouts
+        self._band_prefetch = pf
+
+    def _band_prefetch_start(self, row_host, stats):
+        """Second half: compute free energies on host EXACTLY as
+        ops.free_energies does (same int -> fp32 casts, same np.log, so
+        the result is bit-equal to free_energies(pops)[morton_order])
+        and dispatch the whole band phase -- on a daemon thread, so the
+        host fe + layout uploads + dispatches overlap the pops counts
+        download (already streaming: its D2H was requested first) and
+        never sit on the pops wall. nearest_neighbors joins the thread
+        before consuming the stash. Measured without the reorder
+        (PREFETCH_AB first pass): the counts download queued behind the
+        band kernel and the serial host fe cost pops +0.8s -- more than
+        the NN stage saved."""
+        n = self.n
+
+        def work():
+            try:
+                counts = row_host[:n]
+                # mirror ops.free_energies bit-for-bit (density.py):
+                # fp32 max, fp32 division, fp32 log -- int32 counts cast
+                # to the same fp32 values as the int64 pops the caller
+                # will pass through it
+                max_pop = np.float32(counts.max())
+                ratio = counts.astype(np.float32) / max_pop
+                fe_sorted = (-np.log(ratio.astype(np.float32))
+                             ).astype(np.float32)
+                self._prefetch_nn_band(fe_sorted)
+            except Exception:  # best-effort: a miss only loses overlap
+                self._band_prefetch = None
+
+        import threading
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        self._band_prefetch_thread = th
+        stats["nn_band_prefetch"] = True
 
     def _nn_dispatch_mesh(self, coords_dev, fe_dev, oid_dev, active,
                           bidir):
@@ -1116,15 +1334,35 @@ class DensityEngine:
                 order, padded = self._padded(name)
                 fe_padded = np.full(n_pad, np.inf, dtype=np.float32)
                 fe_padded[:n] = fe if order is None else fe[order]
-                oid = np.full(n_pad, np.iinfo(np.int32).max, dtype=np.int32)
-                oid[:n] = (np.arange(n, dtype=np.int32) if order is None
-                           else order)
                 layouts[name] = (order, padded,
                                  self._put(fe_padded.reshape(1, n_pad)),
-                                 self._put(oid.reshape(1, n_pad)))
+                                 self._oid_dev(name))
             return layouts[name]
 
         nrb, ncb = n_pad // self.row_block, n_pad // self.col_block
+        # a band prefetch dispatched during populations() is consumed at
+        # most once, and only when its inputs provably match this call
+        # (bit-equal fe in the band order, same band/bidir config) --
+        # otherwise the normal dispatch below runs and the stale stash
+        # is dropped. The fe + dispatch half runs on a daemon thread
+        # (off the pops wall); join it before reading the stash.
+        th = getattr(self, "_band_prefetch_thread", None)
+        if th is not None:
+            th.join()
+            self._band_prefetch_thread = None
+        pf, self._band_prefetch = self._band_prefetch, None
+        if pf is not None:
+            band_order, _ = self._padded(pf["order_name"])
+            if not (prune and ncb > 2 * band_blocks
+                    and pf["order_name"] == order_name
+                    and pf["band_blocks"] == band_blocks
+                    and pf["bidir"] == self._nn_bidir_ok()
+                    and np.array_equal(pf["fe_sorted"],
+                                       fe if band_order is None
+                                       else fe[band_order])):
+                pf = None
+        if pf is not None:
+            layouts.update(pf["layouts"])
         order, padded, fe_dev, oid_dev = layout(order_name)
         band_name, band_out = None, None
         out_idx_dev = None
@@ -1141,48 +1379,30 @@ class DensityEngine:
         t0 = time.perf_counter()
         nn_bidir = self._nn_bidir_ok()
         if prune and ncb > 2 * band_blocks:
-            # phase 1: banded pass over sort-neighbors -> per-frame upper
-            # bounds (order-independent values)
-            band_active = pruning.band_mask(
-                nrb, ncb, self.row_block, self.col_block,
-                band_blocks * self.col_block)
-            band_eff = (pruning.bidir_closure(band_active, self.row_block,
-                                              self.col_block)
-                        if nn_bidir else band_active)
+            if pf is not None:
+                # the whole band phase (banded sweep, row-ub reduction,
+                # packed activity planes, speculative tiered plan) was
+                # dispatched during populations() and overlapped the
+                # counts download + inter-stage host work; only the
+                # activity fetch below remains on this stage's wall
+                band_active, band_eff = pf["band_active"], pf["band_eff"]
+                out1 = pf["out1"]
+                acts_words = pf["acts_words"]
+                spec, spec_name = pf["spec"], pf["spec_name"]
+                stats["band_prefetched"] = True
+            else:
+                d = self._nn_band_dispatch(
+                    order_name, band_blocks, nn_bidir, layout,
+                    speculate=(tier_qs == "auto" and nn_bidir
+                               and n >= self.TIERED_MIN_FRAMES))
+                band_active, band_eff = d["band_active"], d["band_eff"]
+                out1 = d["out1"]
+                acts_words = d["acts_words"]
+                spec, spec_name = d["spec"], d["spec_name"]
             stats["band_tiles"] = int(band_eff.sum())
-            out1 = self._nn_sparse_chunks(order_name, fe_dev, oid_dev,
-                                          band_eff, bidir=nn_bidir)
-            # keep the per-frame bounds on device; per candidate order,
-            # permute + reduce there and download only the per-row-block
-            # maxima (device->host is the slow, flaky direction through
-            # remote-TPU tunnels: nrb floats instead of N)
             names = ("dim0", "morton")
-            row_ubs_dev = _row_ub2(
-                out1[0], self._ub_perm(order_name, names[0]),
-                self._ub_perm(order_name, names[1]),
-                row_block=self.row_block)
-            # per-row-bound compare on device; BOTH orders' packed planes
-            # in one dispatch + one download (round-trips through the
-            # remote tunnel cost ~0.1-0.2s each)
-            acts_words = pruning._pack_le_rows2(
-                self._d2b_dev(names[0]), self._d2b_dev(names[1]),
-                row_ubs_dev)
-            # speculative tiered plan: its device programs (quantiles,
-            # symmetric re-sort, packed mask) run while the acts planes
-            # download, and the mask rides the SAME fetch -- when the
-            # speculated order wins the whole tiered plan costs zero
-            # extra round-trips; a miss just re-dispatches below as
-            # before (paying the wasted sort in the fetch window).
-            # Speculate on the PREVIOUS call's winning order -- stable
-            # across reps of a production series -- falling back to the
-            # band order on the first call.
-            spec = spec_words = spec_name = None
-            if (tier_qs == "auto" and nn_bidir
-                    and n >= self.TIERED_MIN_FRAMES):
-                spec_name = self._nn_spec_name or order_name
-                spec = self._nn_tiered_bidir_dispatch(
-                    spec_name, order_name, out1, layout,
-                    self.TIER_QS_DEFAULT)
+            spec_words = None
+            if spec is not None and tier_qs == "auto":
                 acts_host, spec_words = self._get((acts_words, spec[4]))
             else:
                 acts_host = self._get(acts_words)

@@ -65,6 +65,26 @@ _IMAX = np.int32(np.iinfo(np.int32).max)
 _INF = np.float32(np.inf)
 
 
+def _scoped_vmem_limit(acc_bytes, result_bytes, margin=(8 << 20)):
+    """Scoped-vmem budget for a pallas_call that keeps a persistent
+    column accumulator VMEM-resident. XLA's 16MB scoped default is
+    conservative (v5e accepts >=120MB, measured), and its scheduler
+    sometimes stack-allocates the call's whole result tuple + scan
+    carries in scoped vmem too -- observed intermittently as COMPILE
+    failures: pops "scoped allocation 32.68M, limit 12M" (R=1, N=2^20),
+    nn bidir "35.80M, limit 32.00M" (N=2^20). Budget the accumulator +
+    pipeline margin, then add headroom for up to 3 copies of the result
+    tuple, degrading the multiplier until the total stays under the
+    hardware's measured scoped capacity -- past that size XLA cannot
+    stack the tuple in vmem at all and the base margin suffices."""
+    limit = acc_bytes + margin
+    for mult in (3.0, 2.0, 1.25):
+        extras = int(mult * result_bytes)
+        if limit + extras <= (110 << 20):
+            return limit + extras
+    return limit
+
+
 def _dist2_tile(x_ref, y_ref, row_block, col_block, n_dim):
     """(row_block, col_block) squared-distance tile from (D, R) and (D, C)
     coordinate tiles; ascending-d fp32 accumulation."""
@@ -357,11 +377,9 @@ def _pops_bidir_call(coords_t, radii2, n_valid, tile_i, tile_j, rmask,
         ],
     )
     init = jnp.zeros((n_radii, n_pad), dtype=jnp.int32)
-    # the column accumulator stays VMEM-resident; raise the scoped-vmem
-    # limit past XLA's conservative 16MB default (v5e has far more)
     acc_bytes = col_span * n_radii * col_block * 4
-    params = pltpu.CompilerParams(
-        vmem_limit_bytes=acc_bytes + (8 << 20))
+    params = pltpu.CompilerParams(vmem_limit_bytes=_scoped_vmem_limit(
+        acc_bytes, n_radii * n_pad * 4 + acc_bytes))
     out, acc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -508,6 +526,84 @@ def pops_tiles_bidir_all(coords_t, radii2, n_valid, tile_i, tile_j, rmask,
             part = run_range(ti_p, tj_p, rm_p, base, width)
             acc = part if acc is None else _acc_add(acc, part)
     return _add_self_count(acc, jnp.int32(n_valid))
+
+
+def _group_pad(arrs, g, fills):
+    """Pad stacked chunk arrays to a full DISPATCH_CHUNK_GROUP (device or
+    host inputs; jnp ops keep device-resident tile lists on device)."""
+    pad = g - arrs[0].shape[0]
+    out = []
+    for a, fill in zip(arrs, fills):
+        if fill == "repeat":
+            out.append(jnp.concatenate([a, jnp.repeat(a[-1:], pad, 0)]))
+        else:
+            out.append(jnp.concatenate(
+                [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)]))
+    return out
+
+
+def pops_tiles_bidir_windows(coords_t, radii2, n_valid, windows,
+                             row_block=DEFAULT_ROW_BLOCK,
+                             col_block=DEFAULT_COL_BLOCK):
+    """pops_tiles_bidir_all for pre-partitioned column windows whose
+    stacked (n_chunks, bucket) tile chunks may live ON DEVICE (the big-N
+    device planner, pruning.tile_list_device): no host tile traffic.
+    ``windows`` iterates (base, width, ti_st, tj_st, rm_st)."""
+    n_pad = coords_t.shape[1]
+    g = DISPATCH_CHUNK_GROUP
+    acc = None
+    for base, width, ti_st, tj_st, rm_st in windows:
+        n_chunks = ti_st.shape[0]
+        part = None
+        for lo in range(0, n_chunks, g):
+            ti_g, tj_g, rm_g = (ti_st[lo:lo + g], tj_st[lo:lo + g],
+                                rm_st[lo:lo + g])
+            if ti_g.shape[0] < g and n_chunks > g:
+                ti_g, tj_g, rm_g = _group_pad(
+                    (ti_g, tj_g, rm_g), g, ("repeat", -1, 0))
+            p = _pops_bidir_group_part(
+                coords_t, radii2, n_valid, jnp.asarray(ti_g),
+                jnp.asarray(tj_g), jnp.asarray(rm_g),
+                jnp.int32(base), width,
+                row_block=row_block, col_block=col_block)
+            part = p if part is None else (_acc_add(part[0], p[0]),
+                                           _acc_add(part[1], p[1]))
+        rows, cols = part
+        full = _acc_add(rows, _place_cols_sum(cols, base * col_block,
+                                              n_pad))
+        acc = full if acc is None else _acc_add(acc, full)
+    return _add_self_count(acc, jnp.int32(n_valid))
+
+
+def nn_tiles_bidir_windows(coords_t, fe, orig_ids, n_valid, windows,
+                           row_block=DEFAULT_ROW_BLOCK,
+                           col_block=DEFAULT_COL_BLOCK):
+    """nn_tiles_bidir_all for pre-partitioned column windows with
+    device-resident stacked tile chunks (big-N device planner).
+    ``windows`` iterates (base, width, ti_st, tj_st)."""
+    n_pad = coords_t.shape[1]
+    g = DISPATCH_CHUNK_GROUP
+    out = None
+    for base, width, ti_st, tj_st in windows:
+        n_chunks = ti_st.shape[0]
+        acc = None
+        for lo in range(0, n_chunks, g):
+            ti_g, tj_g = ti_st[lo:lo + g], tj_st[lo:lo + g]
+            if ti_g.shape[0] < g and n_chunks > g:
+                ti_g, tj_g = _group_pad((ti_g, tj_g), g,
+                                        ("repeat", "repeat"))
+            od, oj, cd, cj = _nn_bidir_group_part(
+                coords_t, fe, orig_ids, n_valid, jnp.asarray(ti_g),
+                jnp.asarray(tj_g), jnp.int32(base), width,
+                row_block=row_block, col_block=col_block)
+            p = ((od, oj), (cd, cj))
+            acc = p if acc is None else (
+                _lex_min2(acc[0], p[0]), _lex_min2(acc[1], p[1]))
+        rows, cols = acc
+        colf = _place_cols(cols[0], cols[1], base * col_block, n_pad)
+        part = _lex_min2(rows, colf)
+        out = part if out is None else _lex_min2(out, part)
+    return out
 
 
 @jax.jit
@@ -1122,8 +1218,9 @@ def _nn_bidir_call(coords_t, fe, orig_ids, n_valid, tile_i, tile_j,
     )
     init_d = jnp.full((2, n_pad), _INF, dtype=jnp.float32)
     init_j = jnp.full((2, n_pad), _IMAX, dtype=jnp.int32)
-    params = pltpu.CompilerParams(
-        vmem_limit_bytes=col_span * col_block * 16 + (16 << 20))
+    acc_bytes = col_span * col_block * 16
+    params = pltpu.CompilerParams(vmem_limit_bytes=_scoped_vmem_limit(
+        acc_bytes, 16 * n_pad + acc_bytes, margin=(16 << 20)))
     out_d, out_j, acc_d, acc_j = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1174,30 +1271,6 @@ def nn_tiles_sparse_bidir(coords_t, fe, orig_ids, n_valid,
 # ---------------------------------------------------------------------------
 # sparse-tile screening sweep (tile list driven)
 # ---------------------------------------------------------------------------
-
-def _redirect_clean_tiles(tile_i, tile_j, gate):
-    """Index-map redirect for dirty-gated sweeps: steps whose tile is
-    clean (``gate`` False) point at the last computing step instead, so
-    they reach the kernel as repeat-duplicates -- their block index maps
-    are unchanged from the previous grid step (Mosaic elides every block
-    DMA) and the body's duplicate check skips them.  A clean-gated visit
-    becomes a true no-op grid step rather than four block fetches plus a
-    row-output write-back.  A clean prefix clips to step 0, which the
-    kernel's dirty check still skips.  Exact: the computed-tile set is
-    unchanged (the kernel already skipped clean tiles).
-
-    ``CLUSTERING_TPU_NO_TILE_REDIRECT`` disables the redirect at trace
-    time (A/B instrumentation only -- pair with jax.clear_caches())."""
-    import os
-    ti = jnp.asarray(tile_i, dtype=jnp.int32)
-    tj = jnp.asarray(tile_j, dtype=jnp.int32)
-    if os.environ.get("CLUSTERING_TPU_NO_TILE_REDIRECT"):
-        return ti, tj
-    idx = jnp.where(gate, jnp.arange(ti.shape[0], dtype=jnp.int32),
-                    jnp.int32(-1))
-    eff = jnp.maximum(jax.lax.cummax(idx), 0)
-    return ti[eff], tj[eff]
-
 
 def _label_min_sparse_kernel(win_ref, max_d2_ref, ti_ref, tj_ref, dirty_ref,
                              xt_ref, yt_ref, lab_y_ref, init_ref, out_ref,
@@ -1259,10 +1332,6 @@ def label_min_sparse_cross(rows_t, cols_t, labels, n_below, max_dist2,
     n_tiles = tile_i.shape[0]
     if dirty is None:
         dirty = jnp.ones((n_cols // col_block,), dtype=jnp.int32)
-    else:
-        tile_i, tile_j = _redirect_clean_tiles(
-            tile_i, tile_j, jnp.asarray(dirty, jnp.int32)[
-                jnp.asarray(tile_j, jnp.int32)] != 0)
     kernel = functools.partial(_label_min_sparse_kernel,
                                row_block=row_block, col_block=col_block,
                                n_dim=n_dim)
@@ -1397,12 +1466,6 @@ def label_min_sparse_bidir(coords_t, labels, n_below, max_dist2,
     n_tiles = tile_i.shape[0]
     if col_span is None:
         col_span = union_size // col_block
-    ti32 = jnp.asarray(tile_i, jnp.int32)
-    tj32 = jnp.asarray(tile_j, jnp.int32)
-    tile_i, tile_j = _redirect_clean_tiles(
-        tile_i, tile_j,
-        (jnp.asarray(dirty_col, jnp.int32)[tj32] != 0)
-        | (jnp.asarray(dirty_row, jnp.int32)[ti32] != 0))
     kernel = functools.partial(_label_min_bidir_kernel,
                                row_block=row_block, col_block=col_block,
                                n_dim=n_dim)
@@ -1431,10 +1494,10 @@ def label_min_sparse_bidir(coords_t, labels, n_below, max_dist2,
     init = jnp.full((1, n_pad), _IMAX, dtype=jnp.int32)
     window = jnp.stack([jnp.asarray(n_below, dtype=jnp.int32),
                         jnp.asarray(col_base, dtype=jnp.int32)])
-    # scoped-vmem limit: column accumulator + pipeline buffers (XLA's
-    # 16MB default is conservative; see pops_tiles_sparse_bidir)
-    params = pltpu.CompilerParams(
-        vmem_limit_bytes=col_span * col_block * 4 + (8 << 20))
+    # scoped-vmem limit: column accumulator + result-tuple headroom
+    # (see _scoped_vmem_limit)
+    params = pltpu.CompilerParams(vmem_limit_bytes=_scoped_vmem_limit(
+        col_span * col_block * 4, n_pad * 4 + col_span * col_block * 4))
     out, acc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

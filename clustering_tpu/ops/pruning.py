@@ -421,3 +421,125 @@ def ub_skip_words(coords_padded, row_block, col_block, row_ub):
     d2 = bbox_dist2(rmin, rmax, cmin, cmax)
     skip = d2 > np.asarray(row_ub, dtype=np.float32)[:, None]
     return pack_skip_words(skip)
+
+
+# ---------------------------------------------------------------------------
+# device-side planning (big N)
+#
+# Host planning materializes (nrb, ncb) boolean matrices and downloads
+# packed activity planes; at 16M frames that is ~537MB per mask and a
+# 67MB transfer per plane, and the measured plan walls were minutes
+# (BIGN_r03: t_plan 760s, t_band 1502s -- mask algebra, np.nonzero and
+# chunking on a page-fault-bound single-core host). These helpers keep
+# every mask ON DEVICE and hand the sweeps device-resident stacked tile
+# chunks; the only host traffic is a handful of scalar counts (the
+# chunk shapes must be static). The emitted tile sets and their
+# row-major order are identical to the host planners', so results are
+# bit-equal (the reductions are order-invariant anyway).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("strict",))
+def le_planes_device(d2b_dev, thresh2s, strict=False):
+    """(T, nrb, ncb) bool device planes of d2b <= thresh2s[t] (strict <):
+    active_masks_device without the pack + download."""
+    t = jnp.asarray(thresh2s, dtype=jnp.float32)[:, None, None]
+    return d2b_dev[None] < t if strict else d2b_dev[None] <= t
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nrb", "ncb", "row_block", "col_block",
+                                    "half_width"))
+def band_mask_device(nrb, ncb, row_block, col_block, half_width):
+    """Device twin of band_mask: the host float comparison rewritten as
+    exact integer arithmetic (x2), so the tile set matches the host
+    planner bit-for-bit at any N (fp32 iotas would round past 2^24)."""
+    rc2 = (2 * jnp.arange(nrb, dtype=jnp.int32) + 1) * row_block
+    col_lo2 = 2 * jnp.arange(ncb, dtype=jnp.int32) * col_block
+    col_hi2 = col_lo2 + 2 * col_block
+    hw2 = 2 * half_width
+    return ((col_hi2[None, :] >= rc2[:, None] - hw2)
+            & (col_lo2[None, :] <= rc2[:, None] + hw2))
+
+
+@functools.partial(jax.jit, static_argnames=("row_block", "col_block"))
+def bidir_closure_device(active, row_block, col_block):
+    """Device twin of bidir_closure (same tile set)."""
+    nrb, ncb = active.shape
+    if col_block % row_block != 0:
+        raise ValueError("bidir_closure needs col_block % row_block == 0")
+    span = col_block // row_block
+    assert nrb == ncb * span
+    B = active.reshape(ncb, span, ncb).any(axis=1)
+    # host: mirror[i, j] = B[j, i // span] == repeat_rows(B.T, span)
+    mirror = jnp.repeat(B.T, span, axis=0)
+    ri = jnp.arange(nrb, dtype=jnp.int32)[:, None]
+    cj = jnp.arange(ncb, dtype=jnp.int32)[None, :]
+    upper = (cj + 1) * col_block > ri * row_block
+    return (active | mirror) & upper
+
+
+@jax.jit
+def upper_tri_device(active, row_block, col_block):
+    """active & upper-triangular (the bidir pops tile filter)."""
+    nrb, ncb = active.shape
+    ri = jnp.arange(nrb, dtype=jnp.int32)[:, None]
+    cj = jnp.arange(ncb, dtype=jnp.int32)[None, :]
+    return active & ((cj + 1) * col_block > ri * row_block)
+
+
+@functools.partial(jax.jit, static_argnames=("span",))
+def window_counts_device(active, span):
+    """Per-column-window active-tile counts, (W,) int32 -- the one
+    scalar-sized fetch device planning needs before shaping tile lists
+    (W = ceil(ncb / span))."""
+    nrb, ncb = active.shape
+    w = -(-ncb // span)
+    a = active
+    if w * span != ncb:
+        a = jnp.pad(a, ((0, 0), (0, w * span - ncb)))
+    return a.reshape(nrb, w, span).sum(axis=(0, 2), dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("total", "pad_mode", "base",
+                                             "width"))
+def _tile_list_dev_call(active, n_tiles_dev, total, pad_mode, base, width):
+    win = active if width is None else \
+        jax.lax.dynamic_slice_in_dim(active, base, width, axis=1)
+    ti, tj = jnp.nonzero(win, size=total, fill_value=0)
+    ar = jnp.arange(total, dtype=jnp.int32)
+    valid = ar < n_tiles_dev
+    last = jnp.maximum(n_tiles_dev - 1, 0)
+    ti = jnp.where(valid, ti, jnp.take(ti, last)).astype(jnp.int32)
+    tj = jnp.asarray(tj, jnp.int32) + (0 if width is None else base)
+    if pad_mode == "repeat":
+        tj = jnp.where(valid, tj, jnp.take(tj, last))
+    else:
+        tj = jnp.where(valid, tj, -1)
+    return ti, tj
+
+
+def tile_list_device(active_dev, n_tiles, pad_mode="repeat",
+                     max_entries=MAX_TILE_ENTRIES, base=0, width=None):
+    """Device twin of tile_list: same row-major order, same (n_chunks,
+    bucket) stacking, tiles stay on device. ``n_tiles`` is the host
+    count (from window_counts_device); ``base``/``width`` restrict to a
+    column window, with GLOBAL tj emitted. Returns None when empty."""
+    if n_tiles == 0:
+        return None
+    bucket = chunk_bucket(n_tiles, max_entries)
+    n_chunks = -(-n_tiles // bucket)
+    ti, tj = _tile_list_dev_call(active_dev, jnp.int32(n_tiles),
+                                 n_chunks * bucket, pad_mode, base, width)
+    return ti.reshape(n_chunks, bucket), tj.reshape(n_chunks, bucket)
+
+
+@jax.jit
+def rmask_gather_device(planes, ti, tj):
+    """Per-tile radius bitmask gathered from (R, nrb, ncb) device planes
+    (device twin of DensityEngine._pops_rmask): bit r set iff the tile
+    is admissible at radius r; pad entries (tj < 0) carry mask 0."""
+    tj_safe = jnp.maximum(tj, 0)
+    bits = planes[:, ti, tj_safe].astype(jnp.int32)
+    weights = (1 << jnp.arange(planes.shape[0], dtype=jnp.int32))
+    rmask = jnp.tensordot(weights, bits, axes=1)
+    return jnp.where(tj >= 0, rmask, 0).astype(jnp.int32)

@@ -581,6 +581,7 @@ class ScreeningEngine:
                 row_block=self.row_block, col_block=self.col_block,
                 union_size=union_size)
         if self.backend == "pallas":
+            t_plan0 = time.perf_counter()
             union_size = self._union_size(n_below)
             from .pallas_kernels import DISPATCH_CHUNK_GROUP
             mode = "symmetric"
@@ -597,6 +598,8 @@ class ScreeningEngine:
             if mode == "bidir":
                 ti, tj = tiles
                 parts, windows = self._bidir_partitions(ti, tj, union_size)
+                t_plan = time.perf_counter() - t_plan0
+                t_disp0 = time.perf_counter()
                 out, iters, swept = _sparse_fixpoint_bidir(
                     self._coords_dev, labels_dev,
                     jnp.int32(n_below), jnp.float32(max_dist2),
@@ -608,6 +611,8 @@ class ScreeningEngine:
                 if tiles is None:
                     return labels_dev
                 ti, tj = tiles
+                t_plan = time.perf_counter() - t_plan0
+                t_disp0 = time.perf_counter()
                 if ti.shape[0] > DISPATCH_CHUNK_GROUP:
                     # tile list too long for one device program (runtime
                     # watchdogs): host-driven sweeps, bounded dispatches
@@ -645,6 +650,16 @@ class ScreeningEngine:
                 "swept_tiles": swept,
                 "tile_pairs": self.row_block * self.col_block,
                 "mode": mode,
+                # sub-stage walls: t_plan = host tile-list/partition
+                # planning, t_dispatch = the fixpoint call's host wall
+                # (device-program paths return asynchronously in ~25ms;
+                # the host-driven group paths sync internally, so there
+                # it is the real fixpoint wall). The device-done wait +
+                # label download + normalize are measured by the series
+                # postlude (ThresholdSeriesScreener._postlude) without
+                # breaking the step pipeline.
+                "t_plan": t_plan,
+                "t_dispatch": time.perf_counter() - t_disp0,
             }
             return out
         if self.mesh is not None:
@@ -832,6 +847,11 @@ class ThresholdSeriesScreener:
         # just starts mostly converged (the insight behind the reference
         # CPU path's lump_initial_clusters, density_clustering.cpp:506).
         self._hd_pos = None
+        # per-step engine stats dicts of the current series run (the
+        # postlude worker fills in t_wait/t_fetch/t_norm as each step
+        # drains); bench.py aggregates them into the screening stage's
+        # sub-stage breakdown
+        self.per_step_stats = []
         if hd_neighbors is not None:
             self.set_hd_neighbors(hd_neighbors)
 
@@ -959,12 +979,18 @@ class ThresholdSeriesScreener:
             self._last_out = out
             return out
         t0 = time.perf_counter()
+        self.engine.last_stats = {}
         labels_dev = self.engine.run_device(labels_dev, nb, max_dist2,
                                             row_lo=prev_last)
         self._labels_dev = labels_dev
         self._prev_nb = nb
+        st = self.engine.last_stats
+        st = st if "sweeps" in st else None
+        if st is not None:
+            st["threshold_index"] = k
+            self.per_step_stats.append(st)
         clustering = self._postlude(labels_dev, nb,
-                                    time.perf_counter() - t0)
+                                    time.perf_counter() - t0, st)
         self._last_out = clustering
         return clustering
 
@@ -999,10 +1025,23 @@ class ThresholdSeriesScreener:
             labels0[:nb] = seeds
         return self.engine._upload(labels0), 0
 
-    def _postlude(self, labels_dev, nb, t_fix):
+    def _postlude(self, labels_dev, nb, t_fix, st=None):
         """Fetch the fixpoint labels and normalize component names;
-        returns the clustered trajectory in original frame order."""
+        returns the clustered trajectory in original frame order.
+
+        ``st`` is the step's engine stats dict: coercing its lazy device
+        ``sweeps`` scalar FIRST is a device-done barrier (a ~33ms scalar
+        readback through the tunnel), splitting the step into kernel
+        wait (t_wait) vs label download (t_fetch) vs host normalize
+        (t_norm) -- measured on the postlude worker thread, so the
+        series pipeline is unaffected (the waits overlap the next
+        step's dispatches and can sum past the series wall)."""
         t1 = time.perf_counter()
+        if st is not None and "sweeps" in st:
+            st["sweeps"] = int(st["sweeps"])
+            st["swept_tiles"] = float(st["swept_tiles"])
+            st["t_wait"] = time.perf_counter() - t1
+            t1 = time.perf_counter()
         final = self.engine._fetch(labels_dev)[:self.n]
         t2 = time.perf_counter()
         # normalize names by each component's minimal FE-sorted rank:
@@ -1020,10 +1059,12 @@ class ThresholdSeriesScreener:
         clustering = np.zeros(self.n, dtype=np.int64)
         clustering[self.order[:nb]] = names[np.searchsorted(comp_vals,
                                                             comp)]
-        # sub-stage wall clocks (fixpoint is host-driven, so t_fix ends
-        # at a real sync; fetch/normalize split the host postlude)
+        # sub-stage wall clocks (fetch/normalize split the host postlude)
         self.last_step_stats = {"t_fix": t_fix, "t_fetch": t2 - t1,
                                 "t_norm": time.perf_counter() - t2}
+        if st is not None and "sweeps" in st:
+            st["t_fetch"] = t2 - t1
+            st["t_norm"] = self.last_step_stats["t_norm"]
         return clustering
 
     def reset(self):
@@ -1034,6 +1075,7 @@ class ThresholdSeriesScreener:
         self._labels_dev = None
         self._last_out = None
         self._last_future = None
+        self.per_step_stats = []
 
     def step_submit(self, k, max_dist2, pool):
         """Series-order step with a deferred host postlude.
@@ -1079,12 +1121,18 @@ class ThresholdSeriesScreener:
             self._last_future = out
             return out
         t0 = time.perf_counter()
+        self.engine.last_stats = {}
         labels_dev = self.engine.run_device(labels_dev, nb, max_dist2,
                                             row_lo=prev_last)
         self._labels_dev = labels_dev
         self._prev_nb = nb
+        st = self.engine.last_stats
+        st = st if "sweeps" in st else None
+        if st is not None:
+            st["threshold_index"] = k
+            self.per_step_stats.append(st)
         fut = pool.submit(self._postlude, labels_dev, nb,
-                          time.perf_counter() - t0)
+                          time.perf_counter() - t0, st)
         self._last_future = fut
         return fut
 

@@ -1,0 +1,121 @@
+"""Device-side planning (pruning.*_device) must emit exactly the host
+planners' tile sets, in the same row-major order, with the same chunk
+stacking -- big-N planning swaps the implementation, never the plan.
+Guards the exact-pruning invariant (reference box-grid semantics,
+src/density_clustering.cpp:41-105) under the device planners.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from clustering_tpu.ops import pruning
+
+RB, CB = 8, 16
+
+
+def _rand_mask(nrb, ncb, p, seed):
+    rng = np.random.default_rng(seed)
+    return rng.random((nrb, ncb)) < p
+
+
+@pytest.mark.parametrize("p,seed", [(0.0, 0), (1.0, 1), (0.07, 2),
+                                    (0.5, 3), (0.93, 4)])
+def test_bidir_closure_device_matches_host(p, seed):
+    ncb, span = 12, CB // RB
+    nrb = ncb * span
+    m = _rand_mask(nrb, ncb, p, seed)
+    want = pruning.bidir_closure(m, RB, CB)
+    got = np.asarray(pruning.bidir_closure_device(jnp.asarray(m), RB, CB))
+    np.testing.assert_array_equal(want, got)
+
+
+@pytest.mark.parametrize("hw_blocks", [1, 3, 7])
+def test_band_mask_device_matches_host(hw_blocks):
+    nrb, ncb = 64, 32
+    want = pruning.band_mask(nrb, ncb, RB, CB, hw_blocks * CB)
+    got = np.asarray(pruning.band_mask_device(nrb, ncb, RB, CB,
+                                              hw_blocks * CB))
+    np.testing.assert_array_equal(want, got)
+
+
+def test_upper_tri_device_matches_host_filter():
+    nrb, ncb = 32, 16
+    m = _rand_mask(nrb, ncb, 0.4, 9)
+    ri = np.arange(nrb)[:, None]
+    cj = np.arange(ncb)[None, :]
+    want = m & ((cj + 1) * CB > ri * RB)
+    got = np.asarray(pruning.upper_tri_device(jnp.asarray(m), RB, CB))
+    np.testing.assert_array_equal(want, got)
+
+
+@pytest.mark.parametrize("p,pad_mode", [(0.03, "repeat"), (0.03, "noop"),
+                                        (0.6, "repeat"), (1.0, "noop")])
+def test_tile_list_device_matches_host(p, pad_mode):
+    nrb, ncb = 48, 24
+    m = _rand_mask(nrb, ncb, p, 11)
+    m[0, 0] = True  # never empty
+    want = pruning.tile_list(m, pad_mode=pad_mode, max_entries=256)
+    n = int(m.sum())
+    got = pruning.tile_list_device(jnp.asarray(m), n, pad_mode=pad_mode,
+                                   max_entries=256)
+    np.testing.assert_array_equal(want[0], np.asarray(got[0]))
+    np.testing.assert_array_equal(want[1], np.asarray(got[1]))
+
+
+def test_tile_list_device_empty():
+    m = np.zeros((16, 8), dtype=bool)
+    assert pruning.tile_list_device(jnp.asarray(m), 0) is None
+
+
+def test_tile_list_device_window_matches_host_window():
+    """Windowed device lists == host iter_col_windows + chunking on the
+    same flat list (global tj, row-major within the window)."""
+    nrb, ncb, span = 48, 24, 7
+    m = _rand_mask(nrb, ncb, 0.3, 13)
+    ti_f, tj_f = np.nonzero(m)
+    cnt = np.asarray(pruning.window_counts_device(jnp.asarray(m), span))
+    assert int(cnt.sum()) == len(ti_f)
+    wins = list(pruning.iter_col_windows(tj_f, ncb, span))
+    w_idx = 0
+    for base in range(0, ncb, span):
+        width = min(span, ncb - base)
+        c = int(cnt[base // span])
+        if c == 0:
+            continue
+        wbase, wwidth, sel = wins[w_idx]
+        w_idx += 1
+        assert (wbase, wwidth) == (base, width)
+        assert c == int(sel.sum())
+        got = pruning.tile_list_device(jnp.asarray(m), c, base=base,
+                                       width=width, max_entries=64)
+        gi = np.asarray(got[0]).reshape(-1)[:c]
+        gj = np.asarray(got[1]).reshape(-1)[:c]
+        np.testing.assert_array_equal(gi, ti_f[sel])
+        np.testing.assert_array_equal(gj, tj_f[sel])
+    assert w_idx == len(wins)
+
+
+def test_rmask_gather_device_matches_host():
+    from clustering_tpu.ops.engine import DensityEngine
+    nrb, ncb, n_r = 32, 16, 3
+    rng = np.random.default_rng(17)
+    planes = [None] + [rng.random((nrb, ncb)) < 0.5 for _ in range(n_r)]
+    ti = rng.integers(0, nrb, size=(4, 32)).astype(np.int32)
+    tj = rng.integers(0, ncb, size=(4, 32)).astype(np.int32)
+    tj[0, :5] = -1  # pads
+    want = DensityEngine._pops_rmask(ti, tj, planes, n_r, True)
+    got = np.asarray(pruning.rmask_gather_device(
+        jnp.asarray(np.stack(planes[1:])), jnp.asarray(ti),
+        jnp.asarray(tj)))
+    np.testing.assert_array_equal(want, got)
+
+
+def test_le_planes_device_matches_active_masks():
+    rng = np.random.default_rng(23)
+    d2b = rng.random((32, 16)).astype(np.float32)
+    ts = [0.1, 0.5, 0.9]
+    want = pruning.active_masks_device(jnp.asarray(d2b), ts)
+    got = np.asarray(pruning.le_planes_device(
+        jnp.asarray(d2b), jnp.asarray(ts, dtype=jnp.float32)))
+    np.testing.assert_array_equal(want, got)
