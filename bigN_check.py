@@ -10,13 +10,16 @@ bidirectionally; the reference's tiling has no cap either
 
 This driver proves it on hardware:
   1. at N=2^21: bidirectional == symmetric bit-exact for pops and NN,
-     and a forced-partition run (tiny VMEM budget) == the unforced run;
+     a forced-partition run (tiny VMEM budget) == the unforced run, and
+     (round 4) the DEVICE-PLANNED run (CLUSTERING_TPU_DEVICE_PLAN=1:
+     masks + tile lists stay on device, pruning.tile_list_device) == the
+     host-planned run;
   2. at N=BIG (default 2^24 = 16M frames): pops + NN run with the
-     partitioned bidirectional kernels (the accumulator would need
-     192/256MB full-range — over the budget, so this exercises real
-     multi-partition dispatches), wall times recorded.
+     partitioned bidirectional kernels under the device planner (auto
+     above 2^22), wall times + sub-stage breakdown recorded -- round 3's
+     host planner spent t_plan 760s + t_band 1502s here.
 
-Writes BIGN_r03.json.  env: BIGN_VERIFY_N, BIGN_BIG_N, BIGN_OUT,
+Writes BIGN_r04.json.  env: BIGN_VERIFY_N, BIGN_BIG_N, BIGN_OUT,
 BIGN_SKIP_BIG.
 """
 
@@ -29,7 +32,7 @@ import numpy as np
 
 VERIFY_N = int(os.environ.get("BIGN_VERIFY_N", 1 << 21))
 BIG_N = int(os.environ.get("BIGN_BIG_N", 1 << 24))
-OUT = os.environ.get("BIGN_OUT", "BIGN_r03.json")
+OUT = os.environ.get("BIGN_OUT", "BIGN_r04.json")
 ROW_BLOCK = 128
 COL_BLOCK = 4096
 RADII = [0.10, 0.15, 0.20]
@@ -101,11 +104,33 @@ def main():
         all(np.array_equal(a, b) for a, b in zip(nn_b, nn_s)))
     checks["nn_partitioned_eq"] = bool(
         all(np.array_equal(a, b) for a, b in zip(nn_b, nn_p)))
+
+    # device-planned pops + NN (masks/tile lists device-resident) must
+    # be bit-equal to the host-planned baseline above
+    _p("verify phase: device plan (pops + nn)")
+    os.environ["CLUSTERING_TPU_DEVICE_PLAN"] = "1"
+    t0 = time.perf_counter()
+    eng_d = engine()
+    pops_d = eng_d.populations(RADII, nn_band_radius=RADII[0])
+    result["stages"]["pops_device_plan"] = round(
+        time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    nn_d = eng_d.nearest_neighbors(fe)
+    result["stages"]["nn_device_plan"] = round(time.perf_counter() - t0, 3)
+    os.environ.pop("CLUSTERING_TPU_DEVICE_PLAN", None)
+    checks["pops_device_plan_eq"] = bool(all(
+        np.array_equal(pops_b[r], pops_d[r]) for r in RADII))
+    checks["nn_device_plan_eq"] = bool(
+        all(np.array_equal(a, b) for a, b in zip(nn_b, nn_d)))
+    result["nn_device_plan_stats"] = {
+        k: v for k, v in eng_d.last_stats["nn"].items()
+        if isinstance(v, (int, float, str, bool))}
     result["checks"] = checks
 
     # --- 2. the 16M-frame partitioned-bidir run ---
     if not os.environ.get("BIGN_SKIP_BIG"):
-        del coords, pops_b, pops_s, pops_p, nn_b, nn_s, nn_p, eng_b
+        del coords, pops_b, pops_s, pops_p, nn_b, nn_s, nn_p, nn_d, \
+            pops_d, eng_b, eng_d
         _p(f"big phase: generating {BIG_N} frames")
         coords = synthetic_fel(BIG_N, 4)
         result["big_n"] = BIG_N
@@ -113,10 +138,13 @@ def main():
                                        col_block=COL_BLOCK,
                                        backend="pallas")
         t0 = time.perf_counter()
-        _p("big phase: pops")
-        pops = eng.populations(RADII)
+        _p("big phase: pops (device plan auto, band prefetch)")
+        pops = eng.populations(RADII, nn_band_radius=RADII[0])
         result["stages"]["big_pops_bidir"] = round(
             time.perf_counter() - t0, 3)
+        result["big_pops_stats"] = {
+            k: v for k, v in eng.last_stats["populations"].items()
+            if isinstance(v, (int, float, str, bool))}
         result["big_pops_mode"] = eng.last_stats["populations"].get(
             "mode", "bidir")
         fe = ops.free_energies(pops[RADII[0]])
@@ -129,6 +157,10 @@ def main():
             k: v for k, v in eng.last_stats["nn"].items()
             if isinstance(v, (int, float, str, bool))}
         result["big_nn_finite"] = bool(np.isfinite(nn[1][:BIG_N]).all())
+        st = eng.last_stats["nn"]
+        plan_band = st.get("t_band", 0.0) + st.get("t_plan", 0.0)
+        result["big_nn_plan_band_frac"] = round(
+            plan_band / max(result["stages"]["big_nn_bidir"], 1e-9), 3)
 
     result["notes"] = (
         "wall times are single cold runs through the remote tunnel: the "

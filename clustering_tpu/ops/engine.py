@@ -50,9 +50,9 @@ def _ub_tiers(stacked_d, n, qs):
 
 
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block",
-                                             "n_tiers"))
+                                             "n_tiers", "pack"))
 def _tiered_layout_sym(coords_t, fe_w, oid_w, tier_w, taus, row_block,
-                      col_block, n_tiers):
+                      col_block, n_tiers, pack=True):
     """Symmetric tiered layout for the BIDIRECTIONAL phase 2: the whole
     frame set is stable-sorted by (ub-tier, spatial position), so row and
     column order coincide and the upper-triangular bidirectional sweep
@@ -92,7 +92,11 @@ def _tiered_layout_sym(coords_t, fe_w, oid_w, tier_w, taus, row_block,
     blk_bound = bounds[jnp.minimum(tiers_p.max(axis=1), n_tiers - 1)]
     has_real = tiers_p.min(axis=1) < n_tiers
     active = (d2b <= blk_bound[:, None]) & has_real[:, None]
-    return rows_t, fe_rows, oid_rows, perm, pruning.pack_mask_words(active)
+    # pack=False keeps the bool mask on device for the big-N device
+    # planner (no download at all); pack=True is the small-N path whose
+    # words ride the band activity fetch
+    return (rows_t, fe_rows, oid_rows, perm,
+            pruning.pack_mask_words(active) if pack else active)
 
 
 @functools.partial(jax.jit, static_argnames=("row_block", "n_tiers"))
@@ -509,7 +513,30 @@ class DensityEngine:
             perm0 = jnp.zeros((n_pad,), jnp.int32)
             # band sweep: the band tile list is fe-independent, so its
             # stacked chunk shape (and the scan program) is exact
-            if ncb > 2 * band_blocks:
+            if ncb > 2 * band_blocks and self._device_plan_on() \
+                    and self._nn_bidir_ok():
+                # device planning: warm the windowed group programs with
+                # degenerate zero chunks at the production bucket shapes
+                # (the host band_mask below would materialize a 537MB
+                # matrix at 16M frames just to warm a jit cache)
+                span = self._nn_span()
+                band_dev = pruning.bidir_closure_device(
+                    pruning.band_mask_device(nrb, ncb, rb, cb,
+                                             band_blocks * cb), rb, cb)
+                wc = self._get(pruning.window_counts_device(band_dev,
+                                                            span))
+                windows = self._nn_windows_dev(band_dev, wc, span)
+                if windows:
+                    pk.nn_tiles_bidir_windows(coords0, fe2d, oid2d,
+                                              np.int32(n), windows,
+                                              row_block=rb, col_block=cb)
+                # the big phase-2 lists run full 2^16 buckets
+                z2 = jnp.zeros((2, 1 << 16), jnp.int32)
+                pk.nn_tiles_bidir_windows(
+                    coords0, fe2d, oid2d, np.int32(n),
+                    [(0, min(span, ncb), z2, z2)],
+                    row_block=rb, col_block=cb)
+            elif ncb > 2 * band_blocks:
                 band = pruning.band_mask(nrb, ncb, rb, cb,
                                          band_blocks * cb)
                 if self._nn_bidir_ok():
@@ -621,6 +648,10 @@ class DensityEngine:
         self._warm_pops_download(len(radii))
         r_max2 = np.float32(max(radii)) * np.float32(max(radii))
         bidir = prune and self._pops_bidir_ok(len(radii))
+        if (prune and bidir and self.mesh is None
+                and self._device_plan_on()):
+            return self._populations_device_plan(radii, radii2, r_max2,
+                                                 nn_band_radius, t0)
         planes = None
         if prune:
             name = self._best_sort(r_max2)
@@ -675,6 +706,66 @@ class DensityEngine:
                                            col_block=self.col_block)
         band = None
         if (nn_band_radius in radii and self.mesh is None
+                and os.environ.get("CLUSTERING_TPU_NN_PREFETCH") != "0"):
+            band = (radii.index(nn_band_radius), name)
+        counts_host = self._pops_download(acc, stats, t0, band=band)
+        stats["t_sweep"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = self._pops_finish(counts_host, order, radii)
+        stats["t_host"] = time.perf_counter() - t0
+        return out
+
+    def _populations_device_plan(self, radii, radii2, r_max2,
+                                 nn_band_radius, t0):
+        """Device-planned populations (big N, bidirectional): threshold
+        planes, the upper-triangular active mask, per-window tile lists
+        and the per-tile radius masks all stay ON DEVICE
+        (pruning.tile_list_device / rmask_gather_device); the only
+        planning transfer is one (W,) window-count fetch. At 16M frames
+        the host plan moved ~270MB of packed planes + built 537MB masks
+        (BIGN_r03 big_pops 1027s); this path replaces all of it."""
+        from . import pallas_kernels as pk
+        name = self._best_sort(r_max2)
+        order, _ = self._padded(name)
+        thresh2s = jnp.asarray(
+            [r_max2] + [np.float32(r) * np.float32(r) for r in radii],
+            dtype=jnp.float32)
+        planes_dev = pruning.le_planes_device(self._d2b_dev(name),
+                                              thresh2s)
+        active_dev = pruning.upper_tri_device(
+            planes_dev[0], self.row_block, self.col_block)
+        ncb = self.n_pad // self.col_block
+        span = min(max(int(self.POPS_BIDIR_SCRATCH_CAP
+                           // (self.col_block * 4 * len(radii))), 1), ncb)
+        counts_w = self._get(
+            pruning.window_counts_device(active_dev, span))
+        n_tiles = int(counts_w.sum())
+        stats = {
+            "computed_tiles": n_tiles,
+            "tile_pairs": self.row_block * self.col_block,
+            "effective_pairs": float(self.n) * self.n,
+            "mode": "bidir", "plan": "device",
+        }
+        self.last_stats["populations"] = stats
+        self._log_stats("pops", stats)
+        stats["t_plan"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        windows = []
+        for w, base in enumerate(range(0, ncb, span)):
+            c = int(counts_w[w])
+            if c == 0:
+                continue
+            width = min(span, ncb - base)
+            ti_st, tj_st = pruning.tile_list_device(
+                active_dev, c, pad_mode="noop", base=base, width=width)
+            rm_st = pruning.rmask_gather_device(planes_dev[1:], ti_st,
+                                                tj_st)
+            windows.append((base, width, ti_st, tj_st, rm_st))
+        acc = pk.pops_tiles_bidir_windows(
+            self._device(name), radii2, np.int32(self.n), windows,
+            row_block=self.row_block, col_block=self.col_block)
+        band = None
+        if (nn_band_radius in radii
                 and os.environ.get("CLUSTERING_TPU_NN_PREFETCH") != "0"):
             band = (radii.index(nn_band_radius), name)
         counts_host = self._pops_download(acc, stats, t0, band=band)
@@ -953,6 +1044,80 @@ class DensityEngine:
                                       row_block=self.row_block,
                                       col_block=self.col_block)
 
+    # big-N device planning: above this padded frame count the host
+    # planners' (nrb, ncb) boolean masks and packed-plane downloads are
+    # the dominant cost (BIGN_r03 at 16M: t_plan 760s + t_band 1502s of
+    # a 43-minute NN, ~537MB per mask and 67MB per plane through the
+    # tunnel), so masks stay ON DEVICE and tile lists compact there
+    # (pruning.tile_list_device); only scalar window counts cross to the
+    # host. CLUSTERING_TPU_DEVICE_PLAN=1/0 forces it on/off (tests pin
+    # bit-equality against the host planner by forcing both).
+    DEVICE_PLAN_MIN_FRAMES = 1 << 22
+
+    def _device_plan_on(self):
+        env = os.environ.get("CLUSTERING_TPU_DEVICE_PLAN")
+        if env == "0":
+            return False
+        if env == "1":
+            return True
+        return self.n_pad >= self.DEVICE_PLAN_MIN_FRAMES
+
+    def _nn_span(self):
+        """Column-window width (in col blocks) of the bidirectional NN
+        sweeps' VMEM accumulator partitioning -- must mirror
+        pallas_kernels.nn_tiles_bidir_all's policy so device planning
+        emits the same windows."""
+        ncb = self.n_pad // self.col_block
+        return min(max(int(self.NN_BIDIR_SCRATCH_CAP
+                           // (self.col_block * 16)), 1), ncb)
+
+    def _nn_windows_dev(self, mask_dev, counts_w, span):
+        """Per-column-window device tile chunks from a device closure
+        mask and its host window counts (one prior scalar fetch)."""
+        ncb = self.n_pad // self.col_block
+        windows = []
+        for w, base in enumerate(range(0, ncb, span)):
+            c = int(counts_w[w])
+            if c == 0:
+                continue
+            width = min(span, ncb - base)
+            tiles = pruning.tile_list_device(mask_dev, c, base=base,
+                                             width=width)
+            windows.append((base, width, tiles[0], tiles[1]))
+        return windows
+
+    def _nn_tiered_run_dev(self, handles, closure_dev, counts_w, span):
+        """Device-planned twin of _nn_tiered_bidir_finish's run()."""
+        from . import pallas_kernels as pk
+        rows_t, fe_rows, oid_rows, perm, _ = handles
+        n, n_pad = self.n, self.n_pad
+
+        def run():
+            windows = self._nn_windows_dev(closure_dev, counts_w, span)
+            if not windows:
+                return None
+            out = pk.nn_tiles_bidir_windows(
+                rows_t, fe_rows.reshape(1, n_pad),
+                oid_rows.reshape(1, n_pad), np.int32(n), windows,
+                row_block=self.row_block, col_block=self.col_block)
+            return _unpermute_cols(out[1], perm)
+
+        return run
+
+    def _nn_tiered_plan_dev(self, winner, band_name, band_out, layout,
+                            tier_qs, span):
+        """Device-planned tiered phase 2 for a spec miss / forced tiers:
+        dispatch the tiered layout with the mask kept as a device bool,
+        close + window-count it there, fetch only the counts."""
+        handles = self._nn_tiered_bidir_dispatch(
+            winner, band_name, band_out, layout, tier_qs, pack=False)
+        closure = pruning.bidir_closure_device(
+            handles[4], self.row_block, self.col_block)
+        counts_w = self._get(pruning.window_counts_device(closure, span))
+        est = int(counts_w.sum())
+        return est, self._nn_tiered_run_dev(handles, closure, counts_w,
+                                            span)
+
     def _nn_band_dispatch(self, order_name, band_blocks, nn_bidir,
                           layout, speculate):
         """Dispatch every device program of the NN band phase with NO
@@ -963,20 +1128,45 @@ class DensityEngine:
         winning order. Returns the handles the selection half consumes;
         shared by nearest_neighbors' inline path and the populations
         band prefetch (which overlaps all of this with the counts
-        download + inter-stage host work)."""
+        download + inter-stage host work).
+
+        With device planning on (big N, bidirectional), every mask stays
+        on device and the selection scalars (per-order work metrics,
+        per-window closure tile counts, the speculative tiered plan's
+        counts) come back in ONE bundled fetch the consumer performs;
+        the only sync here is the band's own window-count readback (a
+        few ints), which the prefetch path hides entirely."""
+        from . import pallas_kernels as pk
         n_pad = self.n_pad
-        nrb, ncb = n_pad // self.row_block, n_pad // self.col_block
+        rb, cb = self.row_block, self.col_block
+        nrb, ncb = n_pad // rb, n_pad // cb
         _, _, fe_dev, oid_dev = layout(order_name)
-        # phase 1: banded pass over sort-neighbors -> per-frame upper
-        # bounds (order-independent values)
-        band_active = pruning.band_mask(
-            nrb, ncb, self.row_block, self.col_block,
-            band_blocks * self.col_block)
-        band_eff = (pruning.bidir_closure(band_active, self.row_block,
-                                          self.col_block)
-                    if nn_bidir else band_active)
-        out1 = self._nn_sparse_chunks(order_name, fe_dev, oid_dev,
-                                      band_eff, bidir=nn_bidir)
+        dev_plan = self._device_plan_on() and nn_bidir and self.mesh is None
+        if dev_plan:
+            band_active_dev = pruning.band_mask_device(
+                nrb, ncb, rb, cb, band_blocks * cb)
+            band_eff_dev = pruning.bidir_closure_device(band_active_dev,
+                                                        rb, cb)
+            span = self._nn_span()
+            wc_band = self._get(
+                pruning.window_counts_device(band_eff_dev, span))
+            band_tiles = int(wc_band.sum())
+            out1 = pk.nn_tiles_bidir_windows(
+                self._device(order_name), fe_dev, oid_dev,
+                np.int32(self.n),
+                self._nn_windows_dev(band_eff_dev, wc_band, span),
+                row_block=rb, col_block=cb)
+            band_active = band_eff = None
+        else:
+            # phase 1: banded pass over sort-neighbors -> per-frame
+            # upper bounds (order-independent values)
+            band_active = pruning.band_mask(nrb, ncb, rb, cb,
+                                            band_blocks * cb)
+            band_eff = (pruning.bidir_closure(band_active, rb, cb)
+                        if nn_bidir else band_active)
+            band_tiles = int(band_eff.sum())
+            out1 = self._nn_sparse_chunks(order_name, fe_dev, oid_dev,
+                                          band_eff, bidir=nn_bidir)
         # keep the per-frame bounds on device; per candidate order,
         # permute + reduce there and download only the per-row-block
         # maxima (device->host is the slow, flaky direction through
@@ -984,31 +1174,62 @@ class DensityEngine:
         row_ubs_dev = _row_ub2(
             out1[0], self._ub_perm(order_name, "dim0"),
             self._ub_perm(order_name, "morton"),
-            row_block=self.row_block)
-        # per-row-bound compare on device; BOTH orders' packed planes
-        # in one dispatch + one download (round-trips through the
-        # remote tunnel cost ~0.1-0.2s each)
-        acts_words = pruning._pack_le_rows2(
-            self._d2b_dev("dim0"), self._d2b_dev("morton"), row_ubs_dev)
-        # speculative tiered plan: its device programs (quantiles,
-        # symmetric re-sort, packed mask) run while the acts planes
-        # download, and the mask rides the SAME fetch -- when the
-        # speculated order wins the whole tiered plan costs zero
-        # extra round-trips; a miss just re-dispatches as before
-        # (paying the wasted sort in the fetch window). Speculate on
-        # the PREVIOUS call's winning order -- stable across reps of a
-        # production series -- falling back to the band order on the
-        # first call.
+            row_block=rb)
         spec = spec_name = None
-        if speculate:
-            spec_name = self._nn_spec_name or order_name
-            spec = self._nn_tiered_bidir_dispatch(
-                spec_name, order_name, out1, layout, self.TIER_QS_DEFAULT)
+        acts_words = dev = None
+        if dev_plan:
+            # device selection handles: raw per-order activity masks for
+            # the work metric, their bidirectional closures for the tile
+            # lists, window counts of each closure; the consumer fetches
+            # the scalar bundle in one round trip
+            closures, works, wcs = {}, [], []
+            for idx, nm in enumerate(("dim0", "morton")):
+                act = pruning.act_rows_bool_device(self._d2b_dev(nm),
+                                                   row_ubs_dev[idx])
+                if nm == order_name:
+                    act = act & ~band_active_dev
+                closures[nm] = pruning.bidir_closure_device(act, rb, cb)
+                works.append(jnp.mean(act))
+                wcs.append(pruning.window_counts_device(closures[nm],
+                                                        span))
+            spec_closure = spec_wc = None
+            if speculate:
+                spec_name = self._nn_spec_name or order_name
+                spec = self._nn_tiered_bidir_dispatch(
+                    spec_name, order_name, out1, layout,
+                    self.TIER_QS_DEFAULT, pack=False)
+                spec_closure = pruning.bidir_closure_device(spec[4], rb,
+                                                            cb)
+                spec_wc = pruning.window_counts_device(spec_closure, span)
+            dev = {"closures": closures, "spec_closure": spec_closure,
+                   "span": span,
+                   "scalars": (jnp.stack(works), wcs[0], wcs[1], spec_wc)}
+        else:
+            # per-row-bound compare on device; BOTH orders' packed
+            # planes in one dispatch + one download (round-trips through
+            # the remote tunnel cost ~0.1-0.2s each)
+            acts_words = pruning._pack_le_rows2(
+                self._d2b_dev("dim0"), self._d2b_dev("morton"),
+                row_ubs_dev)
+            # speculative tiered plan: its device programs (quantiles,
+            # symmetric re-sort, packed mask) run while the acts planes
+            # download, and the mask rides the SAME fetch -- when the
+            # speculated order wins the whole tiered plan costs zero
+            # extra round-trips; a miss just re-dispatches as before
+            # (paying the wasted sort in the fetch window). Speculate on
+            # the PREVIOUS call's winning order -- stable across reps of
+            # a production series -- falling back to the band order on
+            # the first call.
+            if speculate:
+                spec_name = self._nn_spec_name or order_name
+                spec = self._nn_tiered_bidir_dispatch(
+                    spec_name, order_name, out1, layout,
+                    self.TIER_QS_DEFAULT)
         return {"order_name": order_name, "band_blocks": band_blocks,
                 "bidir": nn_bidir, "band_active": band_active,
-                "band_eff": band_eff, "out1": out1,
-                "acts_words": acts_words, "spec": spec,
-                "spec_name": spec_name}
+                "band_eff": band_eff, "band_tiles": band_tiles,
+                "out1": out1, "acts_words": acts_words, "spec": spec,
+                "spec_name": spec_name, "dev": dev}
 
     def _prefetch_nn_band(self, fe_sorted, band_blocks=4):
         """Dispatch the NN band phase ahead of nearest_neighbors from a
@@ -1196,7 +1417,7 @@ class DensityEngine:
         return n_active, run
 
     def _nn_tiered_bidir_dispatch(self, winner, band_name, band_out,
-                                  layout, tier_qs):
+                                  layout, tier_qs, pack=True):
         """Dispatch half of the tiered BIDIRECTIONAL phase-2 plan: all
         device programs (tier quantiles, symmetric (tier, spatial)
         re-sort, packed active mask), NO host sync -- so the caller can
@@ -1216,7 +1437,8 @@ class DensityEngine:
             jnp.int32(n_tiers))
         rows_t, fe_rows, oid_rows, perm, active_dev = _tiered_layout_sym(
             self._device(winner), fe_dev_w[0], oid_dev_w[0], tier_w,
-            taus_dev, row_block=rb, col_block=cb, n_tiers=n_tiers)
+            taus_dev, row_block=rb, col_block=cb, n_tiers=n_tiers,
+            pack=pack)
         return rows_t, fe_rows, oid_rows, perm, active_dev
 
     def _nn_tiered_bidir_finish(self, handles, words=None):
@@ -1378,121 +1600,198 @@ class DensityEngine:
         # remaining postlude (full recompute when not streamed)
         t0 = time.perf_counter()
         nn_bidir = self._nn_bidir_ok()
+        active = None
         if prune and ncb > 2 * band_blocks:
             if pf is not None:
                 # the whole band phase (banded sweep, row-ub reduction,
-                # packed activity planes, speculative tiered plan) was
+                # activity masks/planes, speculative tiered plan) was
                 # dispatched during populations() and overlapped the
                 # counts download + inter-stage host work; only the
-                # activity fetch below remains on this stage's wall
-                band_active, band_eff = pf["band_active"], pf["band_eff"]
-                out1 = pf["out1"]
-                acts_words = pf["acts_words"]
-                spec, spec_name = pf["spec"], pf["spec_name"]
+                # selection fetch below remains on this stage's wall
+                bd = pf
                 stats["band_prefetched"] = True
             else:
-                d = self._nn_band_dispatch(
+                bd = self._nn_band_dispatch(
                     order_name, band_blocks, nn_bidir, layout,
                     speculate=(tier_qs == "auto" and nn_bidir
                                and n >= self.TIERED_MIN_FRAMES))
-                band_active, band_eff = d["band_active"], d["band_eff"]
-                out1 = d["out1"]
-                acts_words = d["acts_words"]
-                spec, spec_name = d["spec"], d["spec_name"]
-            stats["band_tiles"] = int(band_eff.sum())
+            band_active = bd["band_active"]
+            out1 = bd["out1"]
+            spec, spec_name = bd["spec"], bd["spec_name"]
+            stats["band_tiles"] = bd["band_tiles"]
             names = ("dim0", "morton")
-            spec_words = None
-            if spec is not None and tier_qs == "auto":
-                acts_host, spec_words = self._get((acts_words, spec[4]))
-            else:
-                acts_host = self._get(acts_words)
-            acts = pruning.unpack_planes(acts_host, ncb)
-            best = None
-            for idx, name in enumerate(names):
-                act = acts[idx]
-                work = float((act & ~band_active).mean()
-                             if name == order_name else act.mean())
-                if best is None or work < best[0]:
-                    best = (work, name, act)
-            band_name, band_out = order_name, out1
-            stats["t_band"] = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            _, order_name, active = best
-            stats["order"] = self._nn_spec_name = order_name
-            order, padded, fe_dev, oid_dev = layout(order_name)
-            if order_name == band_name:
-                # the band's minima are exact within its tiles and the
-                # merge is an idempotent lexicographic min: skip
-                # re-sweeping them and fold the band result in afterwards
-                active = active & ~band_active
-            if nn_bidir:
-                active = pruning.bidir_closure(active, self.row_block,
-                                               self.col_block)
-            block_tiles = int(active.sum())
             tile_pairs = self.row_block * self.col_block
-            plan = None
-            # planning the tiered layout itself costs dispatches + a mask
-            # readback (~0.3-0.5s through the remote tunnel), so only plan
-            # when even a typical-best (~3.5x, measured on metastable
-            # data) reduction of the block-bound work could clear the
-            # profitability threshold
-            plan_worthwhile = (
-                block_tiles * float(tile_pairs) * (1.0 - 1.0 / 3.5)
-                > self.TIERED_MIN_SAVED_PAIRS)
-            # under bidirectional sweeps tiering uses the SYMMETRIC
-            # (tier, spatial) re-sort so the upper-triangular sweep
-            # composes with the tier bounds; unidirectional sweeps use
-            # the row-only re-sort against the cached winner columns
-            # the BIDIRECTIONAL tiered plan runs under a mesh too (its
-            # device programs are jitted from replicated inputs and its
-            # sweep goes through _nn_dispatch_mesh); the unidirectional
-            # cross-sweep variant stays single-device, so a mesh without
-            # bidir keeps the block-bound phase 2
-            if (tier_qs == "auto" and n >= self.TIERED_MIN_FRAMES
-                    and plan_worthwhile
-                    and (nn_bidir or self.mesh is None)):
-                if nn_bidir and spec is not None and order_name == spec_name:
-                    # the speculative dispatch was for this exact winner
-                    # and its mask already arrived with the acts fetch
-                    stats["spec_hit"] = True
-                    est, run_tiered = self._nn_tiered_bidir_finish(
-                        spec, words=spec_words)
-                elif nn_bidir:
-                    est, run_tiered = self._nn_tiered_bidir_plan(
+            if bd["dev"] is not None:
+                # device-planned selection (big N): one bundled scalar
+                # fetch replaces the packed-plane download; masks and
+                # tile lists never leave the device
+                dev = bd["dev"]
+                stats["plan"] = "device"
+                works, wc0, wc1, spec_wc = self._get(dev["scalars"])
+                best = None
+                for idx, name in enumerate(names):
+                    w = float(works[idx])
+                    if best is None or w < best[0]:
+                        best = (w, name, idx)
+                band_name, band_out = order_name, out1
+                stats["t_band"] = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                _, order_name, widx = best
+                stats["order"] = self._nn_spec_name = order_name
+                order, padded, fe_dev, oid_dev = layout(order_name)
+                counts_w = (wc0, wc1)[widx]
+                block_tiles = int(counts_w.sum())
+                mask_dev = dev["closures"][order_name]
+                span = dev["span"]
+                plan = None
+                plan_worthwhile = (
+                    block_tiles * float(tile_pairs) * (1.0 - 1.0 / 3.5)
+                    > self.TIERED_MIN_SAVED_PAIRS)
+                if (tier_qs == "auto" and n >= self.TIERED_MIN_FRAMES
+                        and plan_worthwhile):
+                    if spec is not None and order_name == spec_name:
+                        # the speculative dispatch was for this exact
+                        # winner; its window counts arrived in the
+                        # bundled fetch
+                        stats["spec_hit"] = True
+                        est = int(spec_wc.sum())
+                        run_tiered = self._nn_tiered_run_dev(
+                            spec, dev["spec_closure"], spec_wc, span)
+                    else:
+                        est, run_tiered = self._nn_tiered_plan_dev(
+                            order_name, band_name, band_out, layout,
+                            self.TIER_QS_DEFAULT, span)
+                    if ((block_tiles - est) * float(tile_pairs)
+                            > self.TIERED_MIN_SAVED_PAIRS):
+                        plan = (est, run_tiered)
+                elif tier_qs not in (None, "auto"):
+                    plan = self._nn_tiered_plan_dev(
                         order_name, band_name, band_out, layout,
-                        self.TIER_QS_DEFAULT)
+                        tuple(tier_qs), span)
+                stats["t_plan"] = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                if plan is not None:
+                    stats["phase2_tiles"], run_tiered = plan
+                    stats["mode"] = "tiered"
+                    out_idx_dev = run_tiered()
                 else:
-                    est, run_tiered = self._nn_tiered_plan(
-                        order_name, band_name, band_out, fe, layout,
-                        self.TIER_QS_DEFAULT)
-                if ((block_tiles - est) * float(tile_pairs)
-                        > self.TIERED_MIN_SAVED_PAIRS):
-                    plan = (est, run_tiered)
-            elif (tier_qs not in (None, "auto")
-                    and (nn_bidir or self.mesh is None)):
-                if nn_bidir:
-                    plan = self._nn_tiered_bidir_plan(
-                        order_name, band_name, band_out, layout, tier_qs)
-                else:
-                    plan = self._nn_tiered_plan(order_name, band_name,
-                                                band_out, fe, layout,
-                                                tier_qs)
-            stats["t_plan"] = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            if plan is not None:
-                stats["phase2_tiles"], run_tiered = plan
-                stats["mode"] = "tiered"
-                out_idx_dev = run_tiered()
+                    stats["phase2_tiles"] = block_tiles
+                    stats["mode"] = "block-bound"
+                    windows = self._nn_windows_dev(mask_dev, counts_w,
+                                                   span)
+                    out = (pk.nn_tiles_bidir_windows(
+                        self._device(order_name), fe_dev, oid_dev,
+                        np.int32(n), windows, row_block=self.row_block,
+                        col_block=self.col_block) if windows else None)
+                    if order_name == band_name and out is not None:
+                        out = _lex_merge(band_out[0], band_out[1],
+                                         out[0], out[1])
+                    elif order_name == band_name:
+                        out = band_out
+                    if out is not None:
+                        out_idx_dev = out[1]
+                # the tail host-sweep block is device-handled above
+                # (``active`` stays None)
             else:
-                stats["phase2_tiles"] = block_tiles
-                stats["mode"] = "block-bound"
+                band_eff = bd["band_eff"]
+                acts_words = bd["acts_words"]
+                spec_words = None
+                if spec is not None and tier_qs == "auto":
+                    acts_host, spec_words = self._get((acts_words,
+                                                       spec[4]))
+                else:
+                    acts_host = self._get(acts_words)
+                acts = pruning.unpack_planes(acts_host, ncb)
+                best = None
+                for idx, name in enumerate(names):
+                    act = acts[idx]
+                    work = float((act & ~band_active).mean()
+                                 if name == order_name else act.mean())
+                    if best is None or work < best[0]:
+                        best = (work, name, act)
+                band_name, band_out = order_name, out1
+                stats["t_band"] = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                _, order_name, active = best
+                stats["order"] = self._nn_spec_name = order_name
+                order, padded, fe_dev, oid_dev = layout(order_name)
+                if order_name == band_name:
+                    # the band's minima are exact within its tiles and
+                    # the merge is an idempotent lexicographic min: skip
+                    # re-sweeping them and fold the band result in after
+                    active = active & ~band_active
+                if nn_bidir:
+                    active = pruning.bidir_closure(active, self.row_block,
+                                                   self.col_block)
+                block_tiles = int(active.sum())
+                plan = None
+                # planning the tiered layout itself costs dispatches + a
+                # mask readback (~0.3-0.5s through the remote tunnel), so
+                # only plan when even a typical-best (~3.5x, measured on
+                # metastable data) reduction of the block-bound work
+                # could clear the profitability threshold
+                plan_worthwhile = (
+                    block_tiles * float(tile_pairs) * (1.0 - 1.0 / 3.5)
+                    > self.TIERED_MIN_SAVED_PAIRS)
+                # under bidirectional sweeps tiering uses the SYMMETRIC
+                # (tier, spatial) re-sort so the upper-triangular sweep
+                # composes with the tier bounds; unidirectional sweeps
+                # use the row-only re-sort against the cached winner
+                # columns. The BIDIRECTIONAL tiered plan runs under a
+                # mesh too (its device programs are jitted from
+                # replicated inputs and its sweep goes through
+                # _nn_dispatch_mesh); the unidirectional cross-sweep
+                # variant stays single-device, so a mesh without bidir
+                # keeps the block-bound phase 2
+                if (tier_qs == "auto" and n >= self.TIERED_MIN_FRAMES
+                        and plan_worthwhile
+                        and (nn_bidir or self.mesh is None)):
+                    if (nn_bidir and spec is not None
+                            and order_name == spec_name):
+                        # the speculative dispatch was for this exact
+                        # winner and its mask already arrived with the
+                        # acts fetch
+                        stats["spec_hit"] = True
+                        est, run_tiered = self._nn_tiered_bidir_finish(
+                            spec, words=spec_words)
+                    elif nn_bidir:
+                        est, run_tiered = self._nn_tiered_bidir_plan(
+                            order_name, band_name, band_out, layout,
+                            self.TIER_QS_DEFAULT)
+                    else:
+                        est, run_tiered = self._nn_tiered_plan(
+                            order_name, band_name, band_out, fe, layout,
+                            self.TIER_QS_DEFAULT)
+                    if ((block_tiles - est) * float(tile_pairs)
+                            > self.TIERED_MIN_SAVED_PAIRS):
+                        plan = (est, run_tiered)
+                elif (tier_qs not in (None, "auto")
+                        and (nn_bidir or self.mesh is None)):
+                    if nn_bidir:
+                        plan = self._nn_tiered_bidir_plan(
+                            order_name, band_name, band_out, layout,
+                            tier_qs)
+                    else:
+                        plan = self._nn_tiered_plan(order_name, band_name,
+                                                    band_out, fe, layout,
+                                                    tier_qs)
+                stats["t_plan"] = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                if plan is not None:
+                    stats["phase2_tiles"], run_tiered = plan
+                    stats["mode"] = "tiered"
+                    out_idx_dev = run_tiered()
+                else:
+                    stats["phase2_tiles"] = block_tiles
+                    stats["mode"] = "block-bound"
         else:
             active = np.ones((nrb, ncb), dtype=bool)
             if nn_bidir:
                 active = pruning.bidir_closure(active, self.row_block,
                                                self.col_block)
             stats["phase2_tiles"] = int(active.sum())
-        if out_idx_dev is None and stats["mode"] != "tiered":
+        if (out_idx_dev is None and stats["mode"] != "tiered"
+                and active is not None):
             merge_band = band_out is not None and order_name == band_name
             if not active.any():
                 out = None

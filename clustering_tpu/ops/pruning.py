@@ -543,3 +543,10 @@ def rmask_gather_device(planes, ti, tj):
     weights = (1 << jnp.arange(planes.shape[0], dtype=jnp.int32))
     rmask = jnp.tensordot(weights, bits, axes=1)
     return jnp.where(tj >= 0, rmask, 0).astype(jnp.int32)
+
+
+@jax.jit
+def act_rows_bool_device(d2b, row_ub):
+    """Device bool activity mask d2b <= row_ub[:, None] (the unpacked
+    twin of _pack_le_rows, for the big-N device planner)."""
+    return d2b <= row_ub[:, None]

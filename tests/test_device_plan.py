@@ -119,3 +119,101 @@ def test_le_planes_device_matches_active_masks():
     got = np.asarray(pruning.le_planes_device(
         jnp.asarray(d2b), jnp.asarray(ts, dtype=jnp.float32)))
     np.testing.assert_array_equal(want, got)
+
+
+# ---------------------------------------------------------------------------
+# engine integration: CLUSTERING_TPU_DEVICE_PLAN=1 must be bit-equal to
+# the host planner on every path (plain, tiered, windowed accumulators)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def blobs():
+    rng = np.random.default_rng(31)
+    a = rng.normal((0.0, 0.0, 0.0), 0.15, size=(260, 3))
+    b = rng.normal((1.5, 1.0, -0.5), 0.2, size=(240, 3))
+    return np.concatenate([a, b]).astype(np.float32)
+
+
+def _run_pipeline(blobs, monkeypatch, plan, **eng_kw):
+    from clustering_tpu import ops
+    monkeypatch.setenv("CLUSTERING_TPU_DEVICE_PLAN", plan)
+    eng = ops.engine.DensityEngine(blobs, row_block=RB, col_block=CB,
+                                   backend="pallas", **eng_kw)
+    for k, v in eng_kw.pop("attrs", {}).items():
+        setattr(eng, k, v)
+    pops = eng.populations([0.3, 0.45], nn_band_radius=0.3)
+    th = getattr(eng, "_band_prefetch_thread", None)
+    if th is not None:
+        th.join()
+    fe = ops.free_energies(pops[0.3])
+    nn = eng.nearest_neighbors(fe)
+    return pops, nn, dict(eng.last_stats)
+
+
+def test_engine_device_plan_bit_equal(blobs, monkeypatch):
+    p_dev, nn_dev, st_dev = _run_pipeline(blobs, monkeypatch, "1")
+    p_host, nn_host, st_host = _run_pipeline(blobs, monkeypatch, "0")
+    assert st_dev["populations"].get("plan") == "device"
+    assert "plan" not in st_host["populations"]
+    assert st_dev["nn"].get("plan") == "device"
+    assert st_dev["nn"]["band_prefetched"] is True
+    for r in p_dev:
+        np.testing.assert_array_equal(p_dev[r], p_host[r])
+    for a, b in zip(nn_dev, nn_host):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # identical plans: same tile counts on both sides
+    assert (st_dev["populations"]["computed_tiles"]
+            == st_host["populations"]["computed_tiles"])
+    assert st_dev["nn"]["band_tiles"] == st_host["nn"]["band_tiles"]
+    assert st_dev["nn"]["phase2_tiles"] == st_host["nn"]["phase2_tiles"]
+    assert st_dev["nn"]["mode"] == st_host["nn"]["mode"]
+
+
+def test_engine_device_plan_tiered_bit_equal(blobs, monkeypatch):
+    from clustering_tpu import ops
+    monkeypatch.setattr(ops.engine.DensityEngine, "TIERED_MIN_FRAMES", 64)
+    # hugely negative threshold: the tiered plan is accepted even when
+    # it saves nothing at this toy size, exercising the spec-hit tiered
+    # RUN (device: _nn_tiered_run_dev off the prefetched spec closure)
+    monkeypatch.setattr(ops.engine.DensityEngine,
+                        "TIERED_MIN_SAVED_PAIRS", -1e18)
+    p_dev, nn_dev, st_dev = _run_pipeline(blobs, monkeypatch, "1")
+    p_host, nn_host, st_host = _run_pipeline(blobs, monkeypatch, "0")
+    assert st_dev["nn"]["mode"] == "tiered" == st_host["nn"]["mode"]
+    assert st_dev["nn"]["phase2_tiles"] == st_host["nn"]["phase2_tiles"]
+    for a, b in zip(nn_dev, nn_host):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_engine_device_plan_windowed_bit_equal(blobs, monkeypatch):
+    """Tiny VMEM caps force >1 column window in both planners."""
+    from clustering_tpu import ops
+    cap = CB * 16 * 8  # NN span = 8 col blocks (< ncb)
+    pcap = CB * 4 * 2 * 8  # pops span at 2 radii = 8 col blocks
+    monkeypatch.setattr(ops.engine.DensityEngine,
+                        "NN_BIDIR_SCRATCH_CAP", cap)
+    monkeypatch.setattr(ops.engine.DensityEngine,
+                        "POPS_BIDIR_SCRATCH_CAP", pcap)
+    p_dev, nn_dev, st_dev = _run_pipeline(blobs, monkeypatch, "1")
+    p_host, nn_host, st_host = _run_pipeline(blobs, monkeypatch, "0")
+    for r in p_dev:
+        np.testing.assert_array_equal(p_dev[r], p_host[r])
+    for a, b in zip(nn_dev, nn_host):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_engine_device_plan_forced_tiers(blobs, monkeypatch):
+    from clustering_tpu import ops
+    monkeypatch.setenv("CLUSTERING_TPU_DEVICE_PLAN", "1")
+    eng = ops.engine.DensityEngine(blobs, row_block=RB, col_block=CB,
+                                   backend="pallas")
+    pops = eng.populations([0.3])
+    fe = ops.free_energies(pops[0.3])
+    nn_dev = eng.nearest_neighbors(fe, tier_qs=(0.5, 0.9))
+    monkeypatch.setenv("CLUSTERING_TPU_DEVICE_PLAN", "0")
+    eng2 = ops.engine.DensityEngine(blobs, row_block=RB, col_block=CB,
+                                    backend="pallas")
+    eng2.populations([0.3])
+    nn_host = eng2.nearest_neighbors(fe, tier_qs=(0.5, 0.9))
+    for a, b in zip(nn_dev, nn_host):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
