@@ -280,6 +280,12 @@ def _setup_jax_runtime():
         plat = os.environ.get("JAX_PLATFORMS")
         if plat:
             jax.config.update("jax_platforms", plat)
+        # per-program compile ledger (cold-start accounting; the
+        # reference binary is AOT with zero compile cost)
+        ledger = os.environ.get("CLUSTERING_TPU_COMPILE_LEDGER")
+        if ledger:
+            from .utils import compile_ledger
+            compile_ledger.install(ledger)
         # opt-in: some TPU runtimes (remote-compile tunnels) serialize
         # executables so slowly that the cache costs more than it saves
         cache_dir = os.environ.get("CLUSTERING_TPU_CACHE")

@@ -861,9 +861,17 @@ class DensityEngine:
         buf.copy_to_host_async()
         if (acc_u16 is not None
                 and int(mx[band[0]]) > self.POPS_COUNTS_NARROW_MAX):
-            # the u16 row truncated THIS radius (rare): skip the
-            # prefetch rather than pay a second row trip
-            row_host = None
+            # the u16 row truncated THIS radius (dense big-N counts):
+            # refetch the exact int32 row instead of dropping the
+            # prefetch -- one extra (N_pad,) D2H is far cheaper than
+            # running the whole band phase in-stage (BIGN_r04 before
+            # this refetch: nn t_band 134.7s at 16M frames because the
+            # dropped prefetch pushed every band dispatch + compile
+            # onto the NN wall)
+            ridx, name = band
+            row_host = self._get(
+                acc[ridx][self._ub_perm(name, "morton")])
+            stats["band_row_refetched"] = True
         if row_host is not None:
             self._band_prefetch_start(row_host, stats)
         return np.asarray(buf)
@@ -1328,11 +1336,14 @@ class DensityEngine:
         if bidir:
             span = max(int(self.NN_BIDIR_SCRATCH_CAP
                            // (self.col_block * 16)), 1)
+        self._last_mesh_windows = 1
         if bidir and span < ncb:
             per_dev_total = np.zeros(n_dev, dtype=np.int64)
             out = None
+            self._last_mesh_windows = 0
             for base, width, sel in pruning.iter_col_windows(
                     tj, ncb, span):
+                self._last_mesh_windows += 1
                 # pad/fill tiles must sit INSIDE the window (the
                 # column accumulator only spans it)
                 fill = (int(ti[sel][0]), int(tj[sel][0]))
@@ -1615,6 +1626,9 @@ class DensityEngine:
                     order_name, band_blocks, nn_bidir, layout,
                     speculate=(tier_qs == "auto" and nn_bidir
                                and n >= self.TIERED_MIN_FRAMES))
+                # trace/compile/enqueue wall of the band programs; the
+                # rest of t_band is device work + the bundled fetch
+                stats["t_band_dispatch"] = time.perf_counter() - t0
             band_active = bd["band_active"]
             out1 = bd["out1"]
             spec, spec_name = bd["spec"], bd["spec_name"]

@@ -1,0 +1,69 @@
+"""Per-program compile-time ledger (cold-start accounting).
+
+The reference is an AOT binary with zero compile cost
+(/root/reference/src/clustering.cpp:67); here every distinct XLA program
+costs seconds through a remote-TPU compiler, and the cold-start work
+(threaded prefetch, small-N shape buckets) needs per-program evidence to
+steer it. ``install(path)`` registers a jax.monitoring listener that
+appends one JSON line per compile/trace/lowering event::
+
+    {"t": <unix>, "event": "/jax/core/compile", "fun": "jit__pops", "secs": 3.1}
+
+Enable with ``CLUSTERING_TPU_COMPILE_LEDGER=/path/ledger.jsonl`` (the CLI
+wires it in _setup_jax_runtime); ``summarize(path)`` folds the lines into
+{fun: {"n": count, "secs": total}} sorted by cost for the cold-start
+reports (COLDSTART_r04.json).
+"""
+
+import json
+import os
+import threading
+import time
+
+_lock = threading.Lock()
+_installed = []
+
+
+def install(path):
+    """Append every compile-ish monitoring event to ``path`` (JSONL).
+    Idempotent per path; never raises (best-effort accounting)."""
+    if path in _installed:
+        return
+    try:
+        import jax.monitoring as monitoring
+    except Exception:  # pragma: no cover - jax always present in practice
+        return
+
+    def _listener(event, duration, **kwargs):
+        # events without a fun_name (GC, misc runtime) are not programs
+        fun = kwargs.get("fun_name")
+        if fun is None or "compile" not in event:
+            return
+        line = json.dumps({"t": round(time.time(), 3), "event": event,
+                           "fun": str(fun), "secs": round(duration, 4)})
+        try:
+            with _lock, open(path, "a") as fh:
+                fh.write(line + "\n")
+        except OSError:  # pragma: no cover
+            pass
+
+    monitoring.register_event_duration_secs_listener(_listener)
+    _installed.append(path)
+
+
+def summarize(path, top=None):
+    """Fold a ledger file into {fun: {n, secs}} sorted by total secs."""
+    agg = {}
+    with open(path) as fh:
+        for raw in fh:
+            raw = raw.strip()
+            if not raw:
+                continue
+            rec = json.loads(raw)
+            ent = agg.setdefault(rec["fun"], {"n": 0, "secs": 0.0})
+            ent["n"] += 1
+            ent["secs"] = round(ent["secs"] + rec["secs"], 4)
+    items = sorted(agg.items(), key=lambda kv: -kv[1]["secs"])
+    if top is not None:
+        items = items[:top]
+    return dict(items)

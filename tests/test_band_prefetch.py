@@ -110,6 +110,32 @@ def test_prefetch_radius_not_in_list(blobs):
     assert eng_pf._band_prefetch is None
 
 
+def test_prefetch_survives_u16_truncation(blobs, monkeypatch):
+    """When the band radius's counts overflow the speculative uint16
+    cast (dense big-N runs), the exact int32 row must be refetched and
+    the prefetch still taken -- dropping it pushed the whole band phase
+    onto the NN wall (BIGN_r04: 134.7s of t_band at 16M frames)."""
+    r = 0.4
+    # force "overflow": every count > 4 truncates the u16 row
+    monkeypatch.setattr(ops.engine.DensityEngine,
+                        "POPS_COUNTS_NARROW_MAX", 4)
+    eng_pf, eng_plain = _engines(blobs)
+    pops_pf = eng_pf.populations([r], nn_band_radius=r)[r]
+    st = eng_pf.last_stats["populations"]
+    assert st["counts_dtype"] == "int32"
+    assert st.get("band_row_refetched") is True
+    _join(eng_pf)
+    assert eng_pf._band_prefetch is not None
+    pops_plain = eng_plain.populations([r])[r]
+    np.testing.assert_array_equal(pops_pf, pops_plain)
+    fe = ops.free_energies(pops_pf)
+    nn_pf = eng_pf.nearest_neighbors(fe)
+    assert eng_pf.last_stats["nn"].get("band_prefetched") is True
+    nn_plain = eng_plain.nearest_neighbors(fe)
+    for a, b in zip(nn_pf, nn_plain):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_prefetch_with_tiered_speculation(blobs, monkeypatch):
     """Force the tiered phase-2 constants low so the prefetch also
     dispatches the speculative tiered plan, and the consuming call takes

@@ -80,6 +80,158 @@ print("WORKER_OK", jax.process_index())
 """
 
 
+_CLI_WORKER = r"""
+import contextlib, os, sys
+
+# 4 local CPU devices per process BEFORE jax initializes (the parent
+# sets the CLUSTERING_TPU_DISTRIBUTED/COORDINATOR env for the 2-process
+# cluster; the single-process reference run gets 8 devices instead so
+# the global mesh is identical)
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count="
+    + os.environ.get("CLI_WORKER_LOCAL_DEVICES", "4") + " "
+    + os.environ.get("XLA_FLAGS", ""))
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np
+
+workdir = sys.argv[1]
+os.chdir(workdir)
+
+rng = np.random.default_rng(21)
+coords = np.concatenate([
+    rng.normal((0.0, 0.0), 0.15, size=(90, 2)),
+    rng.normal((1.5, 0.4), 0.2, size=(70, 2)),
+]).astype(np.float32)
+np.savetxt("coords.dat", coords, fmt="%.6f")
+
+from clustering_tpu import cli
+
+# the density mode is the full device pipeline: pops + fe + nn + the
+# -T screening series, through cli.main exactly as a user runs it (the
+# distributed init happens inside via _setup_jax_runtime)
+rc = cli.main(["density", "-f", "coords.dat", "-r", "0.3",
+               "-p", "pop.dat", "-d", "fe.dat", "-b", "nn.dat",
+               "-o", "clust", "-T", "0.4", "0.4", "1.2"])
+assert rc == 0, "density failed"
+import jax
+assert jax.process_count() == int(
+    os.environ.get("CLI_WORKER_WANT_PROCS", "2")), jax.process_count()
+assert jax.device_count() == 8, jax.device_count()
+
+# chain every host mode off the density artifacts (they never import
+# jax; under DCN every rank computes the identical files)
+states = np.loadtxt("clust.1.20", dtype=np.int64, comments="#")
+vals, cnt = np.unique(states[states > 0], return_counts=True)
+sel = str(int(vals[np.argmax(cnt)]))
+runs = [
+    ["network", "-p", "1", "-b", "clust", "-o", "net",
+     "--min", "0.4", "--max", "1.2", "--step", "0.4"],
+    ["mpp", "-s", "clust.1.20", "-D", "fe.dat", "-l", "2",
+     "--qmin-from", "0.2", "--qmin-step", "0.2", "-o", "mpp"],
+    ["coring", "-s", "clust.1.20", "-w", "2", "-o", "cored.dat",
+     "-d", "cordist"],
+    ["noise", "-s", "clust.1.20", "-o", "noise.dat", "-b", "clust",
+     "-c", "0.2"],
+    ["filter", "-s", "clust.1.20", "-c", "coords.dat", "-o", "filt",
+     "-S", sel],
+    ["stats", "-s", "clust.1.20"],
+]
+for argv in runs:
+    out = "stats.out" if argv[0] == "stats" else os.devnull
+    with open(out, "w") as fh, contextlib.redirect_stdout(fh):
+        rc = cli.main(argv)
+    assert rc == 0, argv
+print("CLI_WORKER_OK", jax.process_index())
+"""
+
+
+def _artifact_lines(path):
+    """File lines minus the volatile '# Created <timestamp>' header."""
+    with open(path, "rb") as fh:
+        return [ln for ln in fh.read().splitlines()
+                if not ln.startswith(b"# Created ")]
+
+
+def test_cli_seven_modes_two_process_dcn(tmp_path):
+    """VERDICT r3 item 7: the full seven-mode CLI runs end-to-end under
+    a two-process jax.distributed cluster (density's mesh spans both
+    hosts; host modes chain off its artifacts) and every artifact file
+    is identical to a single-process run.
+
+    Reference: the multi-node entry there is the full mode driver
+    (/root/reference/src/density_clustering_mpi.cpp:392-505), not a
+    bare ops call -- this is the same property for cli.main.
+    """
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = tmp_path / "cli_worker.py"
+    worker.write_text(_CLI_WORKER)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dirs = [tmp_path / f"rank{pid}" for pid in range(2)]
+    procs = []
+    for pid, wdir in enumerate(dirs):
+        wdir.mkdir()
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.update({
+            "PYTHONPATH": repo_root + os.pathsep + env.get("PYTHONPATH", ""),
+            "CLUSTERING_TPU_DISTRIBUTED": "1",
+            "CLUSTERING_TPU_COORDINATOR": f"localhost:{port}",
+            "CLUSTERING_TPU_NUM_PROCESSES": "2",
+            "CLUSTERING_TPU_PROCESS_ID": str(pid),
+            "JAX_PLATFORMS": "cpu",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker), str(wdir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=repo_root))
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=480)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+            pytest.fail(f"CLI distributed worker timed out\n{out}\n{err}")
+        assert p.returncode == 0, f"worker rc={p.returncode}:\n{out}\n{err}"
+        assert "CLI_WORKER_OK" in out
+
+    # single-process reference: same worker, no distributed env, 8 local
+    # devices (the identical global mesh)
+    single = tmp_path / "single"
+    single.mkdir()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.update({
+        "PYTHONPATH": repo_root + os.pathsep + env.get("PYTHONPATH", ""),
+        "CLI_WORKER_LOCAL_DEVICES": "8",
+        "CLI_WORKER_WANT_PROCS": "1",
+        "JAX_PLATFORMS": "cpu",
+    })
+    env.pop("CLUSTERING_TPU_DISTRIBUTED", None)
+    p = subprocess.Popen([sys.executable, str(worker), str(single)],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True, cwd=repo_root)
+    out, err = p.communicate(timeout=480)
+    assert p.returncode == 0, f"single-process rc={p.returncode}:\n{out}\n{err}"
+
+    names = sorted(f.name for f in single.iterdir())
+    # every mode must have produced something: density (pop/fe/nn/clust),
+    # network, mpp, coring, noise, filter, stats
+    for must in ("pop.dat", "fe.dat", "nn.dat", "clust.0.40", "clust.1.20",
+                 "net_links.dat", "cored.dat", "noise.dat", "stats.out"):
+        assert any(n.startswith(must) for n in names), (must, names)
+    assert any(n.startswith("mpp") for n in names), names
+    assert any(n.startswith("filt") for n in names), names
+    for wdir in dirs:
+        got = sorted(f.name for f in wdir.iterdir())
+        assert got == names, (got, names)
+        for name in names:
+            assert _artifact_lines(wdir / name) == _artifact_lines(
+                single / name), f"rank file {name} differs"
+
+
 def test_two_process_dcn_matches_single_process(tmp_path):
     # hang protection is in-test: communicate(timeout=480) kills the
     # workers on expiry (pytest-timeout is not installed in this image)
