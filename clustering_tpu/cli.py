@@ -315,6 +315,31 @@ def _setup_jax_runtime():
                     process_id=int(
                         os.environ["CLUSTERING_TPU_PROCESS_ID"]))
             jax.distributed.initialize(**kwargs)
+        # pay the per-process first-execution cost (device grab / tunnel
+        # session; measured 2s healthy to 100s+ on a wedged remote-TPU
+        # tunnel) on a daemon thread NOW, so it overlaps the coords
+        # read, host planning and every jit trace/compile (compiles
+        # proceed concurrently with it; only executions queue behind
+        # it). The reference's AOT binary has no analog -- its first
+        # CUDA call pays only ~100ms of context creation.
+        if os.environ.get("CLUSTERING_TPU_DEVICE_WARM") != "0":
+            import threading
+            import time as _time
+
+            def _first_op_warm():
+                try:
+                    import jax.numpy as jnp
+                    t0 = _time.perf_counter()
+                    jax.block_until_ready(jnp.zeros((8, 128),
+                                                    jnp.float32) + 1)
+                    dt = _time.perf_counter() - t0
+                    if ledger:
+                        from .utils import compile_ledger as _cl
+                        _cl.append_event(ledger, "first_device_op", dt)
+                except Exception:
+                    pass
+
+            threading.Thread(target=_first_op_warm, daemon=True).start()
         profile_dir = os.environ.get("CLUSTERING_TPU_PROFILE")
         if profile_dir:
             # whole-run device trace (stage_timer scopes appear as

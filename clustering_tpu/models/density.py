@@ -225,20 +225,51 @@ def main(args, header_comment, comments_map):
         deferred_writes.append(
             write_pool.submit(fn, path, data, header_comment, snap))
 
-    # overlap the NN stage's XLA compiles with the populations stage (the
-    # remote-TPU compiler parallelizes across threads; the reference AOT
-    # binary pays no compile at all) -- the daemon thread warms the jit
-    # cache with shape-exact degenerate calls and never raises
+    # overlap the stages' XLA compiles with each other (the remote-TPU
+    # compiler parallelizes across threads; the reference AOT binary pays
+    # no compile at all) -- daemon threads warm the jit cache with
+    # shape-exact degenerate calls and never raise. Enabled at EVERY N
+    # on real backends (the cold wall is compile-dominated down to 100k
+    # frames and below); CPU-interpret runs skip it: interpreted Pallas
+    # warms cost real compute, not compiles.
+    def _precompile_on():
+        if (engine.backend != "pallas"
+                or os.environ.get("CLUSTERING_TPU_PRECOMPILE") == "0"):
+            return False
+        from ..ops.pallas_kernels import INTERPRET_MODE
+        return not INTERPRET_MODE()
+
     will_run_nn = (not args.nearest_neighbors_input
                    and not args.radii
                    and (args.nearest_neighbors or args.output
                         or args.radius is None)
                    and not args.input)
-    if (will_run_nn and engine.backend == "pallas"
-            and n_rows >= (1 << 18)
-            and os.environ.get("CLUSTERING_TPU_PRECOMPILE") != "0"):
+    will_run_pops = (not args.free_energy_input and not args.input
+                     and (args.free_energy or args.population
+                          or args.output))
+    if _precompile_on():
         import threading
-        threading.Thread(target=engine.precompile_nn, daemon=True).start()
+        if will_run_pops:
+            pops_radii = (list(args.radii) if args.radii
+                          else [float(args.radius)]
+                          if args.radius is not None else [1.0])
+            threading.Thread(target=engine.precompile_pops,
+                             args=(pops_radii,), daemon=True).start()
+        if will_run_nn:
+            threading.Thread(target=engine.precompile_nn,
+                             daemon=True).start()
+
+    def _log_substages(stage_key):
+        """Verbose sub-stage walls (t_plan/t_kernel/t_sweep/t_host...)
+        for cold-start and tunnel-stall forensics; the engine records
+        them whenever CLUSTERING_TPU_PROFILE_SUBSTAGES is set."""
+        if not os.environ.get("CLUSTERING_TPU_PROFILE_SUBSTAGES"):
+            return
+        st = engine.last_stats.get(stage_key, {})
+        parts = ", ".join(f"{k}={v:.3f}" for k, v in st.items()
+                          if isinstance(v, float) and k.startswith("t_"))
+        if parts:
+            logger(f"      [{stage_key} substages: {parts}]")
 
     if args.input and (args.free_energy or args.nearest_neighbors):
         _die("error: for input (-i) -D/-B should be used.")
@@ -265,6 +296,7 @@ def main(args, header_comment, comments_map):
             logger("    using radii: " + ", ".join(str(r) for r in radii))
             with stage_timer("populations"):
                 pops_map = engine.populations(radii)
+            _log_substages("populations")
             if check:
                 _check_backends(engine, coords, "pops", pops_map,
                                 radii=radii)
@@ -306,6 +338,7 @@ def main(args, header_comment, comments_map):
                 pops = engine.populations(
                     [radius],
                     nn_band_radius=radius if will_run_nn else None)[radius]
+            _log_substages("populations")
             if check:
                 _check_backends(engine, coords, "pops",
                                 {radius: pops}, radii=[radius])
@@ -355,6 +388,7 @@ def main(args, header_comment, comments_map):
                 pass  # the original parse site reports the usage error
         with stage_timer("nearest neighbors"):
             nh = engine.nearest_neighbors(free_energy)
+        _log_substages("nn")
         if check:
             _check_backends(engine, coords, "nn", nh, fe=free_energy)
         if comments_map["lumping_radius"] == 0.0:
@@ -415,8 +449,7 @@ def main(args, header_comment, comments_map):
             # of their steps (shapes are deterministic given fe +
             # thresholds + max_dist2; see ThresholdSeriesScreener
             # .precompile)
-            if (n_rows >= (1 << 18)
-                    and os.environ.get("CLUSTERING_TPU_PRECOMPILE") != "0"):
+            if _precompile_on():
                 import threading
                 threading.Thread(target=series.precompile,
                                  args=(max_dist2,), daemon=True).start()

@@ -593,6 +593,56 @@ class DensityEngine:
         except Exception:  # best-effort: a warm miss only delays compiles
             pass
 
+    def precompile_pops(self, radii, prune=True):
+        """Best-effort background warm of the populations path.
+
+        Runs the REAL host plan (best-sort readbacks, packed activity
+        planes, tile list + radius masks -- the same device programs the
+        main-thread populations() call uses, shared through the jit
+        cache and the engine's layout caches) and then compiles the
+        bidirectional sweep at the exact stacked chunk shapes against
+        zeroed coordinates, so a concurrent populations() finds every
+        program warm or co-compiling. Same rationale as precompile_nn:
+        the remote-TPU compiler parallelizes across threads and the
+        reference's AOT binary pays no compile at all
+        (/root/reference/src/clustering.cpp:67). Never raises."""
+        if self.backend != "pallas" or self.mesh is not None:
+            return
+        try:
+            from . import pallas_kernels as pk
+            radii = list(radii)
+            self._warm_pops_download(len(radii))
+            radii2 = jnp.asarray(
+                [np.float32(r) * np.float32(r) for r in radii],
+                dtype=jnp.float32)
+            r_max2 = np.float32(max(radii)) * np.float32(max(radii))
+            bidir = prune and self._pops_bidir_ok(len(radii))
+            if not (prune and bidir) or self._device_plan_on():
+                # the host bidirectional plan is the warmable common
+                # path; device planning (big N) has count-dependent
+                # tile-list shapes and warms lazily
+                return
+            name = self._best_sort(r_max2)
+            planes = pruning.active_masks_device(
+                self._d2b_dev(name),
+                [r_max2] + [np.float32(r) * np.float32(r) for r in radii])
+            active = planes[0]
+            nrb, ncb = active.shape
+            ri = np.arange(nrb)[:, None]
+            cj = np.arange(ncb)[None, :]
+            active = active & ((cj + 1) * self.col_block
+                               > ri * self.row_block)
+            tiles = pruning.tile_list(active, pad_mode="noop")
+            rmask = self._pops_rmask(tiles[0], tiles[1], planes,
+                                     len(radii), prune)
+            coords0 = jnp.zeros((self.d, self.n_pad), jnp.float32)
+            pk.pops_tiles_bidir_all(
+                coords0, radii2, np.int32(self.n), tiles[0], tiles[1],
+                rmask, row_block=self.row_block, col_block=self.col_block,
+                max_acc_bytes=self.POPS_BIDIR_SCRATCH_CAP)
+        except Exception:  # best-effort: a warm miss only delays compiles
+            pass
+
     def _best_sort(self, thresh2):
         """Pick the ordering (dim0 vs morton) with the higher measured tile
         skip fraction at this radius (device compare, scalar readback)."""

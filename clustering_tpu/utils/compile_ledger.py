@@ -51,6 +51,19 @@ def install(path):
     _installed.append(path)
 
 
+def append_event(path, name, secs):
+    """Append one synthetic event line (e.g. the first-device-op wall,
+    which is an execution, not a compile, and so never reaches the
+    monitoring listener). Never raises."""
+    line = json.dumps({"t": round(time.time(), 3), "event": name,
+                       "fun": name, "secs": round(secs, 4)})
+    try:
+        with _lock, open(path, "a") as fh:
+            fh.write(line + "\n")
+    except OSError:  # pragma: no cover
+        pass
+
+
 def summarize(path, top=None):
     """Fold a ledger file into {fun: {n, secs}} sorted by total secs."""
     agg = {}

@@ -138,6 +138,57 @@ def test_precompile_nn_covers_nn_programs(finish, monkeypatch):
         " list so the CLI's compile overlap keeps covering the NN path")
 
 
+def test_precompile_pops_covers_pops_programs():
+    """engine.precompile_pops (the CLI's populations compile-overlap
+    hook) must warm every clustering_tpu program the real populations
+    call needs -- it replays the real plan and compiles the sweep at
+    the exact chunk shapes, so a follow-up populations() may compile
+    only jax-internal wrappers, never a framework kernel."""
+    from bench import synthetic_fel
+
+    tally = collections.Counter()
+
+    class Tap(logging.Handler):
+        def emit(self, rec):
+            msg = rec.getMessage()
+            if msg.startswith("Compiling "):
+                name = msg.split("Compiling ", 1)[1].split(" with ", 1)[0]
+                tally[name] += 1
+
+    n = 1 << 13
+    coords = synthetic_fel(n, 4)
+    eng = ops.engine.DensityEngine(coords, row_block=32, col_block=256,
+                                   backend="pallas")
+
+    tap = Tap()
+    log = logging.getLogger("jax._src.interpreters.pxla")
+    log.addHandler(tap)
+    jax.config.update("jax_log_compiles", True)
+    try:
+        eng.precompile_pops([0.10])
+        warmed = sum(tally.values())
+        tally.clear()
+        pops = eng.populations([0.10])
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        log.removeHandler(tap)
+
+    if not warmed:
+        pytest.skip("jax compile logging produced no events"
+                    " (logger layout changed); coverage not checkable")
+    missed = {name: cnt for name, cnt in tally.items()
+              if name.startswith("jit(_") or "sparse" in name
+              or "bbox" in name or "pops" in name}
+    assert not missed, (
+        f"populations compiled framework programs the precompile missed:"
+        f" {sorted(missed)} -- keep precompile_pops's plan identical to"
+        " populations()'s")
+    # and the warm must not have corrupted anything: real counts
+    other = ops.engine.DensityEngine(coords, row_block=32, col_block=256,
+                                     backend="pallas").populations([0.10])
+    np.testing.assert_array_equal(pops[0.10], other[0.10])
+
+
 def test_series_precompile_covers_fixpoint_programs():
     """ThresholdSeriesScreener.precompile must warm each step's fixpoint
     program exactly (shapes are deterministic given fe + thresholds +
