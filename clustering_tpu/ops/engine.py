@@ -38,21 +38,72 @@ def _lex_merge(b_d, b_j, o_d, o_j):
 def _ub_tiers(stacked_d, n, qs):
     """Per-frame tier index from the band pass's stacked [nh; hd] bounds:
     tier k collects frames whose ub lies in (tau_{k-1}, tau_k], with taus
-    the ``qs`` quantiles of the finite ubs; frames above the last quantile
+    ~the ``qs`` quantiles of the finite ubs; frames above the last tau
     (or with no band neighbor at all) land in the final tier. Returns
-    (tier uint8 (N_pad,), taus (len(qs),))."""
+    (tier uint8 (N_pad,), taus (len(qs),)).
+
+    taus come from 24 rounds of vectorized histogram bisection, not
+    jnp.nanquantile: the quantile's full f32 sort cost a 20s chipless
+    AOT compile at 2^20 frames (COLDSTART_r04 ledger) vs 1.2s for the
+    bisection, and ANY non-decreasing taus keep the tier pruning exact
+    (the layout's block bound taus[max tier] >= every member ub by the
+    searchsorted invariant) -- quantile accuracy only balances tiers,
+    and 24 halvings land within (hi-lo)*2^-24 of the true cut."""
     ub = jnp.maximum(stacked_d[0, :], stacked_d[1, :])
     real = (jnp.arange(ub.shape[0]) < n) & jnp.isfinite(ub)
-    taus = jnp.nanquantile(jnp.where(real, ub, jnp.nan),
-                           jnp.asarray(qs, dtype=jnp.float32))
+    vals = jnp.where(real, ub, jnp.inf)
+    m = jnp.sum(real).astype(jnp.float32)
+    # degenerate all-inf input: keep taus finite (every frame lands in
+    # the final tier whose bound is +inf, exactly like real frames with
+    # no band neighbor)
+    lo0 = jnp.where(m > 0, jnp.min(vals), jnp.float32(0.0))
+    hi0 = jnp.where(m > 0, jnp.max(jnp.where(real, ub, -jnp.inf)),
+                    jnp.float32(0.0))
+    qarr = jnp.asarray(qs, dtype=jnp.float32)
+    target = qarr * jnp.maximum(m - 1.0, 0.0) + 1.0
+
+    def bisect(carry, _):
+        los, his = carry
+        mid = (los + his) * jnp.float32(0.5)
+        cnt = jnp.sum(vals[None, :] <= mid[:, None],
+                      axis=1).astype(jnp.float32)
+        go_hi = cnt < target
+        return (jnp.where(go_hi, mid, los), jnp.where(go_hi, his, mid)), None
+
+    (los, his), _ = jax.lax.scan(
+        bisect, (jnp.full((len(qs),), lo0), jnp.full((len(qs),), hi0)),
+        None, length=24)
+    # the upper end of each bracket: >= the true cut value, so every
+    # member ub stays dominated (non-decreasing by bracket ordering)
+    taus = his
     tier = jnp.searchsorted(taus, ub, side="left").astype(jnp.uint8)
     return tier, taus
 
 
+@jax.jit
+def _tier_sort_perm(tier_dev, ub_perm, n, n_tiers):
+    """Winner-order tier vector (pads -> n_tiers) and its stable (tier,
+    position) sort permutation, one fused program: the 1M-frame argsort
+    costs a ~10s chipless AOT compile, and keeping it out of
+    _tiered_layout_sym means the pack=True/False variants (both occur
+    in production: speculative dispatch vs spec-miss re-dispatch)
+    compile the cheap remainder instead of two copies of the sort. The
+    tier re-layout + pad fill are fused in too (as eager ops their
+    convert alone cost a 10.9s compile inside the NN stage,
+    COLDSTART_r04 ledger)."""
+    n_pad = ub_perm.shape[0]
+    tier_w = jnp.where(jnp.arange(n_pad) < n,
+                       tier_dev[ub_perm].astype(jnp.int32), n_tiers)
+    # composite key = (tier, position): unique keys make argsort a
+    # stable sort by tier with spatial order preserved inside each tier
+    key = tier_w * jnp.int32(n_pad) + jnp.arange(n_pad, dtype=jnp.int32)
+    return tier_w, jnp.argsort(key).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block",
                                              "n_tiers", "pack"))
-def _tiered_layout_sym(coords_t, fe_w, oid_w, tier_w, taus, row_block,
-                      col_block, n_tiers, pack=True):
+def _tiered_layout_sym(coords_t, fe_w, oid_w, tier_w, taus, perm,
+                       row_block, col_block, n_tiers, pack=True):
     """Symmetric tiered layout for the BIDIRECTIONAL phase 2: the whole
     frame set is stable-sorted by (ub-tier, spatial position), so row and
     column order coincide and the upper-triangular bidirectional sweep
@@ -68,9 +119,6 @@ def _tiered_layout_sym(coords_t, fe_w, oid_w, tier_w, taus, row_block,
     tiles that can hold a frame's minima stay active; mirrored coverage
     is restored by the caller's bidir_closure."""
     n_dim, n_pad = coords_t.shape
-    key = (tier_w.astype(jnp.int32) * jnp.int32(n_pad)
-           + jnp.arange(n_pad, dtype=jnp.int32))
-    perm = jnp.argsort(key).astype(jnp.int32)
     rows_t = coords_t[:, perm]
     fe_rows = fe_w[perm]
     oid_rows = oid_w[perm]
@@ -565,13 +613,20 @@ class DensityEngine:
             n_tiers = len(self.TIER_QS_DEFAULT) + 1
             _ub_tiers(jnp.zeros((2, n_pad), jnp.float32), jnp.int32(n),
                       qs=tuple(self.TIER_QS_DEFAULT))
-            _tiered_layout_sym(coords0, jnp.zeros((n_pad,), jnp.float32),
-                               jnp.zeros((n_pad,), jnp.int32),
-                               jnp.zeros((n_pad,), jnp.int32),
-                               jnp.zeros((len(self.TIER_QS_DEFAULT),),
-                                         jnp.float32),
-                               row_block=rb, col_block=cb,
-                               n_tiers=n_tiers)
+            tier0u8 = jnp.zeros((n_pad,), jnp.uint8)
+            tier0, perm0_t = _tier_sort_perm(tier0u8, perm0, jnp.int32(n),
+                                             jnp.int32(n_tiers))
+            taus0 = jnp.zeros((len(self.TIER_QS_DEFAULT),), jnp.float32)
+            # both pack variants occur in production (speculative
+            # dispatch packs; the spec-miss / device-plan re-dispatch
+            # keeps the mask on device) -- warm both, the heavy sort is
+            # shared through _tier_sort_perm
+            for pk_pack in (True, False):
+                _tiered_layout_sym(coords0,
+                                   jnp.zeros((n_pad,), jnp.float32),
+                                   tier0, tier0, taus0, perm0_t,
+                                   row_block=rb, col_block=cb,
+                                   n_tiers=n_tiers, pack=pk_pack)
             ids0 = jnp.zeros((2, n_pad), jnp.int32)
             _unpermute_cols(ids0, perm0)
             # warm the finish the real call will select (at production N
@@ -1492,14 +1547,13 @@ class DensityEngine:
         tier_dev, taus_dev = _ub_tiers(band_out[0], jnp.int32(n),
                                        qs=tuple(tier_qs))
         _, _, fe_dev_w, oid_dev_w = layout(winner)
-        tier_w = jnp.where(
-            jnp.arange(n_pad) < n,
-            tier_dev[self._ub_perm(band_name, winner)].astype(jnp.int32),
+        tier_w, perm_dev = _tier_sort_perm(
+            tier_dev, self._ub_perm(band_name, winner), jnp.int32(n),
             jnp.int32(n_tiers))
         rows_t, fe_rows, oid_rows, perm, active_dev = _tiered_layout_sym(
             self._device(winner), fe_dev_w[0], oid_dev_w[0], tier_w,
-            taus_dev, row_block=rb, col_block=cb, n_tiers=n_tiers,
-            pack=pack)
+            taus_dev, perm_dev, row_block=rb, col_block=cb,
+            n_tiers=n_tiers, pack=pack)
         return rows_t, fe_rows, oid_rows, perm, active_dev
 
     def _nn_tiered_bidir_finish(self, handles, words=None):

@@ -138,6 +138,61 @@ def test_precompile_nn_covers_nn_programs(finish, monkeypatch):
         " list so the CLI's compile overlap keeps covering the NN path")
 
 
+def test_precompile_nn_covers_tiered_programs(monkeypatch):
+    """The tiered phase-2 programs (_ub_tiers, _tier_sort_perm, BOTH
+    pack variants of _tiered_layout_sym -- the speculative dispatch
+    packs its mask, the spec-miss re-dispatch keeps it on device) must
+    all be covered by precompile_nn: at 1M frames each miss costs a
+    10-20s chipless AOT compile inside the NN stage (COLDSTART_r04
+    ledger caught _tiered_layout_sym compiling twice)."""
+    from bench import synthetic_fel
+
+    tally = collections.Counter()
+
+    class Tap(logging.Handler):
+        def emit(self, rec):
+            msg = rec.getMessage()
+            if msg.startswith("Compiling "):
+                name = msg.split("Compiling ", 1)[1].split(" with ", 1)[0]
+                tally[name] += 1
+
+    n = 1 << 13
+    coords = synthetic_fel(n, 4)
+    eng = ops.engine.DensityEngine(coords, row_block=128, col_block=1024,
+                                   backend="pallas")
+    monkeypatch.setattr(type(eng), "TIERED_MIN_FRAMES", 64)
+    monkeypatch.setattr(type(eng), "TIERED_MIN_SAVED_PAIRS", -1.0)
+    pops = eng.populations([0.10])
+    fe = ops.free_energies(pops[0.10])
+
+    tap = Tap()
+    log = logging.getLogger("jax._src.interpreters.pxla")
+    log.addHandler(tap)
+    jax.config.update("jax_log_compiles", True)
+    try:
+        eng.precompile_nn()
+        warmed = sum(tally.values())
+        tally.clear()
+        eng.nearest_neighbors(fe)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        log.removeHandler(tap)
+
+    if not warmed:
+        pytest.skip("jax compile logging produced no events"
+                    " (logger layout changed); coverage not checkable")
+    # the sweep programs' chunk buckets are data-dependent at toy N
+    # (production buckets are warmed at the 2^16 size); this test pins
+    # the heavy tier-PLAN programs, whose shapes are N-deterministic
+    missed = {name: cnt for name, cnt in tally.items()
+              if any(k in name for k in
+                     ("_ub_tiers", "_tier_sort_perm",
+                      "_tiered_layout_sym"))}
+    assert not missed, (
+        f"the tiered NN plan compiled programs the precompile"
+        f" missed: {sorted(missed)}")
+
+
 def test_precompile_pops_covers_pops_programs():
     """engine.precompile_pops (the CLI's populations compile-overlap
     hook) must warm every clustering_tpu program the real populations
