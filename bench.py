@@ -124,8 +124,9 @@ def calibrate_dense_rate(ops):
     # tiered NN sweep read 0.57 while it actually evaluates pairs at
     # ~116% of the dense bidir kernel's own rate (paired probe, v5e).
     # A bidirectional production kernel tops out BELOW 1.0 of this
-    # ceiling by design (it does both sides' reductions per evaluation,
-    # 0.61x the symmetric rate for NN) and wins on effective rate.
+    # ceiling by design (it does both sides' reductions per evaluation:
+    # 0.61x the symmetric rate for NN, 0.667x for the screening label
+    # sweep -- paired probes at 2^18, v5e) and wins on effective rate.
     eng.NN_BIDIR_SCRATCH_CAP = 0
     pairs = float(eng.n_pad) * eng.n_pad
 
