@@ -16,7 +16,7 @@ and compares:
   * 3-threshold screening series -- exact label equality through the
                      production ThresholdSeriesScreener.
 
-Writes PARITY_100K_r03.json. Runtime is oracle-bound (~4-6 min of
+Writes PARITY_100K_r04.json. Runtime is oracle-bound (~4-6 min of
 single-core reference C++; the TPU side is seconds warm).
 
 Usage: python parity_bigscale.py      # env: PAR_N, PAR_OUT
@@ -36,7 +36,7 @@ N = int(os.environ.get("PAR_N", 100_000))
 D = 4
 RADIUS = 0.10
 THRESHOLDS = [0.8, 1.6, 2.4]
-OUT = os.environ.get("PAR_OUT", "PARITY_100K_r03.json")
+OUT = os.environ.get("PAR_OUT", "PARITY_100K_r04.json")
 REF_SRC = "/root/reference/src"
 STUB = os.path.join(os.path.dirname(__file__), "tests", "refstub")
 ORACLE_SRC = os.path.join(os.path.dirname(__file__), "tests",
@@ -90,6 +90,13 @@ def main():
     t0 = time.perf_counter()
     pops = eng.populations([RADIUS])[RADIUS]
     result["tpu_pops_seconds"] = round(time.perf_counter() - t0, 3)
+    # annotate the wall: the axon tunnel stalls the first nontrivial
+    # program of a process 0-500s by tunnel state (COLDSTART_r04.json);
+    # t_plan absorbs it, t_kernel is the chip-side truth
+    result["tpu_pops_substages"] = {
+        k: round(v, 3) for k, v in
+        eng.last_stats.get("populations", {}).items()
+        if isinstance(v, float) and k.startswith("t_")}
     t0 = time.perf_counter()
     out = subprocess.run([oracle, "pops", path, str(RADIUS)],
                          check=True, capture_output=True,
@@ -129,6 +136,9 @@ def main():
     t0 = time.perf_counter()
     nh_j, nh_d, hd_j, hd_d = eng.nearest_neighbors(fe)
     result["tpu_nn_seconds"] = round(time.perf_counter() - t0, 3)
+    result["tpu_nn_substages"] = {
+        k: round(v, 3) for k, v in eng.last_stats.get("nn", {}).items()
+        if isinstance(v, float) and k.startswith("t_")}
     t0 = time.perf_counter()
     out = subprocess.run([oracle, "nn", path, fe_path], check=True,
                          capture_output=True, text=True).stdout
