@@ -578,12 +578,20 @@ class DensityEngine:
                     pk.nn_tiles_bidir_windows(coords0, fe2d, oid2d,
                                               np.int32(n), windows,
                                               row_block=rb, col_block=cb)
-                # the big phase-2 lists run full 2^16 buckets
-                z2 = jnp.zeros((2, 1 << 16), jnp.int32)
-                pk.nn_tiles_bidir_windows(
-                    coords0, fe2d, oid2d, np.int32(n),
-                    [(0, min(span, ncb), z2, z2)],
-                    row_block=rb, col_block=cb)
+                # the big phase-2 lists run full-bucket chunks in
+                # DISPATCH_CHUNK_GROUP-sized dispatches (the tail group
+                # pads to the same shape); warm that exact program at
+                # every production window width -- compile + executable
+                # load + first execution are the one-time big-N costs.
+                # Zero chunks repeat tile (0, 0), whose compute the
+                # kernel elides after the first grid step.
+                g = pk.DISPATCH_CHUNK_GROUP
+                zg = jnp.zeros((g, pruning.MAX_TILE_ENTRIES), jnp.int32)
+                for w in sorted({min(span, ncb - base)
+                                 for base in range(0, ncb, span)}):
+                    pk.nn_tiles_bidir_windows(
+                        coords0, fe2d, oid2d, np.int32(n),
+                        [(0, w, zg, zg)], row_block=rb, col_block=cb)
             elif ncb > 2 * band_blocks:
                 band = pruning.band_mask(nrb, ncb, rb, cb,
                                          band_blocks * cb)
@@ -672,10 +680,44 @@ class DensityEngine:
                 dtype=jnp.float32)
             r_max2 = np.float32(max(radii)) * np.float32(max(radii))
             bidir = prune and self._pops_bidir_ok(len(radii))
-            if not (prune and bidir) or self._device_plan_on():
-                # the host bidirectional plan is the warmable common
-                # path; device planning (big N) has count-dependent
-                # tile-list shapes and warms lazily
+            if not (prune and bidir):
+                return
+            if self._device_plan_on():
+                # device-plan path (big N): the tile-list shapes are
+                # count-dependent (warmed lazily), but the expensive
+                # one-time costs ARE warmable -- the windowed sweep
+                # programs (compile + executable load + accumulator
+                # allocation; ~150s of a cold 16M run, CLAUDE.md) with
+                # one group of no-op chunks per production window
+                # width, and the plan programs through the engine's
+                # cached d2b
+                from .pallas_kernels import DISPATCH_CHUNK_GROUP as g
+                ncb = self.n_pad // self.col_block
+                span = min(max(int(self.POPS_BIDIR_SCRATCH_CAP
+                                   // (self.col_block * 4 * len(radii))),
+                               1), ncb)
+                bucket = pruning.MAX_TILE_ENTRIES
+                ti0 = jnp.zeros((g, bucket), jnp.int32)
+                tj0 = jnp.full((g, bucket), -1, jnp.int32)
+                rm0 = jnp.zeros((g, bucket), jnp.int32)
+                coords0 = jnp.zeros((self.d, self.n_pad), jnp.float32)
+                widths = sorted({min(span, ncb - base)
+                                 for base in range(0, ncb, span)})
+                for w in widths:
+                    pk.pops_tiles_bidir_windows(
+                        coords0, radii2, np.int32(self.n),
+                        [(0, w, ti0, tj0, rm0)],
+                        row_block=self.row_block,
+                        col_block=self.col_block)
+                name = self._best_sort(r_max2)
+                thresh2s = jnp.asarray(
+                    [r_max2] + [np.float32(r) * np.float32(r)
+                                for r in radii], dtype=jnp.float32)
+                planes = pruning.le_planes_device(self._d2b_dev(name),
+                                                  thresh2s)
+                active = pruning.upper_tri_device(
+                    planes[0], self.row_block, self.col_block)
+                pruning.window_counts_device(active, span)
                 return
             name = self._best_sort(r_max2)
             planes = pruning.active_masks_device(

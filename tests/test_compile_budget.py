@@ -244,6 +244,128 @@ def test_precompile_pops_covers_pops_programs():
     np.testing.assert_array_equal(pops[0.10], other[0.10])
 
 
+def test_precompile_pops_covers_device_plan_sweep(monkeypatch):
+    """With device planning on (big N), precompile_pops must warm the
+    windowed bidirectional sweep program at every production window
+    width (compile + executable load + accumulator allocation are ~150s
+    of a cold 16M run). The warm uses the 2^16 production bucket with a
+    full DISPATCH_CHUNK_GROUP of no-op chunks -- the shape every big
+    window's groups take by construction (tails pad to the group) --
+    so a small-N run here pins that the warm COMPILES one sweep program
+    per distinct window width and never corrupts results; shape-match
+    at production N is covered by the 16M hardware artifacts."""
+    from bench import synthetic_fel
+
+    monkeypatch.setenv("CLUSTERING_TPU_DEVICE_PLAN", "1")
+    # the warm reads both knobs at call time; production values
+    # (128 x 2^16) cost minutes under interpret mode without changing
+    # what this test pins (one warm compile per distinct window width)
+    from clustering_tpu.ops import pallas_kernels
+
+    monkeypatch.setattr(pallas_kernels, "DISPATCH_CHUNK_GROUP", 4)
+    monkeypatch.setattr(ops.pruning, "MAX_TILE_ENTRIES", 512)
+
+    tally = collections.Counter()
+
+    class Tap(logging.Handler):
+        def emit(self, rec):
+            msg = rec.getMessage()
+            if msg.startswith("Compiling "):
+                name = msg.split("Compiling ", 1)[1].split(" with ", 1)[0]
+                tally[name] += 1
+
+    n = 1 << 13
+    coords = synthetic_fel(n, 4)
+    eng = ops.engine.DensityEngine(coords, row_block=32, col_block=128,
+                                   backend="pallas")
+    # force >1 window so the tail width warms too
+    monkeypatch.setattr(type(eng), "POPS_BIDIR_SCRATCH_CAP",
+                        128 * 4 * 1 * 40)
+
+    tap = Tap()
+    log = logging.getLogger("jax._src.interpreters.pxla")
+    log.addHandler(tap)
+    jax.config.update("jax_log_compiles", True)
+    try:
+        eng.precompile_pops([0.10])
+        warmed = {k: v for k, v in tally.items()
+                  if "_pops_bidir_group_part" in k}
+        tally.clear()
+        pops = eng.populations([0.10])
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        log.removeHandler(tap)
+
+    st = eng.last_stats["populations"]
+    assert st.get("plan") == "device"
+    if not tally and not warmed:
+        pytest.skip("jax compile logging produced no events"
+                    " (logger layout changed); coverage not checkable")
+    # one warm sweep compile per distinct window width (span + tail)
+    assert sum(warmed.values()) == 2, warmed
+    other = ops.engine.DensityEngine(
+        coords, row_block=32, col_block=128,
+        backend="pallas").populations([0.10])
+    np.testing.assert_array_equal(pops[0.10], other[0.10])
+
+
+def test_precompile_nn_covers_device_plan_sweep(monkeypatch):
+    """Device-plan analog of the NN warm: precompile_nn must compile
+    the windowed bidirectional group program at the full
+    (DISPATCH_CHUNK_GROUP, MAX_TILE_ENTRIES) chunk shape the big-N
+    phase-2 dispatch uses (tail groups pad to it), once per distinct
+    production window width -- plus the exact-shape band windows. Zero
+    warm chunks repeat tile (0, 0); the kernel elides the repeats."""
+    from bench import synthetic_fel
+    from clustering_tpu.ops import pallas_kernels
+
+    monkeypatch.setenv("CLUSTERING_TPU_DEVICE_PLAN", "1")
+    monkeypatch.setattr(pallas_kernels, "DISPATCH_CHUNK_GROUP", 4)
+    monkeypatch.setattr(ops.pruning, "MAX_TILE_ENTRIES", 512)
+
+    events = []
+
+    class Tap(logging.Handler):
+        def emit(self, rec):
+            msg = rec.getMessage()
+            if (msg.startswith("Compiling ")
+                    and "_nn_bidir_group_part" in msg):
+                events.append(msg)
+
+    n = 1 << 13
+    coords = synthetic_fel(n, 4)
+    eng = ops.engine.DensityEngine(coords, row_block=32, col_block=128,
+                                   backend="pallas")
+    # span = cap // (col_block * 16) = 40 of ncb=64 -> widths {40, 24}
+    monkeypatch.setattr(type(eng), "NN_BIDIR_SCRATCH_CAP", 128 * 16 * 40)
+    fe = ops.free_energies(eng.populations([0.10])[0.10])
+
+    tap = Tap()
+    log = logging.getLogger("jax._src.interpreters.pxla")
+    log.addHandler(tap)
+    jax.config.update("jax_log_compiles", True)
+    try:
+        eng.precompile_nn()
+        # one full-group-shaped warm compile per distinct window width
+        warmed = [m for m in events if "int32[4,512]" in m]
+        events.clear()
+        nn = eng.nearest_neighbors(fe)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        log.removeHandler(tap)
+
+    if not warmed and not events:
+        pytest.skip("jax compile logging produced no events"
+                    " (logger layout changed); coverage not checkable")
+    assert len(warmed) == 2, warmed
+    monkeypatch.setenv("CLUSTERING_TPU_DEVICE_PLAN", "0")
+    other = ops.engine.DensityEngine(
+        coords, row_block=32, col_block=128,
+        backend="pallas").nearest_neighbors(fe)
+    for a, b in zip(nn, other):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_series_precompile_covers_fixpoint_programs():
     """ThresholdSeriesScreener.precompile must warm each step's fixpoint
     program exactly (shapes are deterministic given fe + thresholds +
