@@ -10,6 +10,7 @@ resident across the whole mode run.
 
 import functools
 import os
+import threading
 import time
 
 import jax
@@ -371,6 +372,13 @@ class DensityEngine:
         self._orders = {}       # name -> (order, padded_host)
         self._dev = {}          # name -> device array ((D, N_pad) or (N_pad, D))
         self._bboxes = {}       # name -> bbox distance matrix
+        # serializes the lazy cache builders below: the precompile warm
+        # threads race the main thread to the same layouts, and without
+        # this a 4M-frame engine ran the morton sort and the 64MB coords
+        # upload TWICE on a single-core host (measured ~5s of warm-on
+        # pops regression in WARMAB_r04). Double-checked: hits stay
+        # lock-free (dict reads of fully built values are safe).
+        self._build_lock = threading.RLock()
         # per-stage compute accounting (computed = post-pruning tiles
         # actually swept; effective = the N^2 the algorithm replaces) --
         # populated by populations()/nearest_neighbors(), consumed by
@@ -390,21 +398,24 @@ class DensityEngine:
 
     def _padded(self, name):
         if name not in self._orders:
-            if name == "orig":
-                order = None
-                sorted_coords = self.coords
-            elif name == "dim0":
-                order = np.argsort(self.coords[:, 0], kind="stable")
-                sorted_coords = self.coords[order]
-            elif name == "morton":
-                order = pruning.morton_order(self.coords)
-                sorted_coords = self.coords[order]
-            else:
-                raise ValueError(name)
-            padded = np.zeros((self.n_pad, self.d), dtype=np.float32)
-            padded[:self.n] = sorted_coords
-            padded[self.n:] = np.float32(3e38)
-            self._orders[name] = (order, padded)
+            with self._build_lock:
+                if name in self._orders:
+                    return self._orders[name]
+                if name == "orig":
+                    order = None
+                    sorted_coords = self.coords
+                elif name == "dim0":
+                    order = np.argsort(self.coords[:, 0], kind="stable")
+                    sorted_coords = self.coords[order]
+                elif name == "morton":
+                    order = pruning.morton_order(self.coords)
+                    sorted_coords = self.coords[order]
+                else:
+                    raise ValueError(name)
+                padded = np.zeros((self.n_pad, self.d), dtype=np.float32)
+                padded[:self.n] = sorted_coords
+                padded[self.n:] = np.float32(3e38)
+                self._orders[name] = (order, padded)
         return self._orders[name]
 
     def _put(self, x):
@@ -418,11 +429,13 @@ class DensityEngine:
 
     def _device(self, name):
         if name not in self._dev:
-            _, padded = self._padded(name)
-            # uploaded ONCE per engine (16MB at 1M x 4); the stateless
-            # mesh path re-uploaded per call
-            self._dev[name] = self._put(
-                padded.T if self.backend == "pallas" else padded)
+            with self._build_lock:
+                if name not in self._dev:
+                    _, padded = self._padded(name)
+                    # uploaded ONCE per engine (16MB at 1M x 4); the
+                    # stateless mesh path re-uploaded per call
+                    self._dev[name] = self._put(
+                        padded.T if self.backend == "pallas" else padded)
         return self._dev[name]
 
     def _get(self, x):
@@ -442,12 +455,14 @@ class DensityEngine:
         measurable on the band-prefetch thread through the tunnel."""
         key = ("oid", name)
         if key not in self._dev:
-            order, _ = self._padded(name)
-            oid = np.full(self.n_pad, np.iinfo(np.int32).max,
-                          dtype=np.int32)
-            oid[:self.n] = (np.arange(self.n, dtype=np.int32)
-                            if order is None else order)
-            self._dev[key] = self._put(oid.reshape(1, self.n_pad))
+            with self._build_lock:
+                if key not in self._dev:
+                    order, _ = self._padded(name)
+                    oid = np.full(self.n_pad, np.iinfo(np.int32).max,
+                                  dtype=np.int32)
+                    oid[:self.n] = (np.arange(self.n, dtype=np.int32)
+                                    if order is None else order)
+                    self._dev[key] = self._put(oid.reshape(1, self.n_pad))
         return self._dev[key]
 
     def _d2b_dev(self, name):
@@ -458,20 +473,26 @@ class DensityEngine:
         compares download 1/32nd-packed bit planes."""
         key = ("d2b", name)
         if key not in self._dev:
-            if self.backend == "pallas":
-                ct = self._device(name)  # (D, N_pad)
-            else:
-                ct = jnp.asarray(self._padded(name)[1].T)
-            self._dev[key] = pruning.bbox_d2_device(
-                ct, row_block=self.row_block, col_block=self.col_block)
+            with self._build_lock:
+                if key not in self._dev:
+                    if self.backend == "pallas":
+                        ct = self._device(name)  # (D, N_pad)
+                    else:
+                        ct = jnp.asarray(self._padded(name)[1].T)
+                    self._dev[key] = pruning.bbox_d2_device(
+                        ct, row_block=self.row_block,
+                        col_block=self.col_block)
         return self._dev[key]
 
     def _col_bboxes(self, name):
         """Column-block (mins, maxs) for ``name``'s padded layout."""
         key = ("colbb", name)
         if key not in self._bboxes:
-            _, padded = self._padded(name)
-            self._bboxes[key] = pruning.block_bboxes(padded, self.col_block)
+            with self._build_lock:
+                if key not in self._bboxes:
+                    _, padded = self._padded(name)
+                    self._bboxes[key] = pruning.block_bboxes(
+                        padded, self.col_block)
         return self._bboxes[key]
 
     def _host_perm(self, src_name, dst_name):
@@ -479,17 +500,20 @@ class DensityEngine:
         of the same frame in ``src_name`` order (pads map to themselves)."""
         key = ("hostperm", src_name, dst_name)
         if key not in self._orders:
-            src_order, _ = self._padded(src_name)
-            dst_order, _ = self._padded(dst_name)
-            perm = np.arange(self.n_pad, dtype=np.int64)
-            rank_src = np.empty(self.n, dtype=np.int64)
-            if src_order is None:
-                rank_src[:] = np.arange(self.n)
-            else:
-                rank_src[src_order] = np.arange(self.n)
-            perm[:self.n] = (rank_src if dst_order is None
-                             else rank_src[dst_order])
-            self._orders[key] = perm
+            with self._build_lock:
+                if key in self._orders:
+                    return self._orders[key]
+                src_order, _ = self._padded(src_name)
+                dst_order, _ = self._padded(dst_name)
+                perm = np.arange(self.n_pad, dtype=np.int64)
+                rank_src = np.empty(self.n, dtype=np.int64)
+                if src_order is None:
+                    rank_src[:] = np.arange(self.n)
+                else:
+                    rank_src[src_order] = np.arange(self.n)
+                perm[:self.n] = (rank_src if dst_order is None
+                                 else rank_src[dst_order])
+                self._orders[key] = perm
         return self._orders[key]
 
     def _ub_perm(self, src_name, dst_name):
@@ -499,17 +523,21 @@ class DensityEngine:
         downloading them."""
         key = ("ubperm", src_name, dst_name)
         if key not in self._dev:
-            src_order, _ = self._padded(src_name)
-            dst_order, _ = self._padded(dst_name)
-            perm = np.arange(self.n_pad, dtype=np.int32)
-            rank_src = np.empty(self.n, dtype=np.int32)
-            if src_order is None:
-                rank_src[:] = np.arange(self.n, dtype=np.int32)
-            else:
-                rank_src[src_order] = np.arange(self.n, dtype=np.int32)
-            perm[:self.n] = (rank_src if dst_order is None
-                             else rank_src[dst_order])
-            self._dev[key] = self._put(perm)
+            with self._build_lock:
+                if key in self._dev:
+                    return self._dev[key]
+                src_order, _ = self._padded(src_name)
+                dst_order, _ = self._padded(dst_name)
+                perm = np.arange(self.n_pad, dtype=np.int32)
+                rank_src = np.empty(self.n, dtype=np.int32)
+                if src_order is None:
+                    rank_src[:] = np.arange(self.n, dtype=np.int32)
+                else:
+                    rank_src[src_order] = np.arange(self.n,
+                                                    dtype=np.int32)
+                perm[:self.n] = (rank_src if dst_order is None
+                                 else rank_src[dst_order])
+                self._dev[key] = self._put(perm)
         return self._dev[key]
 
     def _log_stats(self, stage, st):
@@ -742,14 +770,22 @@ class DensityEngine:
 
     def _best_sort(self, thresh2):
         """Pick the ordering (dim0 vs morton) with the higher measured tile
-        skip fraction at this radius (device compare, scalar readback)."""
-        best, best_frac = None, -1.0
-        for name in ("dim0", "morton"):
-            frac = float(self._get(_skip_frac(
-                self._d2b_dev(name), jnp.float32(thresh2))))
-            if frac > best_frac:
-                best, best_frac = name, frac
-        return best
+        skip fraction at this radius (device compare, scalar readback),
+        cached per radius: the warm thread and the main stage ask for the
+        same threshold, and each miss costs two tunnel readbacks."""
+        key = ("bestsort", float(thresh2))
+        if key not in self._orders:
+            with self._build_lock:
+                if key in self._orders:
+                    return self._orders[key]
+                best, best_frac = None, -1.0
+                for name in ("dim0", "morton"):
+                    frac = float(self._get(_skip_frac(
+                        self._d2b_dev(name), jnp.float32(thresh2))))
+                    if frac > best_frac:
+                        best, best_frac = name, frac
+                self._orders[key] = best
+        return self._orders[key]
 
     # VMEM budget for the bidirectional pops kernel's column accumulator
     # (the kernel raises XLA's conservative 16MB scoped limit; v5e
