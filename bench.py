@@ -191,14 +191,15 @@ def correctness_guard(ops):
     # (docs/PARITY.md "Floating-point notes"): the Pallas VPU kernel and
     # the XLA fallback are different programs whose d2 may differ by 1
     # ulp exactly at d == r, flipping a count by +-1 per tied pair on
-    # ~1e-4 of frames (measured 10-12 at 2^16 on both TPU and CPU). A
-    # miscompiled kernel moves counts by >2 or on a macroscopic
-    # fraction, which still aborts.
+    # ~1e-4 of frames (measured 10-12 at 2^16 on both TPU and CPU; no
+    # frame with two simultaneous boundary ties has ever been observed,
+    # so |diff| > 1 aborts). A miscompiled kernel moves counts further
+    # or on a macroscopic fraction, which also aborts.
     diffs = np.concatenate([
         (np.asarray(pops_p[r], np.int64)
          - np.asarray(pops_x[r], np.int64)) for r in RADII])
     pops_bad = int((diffs != 0).sum())
-    pops_ok = (int(np.abs(diffs).max(initial=0)) <= 2
+    pops_ok = (int(np.abs(diffs).max(initial=0)) <= 1
                and pops_bad <= max(1, int(1e-3 * diffs.size)))
     fe = ops.free_energies(pops_p[RADII[0]])
     nn_p = eng.nearest_neighbors(fe)

@@ -95,10 +95,10 @@ def _tier_sort_perm(tier_dev, ub_perm, n, n_tiers):
     n_pad = ub_perm.shape[0]
     tier_w = jnp.where(jnp.arange(n_pad) < n,
                        tier_dev[ub_perm].astype(jnp.int32), n_tiers)
-    # composite key = (tier, position): unique keys make argsort a
-    # stable sort by tier with spatial order preserved inside each tier
-    key = tier_w * jnp.int32(n_pad) + jnp.arange(n_pad, dtype=jnp.int32)
-    return tier_w, jnp.argsort(key).astype(jnp.int32)
+    # stable argsort by tier keeps spatial order inside each tier (the
+    # earlier composite key tier * n_pad + position overflowed int32
+    # once n_pad * (n_tiers + 1) passed 2^31, ~429M frames at 4 tiers)
+    return tier_w, jnp.argsort(tier_w, stable=True).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("row_block", "col_block",
@@ -160,12 +160,11 @@ def _tiered_layout(coords_t, fe_w, tier_w, cmin, cmax, taus, row_block,
     Returns (rows_t (D, N_pad) permuted, fe_rows (N_pad,), perm_rows,
     active words (nrb, ceil(ncb/32)) uint32)."""
     n_dim, n_pad = coords_t.shape
-    # composite key = (tier, position): unique keys make argsort a stable
-    # sort by tier with spatial order preserved inside each tier (int32
-    # holds tier * n_pad + pos for any n_pad < 2^31 / (n_tiers + 1))
-    key = (tier_w.astype(jnp.int32) * jnp.int32(n_pad)
-           + jnp.arange(n_pad, dtype=jnp.int32))
-    perm_rows = jnp.argsort(key).astype(jnp.int32)
+    # stable argsort by tier keeps spatial order inside each tier (no
+    # composite key: tier * n_pad + pos overflowed int32 past ~429M
+    # frames)
+    perm_rows = jnp.argsort(tier_w.astype(jnp.int32),
+                            stable=True).astype(jnp.int32)
     rows_t = coords_t[:, perm_rows]
     fe_rows = fe_w[perm_rows]
     tiers_p = tier_w[perm_rows].reshape(-1, row_block)

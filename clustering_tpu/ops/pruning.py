@@ -500,9 +500,12 @@ def window_counts_device(active, span):
     return a.reshape(nrb, w, span).sum(axis=(0, 2), dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("total", "pad_mode", "base",
-                                             "width"))
+@functools.partial(jax.jit, static_argnames=("total", "pad_mode", "width"))
 def _tile_list_dev_call(active, n_tiles_dev, total, pad_mode, base, width):
+    # ``base`` is traced (dynamic_slice_in_dim accepts a traced start),
+    # so all column windows of the same width share ONE compiled
+    # program -- per-base programs cost ~3-5s each through the remote
+    # compiler and are exactly the ones precompile cannot warm
     win = active if width is None else \
         jax.lax.dynamic_slice_in_dim(active, base, width, axis=1)
     ti, tj = jnp.nonzero(win, size=total, fill_value=0)
@@ -529,7 +532,8 @@ def tile_list_device(active_dev, n_tiles, pad_mode="repeat",
     bucket = chunk_bucket(n_tiles, max_entries)
     n_chunks = -(-n_tiles // bucket)
     ti, tj = _tile_list_dev_call(active_dev, jnp.int32(n_tiles),
-                                 n_chunks * bucket, pad_mode, base, width)
+                                 n_chunks * bucket, pad_mode,
+                                 jnp.int32(base), width)
     return ti.reshape(n_chunks, bucket), tj.reshape(n_chunks, bucket)
 
 

@@ -21,34 +21,47 @@ import threading
 import time
 
 _lock = threading.Lock()
-_installed = []
+# single module-level listener writing to a mutable current-path slot:
+# jax.monitoring has no unregister, so one listener per install(path)
+# would leave stale listeners appending to old ledger files when a
+# library caller re-installs with a new path in the same process
+_current_path = [None]
+_registered = False
 
 
 def install(path):
-    """Append every compile-ish monitoring event to ``path`` (JSONL).
-    Idempotent per path; never raises (best-effort accounting)."""
-    if path in _installed:
-        return
-    try:
-        import jax.monitoring as monitoring
-    except Exception:  # pragma: no cover - jax always present in practice
-        return
-
-    def _listener(event, duration, **kwargs):
-        # events without a fun_name (GC, misc runtime) are not programs
-        fun = kwargs.get("fun_name")
-        if fun is None or "compile" not in event:
+    """Route every compile-ish monitoring event to ``path`` (JSONL).
+    Re-installing with a new path redirects the single process-wide
+    listener; never raises (best-effort accounting)."""
+    global _registered
+    with _lock:
+        _current_path[0] = path
+        if _registered:
             return
-        line = json.dumps({"t": round(time.time(), 3), "event": event,
-                           "fun": str(fun), "secs": round(duration, 4)})
         try:
-            with _lock, open(path, "a") as fh:
-                fh.write(line + "\n")
-        except OSError:  # pragma: no cover
-            pass
+            import jax.monitoring as monitoring
+        except Exception:  # pragma: no cover - jax always present
+            return
 
-    monitoring.register_event_duration_secs_listener(_listener)
-    _installed.append(path)
+        def _listener(event, duration, **kwargs):
+            # events without a fun_name (GC, misc runtime) aren't programs
+            fun = kwargs.get("fun_name")
+            if fun is None or "compile" not in event:
+                return
+            line = json.dumps({"t": round(time.time(), 3), "event": event,
+                               "fun": str(fun), "secs": round(duration, 4)})
+            try:
+                with _lock:
+                    dst = _current_path[0]
+                    if dst is None:
+                        return
+                    with open(dst, "a") as fh:
+                        fh.write(line + "\n")
+            except OSError:  # pragma: no cover
+                pass
+
+        monitoring.register_event_duration_secs_listener(_listener)
+        _registered = True
 
 
 def append_event(path, name, secs):
