@@ -522,15 +522,24 @@ def _tile_list_dev_call(active, n_tiles_dev, total, pad_mode, base, width):
 
 
 def tile_list_device(active_dev, n_tiles, pad_mode="repeat",
-                     max_entries=MAX_TILE_ENTRIES, base=0, width=None):
+                     max_entries=MAX_TILE_ENTRIES, base=0, width=None,
+                     quantize_chunks=False):
     """Device twin of tile_list: same row-major order, same (n_chunks,
     bucket) stacking, tiles stay on device. ``n_tiles`` is the host
     count (from window_counts_device); ``base``/``width`` restrict to a
-    column window, with GLOBAL tj emitted. Returns None when empty."""
+    column window, with GLOBAL tj emitted. Returns None when empty.
+
+    ``quantize_chunks`` rounds the chunk count up to a power of two by
+    repeat-padding (valid for idempotent consumers only): the static
+    ``total`` in the compiled nonzero program then takes O(log^2)
+    distinct values instead of one per active-tile count -- at big N
+    each distinct total is a fresh ~3-5s remote compile."""
     if n_tiles == 0:
         return None
     bucket = chunk_bucket(n_tiles, max_entries)
     n_chunks = -(-n_tiles // bucket)
+    if quantize_chunks and n_chunks > 1:
+        n_chunks = 1 << int(np.ceil(np.log2(n_chunks)))
     ti, tj = _tile_list_dev_call(active_dev, jnp.int32(n_tiles),
                                  n_chunks * bucket, pad_mode,
                                  jnp.int32(base), width)

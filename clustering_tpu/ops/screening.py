@@ -34,6 +34,7 @@ multi-chip path (clustering_tpu.parallel.sharded).
 """
 
 import functools
+import os
 import threading
 import time
 
@@ -270,6 +271,160 @@ def _swept_count_bidir(first_occ, tile_i, tile_j, dirty_col, dirty_row):
                    .astype(jnp.float32))
 
 
+@jax.jit
+def _first_occ_device(ti, tj):
+    """Device twin of _first_occ_mask over stacked (n_chunks, bucket)
+    tile chunks (repeat-padding and chunk-boundary duplicates carry 0)."""
+    t_i = ti.reshape(-1)
+    t_j = tj.reshape(-1)
+    same = jnp.concatenate(
+        [jnp.zeros((1,), jnp.bool_),
+         (t_i[1:] == t_i[:-1]) & (t_j[1:] == t_j[:-1])])
+    return (~same).astype(jnp.int32).reshape(ti.shape)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("row_block", "col_block", "triangular"))
+def _screen_active_device(below, n_below, row_lo, row_block, col_block,
+                          triangular):
+    """Device twin of _tile_list_locked's mask algebra: the bbox
+    strict-< plane restricted to the FE-threshold prefix, the
+    new-frame cross (``row_lo`` > 0) and (``triangular``) the upper
+    triangle. ``n_below``/``row_lo`` are traced, so one compiled
+    program serves every step of a threshold series."""
+    nrb, ncb = below.shape
+    ri = jnp.arange(nrb, dtype=jnp.int32)[:, None]
+    cj = jnp.arange(ncb, dtype=jnp.int32)[None, :]
+    active = below & (ri * row_block < n_below) & (cj * col_block < n_below)
+    cross = ((ri + 1) * row_block > row_lo) | ((cj + 1) * col_block > row_lo)
+    active = active & jnp.where(row_lo > 0, cross, True)
+    if triangular:
+        active = active & ((cj + 1) * col_block > ri * row_block)
+    return active
+
+
+@functools.partial(jax.jit, static_argnames=("span", "union_size",
+                                             "row_block", "col_block"))
+def _sweep_group_bidir(coords_t, labels, n_below, max_dist2, ti_g, tj_g,
+                       dirty_col, dirty_row, base, span, union_size,
+                       row_block, col_block):
+    """One bounded group of bidirectional sweep chunks for the
+    host-driven big-N fixpoint: scan label_min_sparse_bidir over the
+    group, folding row proposals and the window's column proposals
+    (Gauss-Seidel across chunks). ``base`` is traced so every window of
+    one span shares a single compiled program."""
+    from .pallas_kernels import label_min_sparse_bidir
+
+    lo = base * jnp.int32(col_block)
+    w = span * col_block
+
+    def chunk_body(labels_cur, tt):
+        ti_c, tj_c = tt
+        row_p, col_p = label_min_sparse_bidir(
+            coords_t, labels_cur.reshape(1, -1), n_below, max_dist2,
+            ti_c, tj_c, dirty_col, dirty_row, union_size,
+            row_block=row_block, col_block=col_block,
+            col_base=base, col_span=span)
+        lab = jnp.minimum(labels_cur, row_p[0])
+        seg = jax.lax.dynamic_slice_in_dim(lab, lo, w, 0)
+        seg = jnp.minimum(seg, col_p[0])
+        return jax.lax.dynamic_update_slice(lab, seg, (lo,)), None
+
+    out, _ = jax.lax.scan(chunk_body, labels, (ti_g, tj_g))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("union_size", "col_block",
+                                             "row_block"))
+def _union_step_bidir(labels_in, labels_swept, union_size, col_block,
+                      row_block):
+    """Union + pointer jumping + dirty col/row flags for one sweep of
+    the host-driven bidirectional fixpoint (the bidir twin of
+    _union_step)."""
+    n_pad = labels_in.shape[0]
+    ncb = n_pad // col_block
+    nrb = n_pad // row_block
+    nub = union_size // col_block
+    nru = union_size // row_block
+    head_in = labels_in[:union_size]
+    head_out = union_rebase(head_in, labels_swept[:union_size])
+    changed = head_out != head_in
+    labels_out = (head_out if union_size == n_pad else
+                  jnp.concatenate([head_out, labels_in[union_size:]]))
+    dc = jnp.any(changed.reshape(nub, col_block), axis=1).astype(jnp.int32)
+    dirty_col = (dc if nub == ncb else
+                 jnp.concatenate([dc, jnp.zeros(ncb - nub, jnp.int32)]))
+    dr = jnp.any(changed.reshape(nru, row_block), axis=1).astype(jnp.int32)
+    dirty_row = (dr if nru == nrb else
+                 jnp.concatenate([dr, jnp.zeros(nrb - nru, jnp.int32)]))
+    return labels_out, jnp.any(changed), dirty_col, dirty_row
+
+
+def _group_win_parts(win_parts, group):
+    """Bound each window's stacked chunks into dispatch groups of at most
+    ``group`` chunks (device slicing; pad groups keep tiles in-window by
+    repeating the last chunk, first_occ pads carry 0 so the accounting
+    never counts them). Returns [(base_dev, span, [(ti_g, tj_g,
+    fo_g), ...]), ...]."""
+    from .pallas_kernels import _group_pad
+
+    grouped = []
+    for base, span, ti_st, tj_st, fo_st in win_parts:
+        n_chunks = ti_st.shape[0]
+        gs = []
+        for lo in range(0, n_chunks, group):
+            ti_g, tj_g, fo_g = (jnp.asarray(ti_st[lo:lo + group]),
+                                jnp.asarray(tj_st[lo:lo + group]),
+                                jnp.asarray(fo_st[lo:lo + group]))
+            if ti_g.shape[0] < group and n_chunks > group:
+                ti_g, tj_g, fo_g = _group_pad(
+                    (ti_g, tj_g, fo_g), group, ("repeat", "repeat", 0))
+            gs.append((ti_g, tj_g, fo_g))
+        grouped.append((jnp.int32(base), span, gs))
+    return grouped
+
+
+def _sparse_fixpoint_host_bidir(coords_t, labels0, n_below, max_dist2,
+                                win_parts, row_block, col_block,
+                                union_size, group):
+    """Host-driven bidirectional fixpoint for tile lists too long for a
+    single device program: each sweep dispatches bounded groups of
+    chunks per column window, convergence is a one-scalar readback per
+    sweep. ``win_parts`` is a list of (base, span, ti_st, tj_st,
+    first_occ_st) with (n_chunks, bucket) stacked chunks, host or
+    device-resident. Same fixpoint as _sparse_fixpoint_bidir (min-label
+    propagation has a unique least solution)."""
+    n_pad = coords_t.shape[1]
+    ncb = n_pad // col_block
+    nrb = n_pad // row_block
+    nb = jnp.int32(n_below)
+    md2 = jnp.float32(max_dist2)
+    grouped = _group_win_parts(win_parts, group)
+    labels = labels0
+    dirty_col = jnp.ones((ncb,), dtype=jnp.int32)
+    dirty_row = jnp.ones((nrb,), dtype=jnp.int32)
+    swept_dev = jnp.float32(0.0)
+    iters = 0
+    while True:
+        swept_lab = labels
+        for base, span, gs in grouped:
+            for ti_g, tj_g, fo_g in gs:
+                swept_dev = swept_dev + _swept_count_bidir(
+                    fo_g, ti_g, tj_g, dirty_col, dirty_row)
+                swept_lab = _sweep_group_bidir(
+                    coords_t, swept_lab, nb, md2, ti_g, tj_g,
+                    dirty_col, dirty_row, base, span=span,
+                    union_size=union_size, row_block=row_block,
+                    col_block=col_block)
+        labels, changed, dirty_col, dirty_row = _union_step_bidir(
+            labels, swept_lab, union_size=union_size,
+            col_block=col_block, row_block=row_block)
+        iters += 1
+        if not bool(changed):
+            break
+    return labels, iters, float(jax.device_get(swept_dev))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("row_block", "col_block", "union_size"))
 def _sparse_fixpoint(coords_t, labels0, n_below, max_dist2, tile_i, tile_j,
@@ -461,15 +616,121 @@ class ScreeningEngine:
             self._coords_dev = jnp.asarray(dev)
         self._bbox_d2_dev = None
         self._bbox_mask = None  # (max_dist2, strict-< tile mask)
+        self._below_dev = None  # (max_dist2, device strict-< bool plane)
+        # per-step host tile lists of a series, keyed
+        # (row_lo, n_below, max_dist2, triangular): the precompile
+        # daemon and the real step plan the same lists
+        self._tile_cache = {}
+        self._win_cache = {}  # device twin, capped at WIN_CACHE_CAP
         # serializes _tile_list's bbox-mask cache fill between the main
         # thread and the series' compile-prefetch daemon
         self._plan_lock = threading.Lock()
         self.last_stats = {}  # sweep/tile accounting of the last fixpoint
 
-    def _tile_list(self, row_lo, n_below, max_dist2, triangular=False):
+    # big-N device planning: same gate as the density engine's
+    # (CLUSTERING_TPU_DEVICE_PLAN=1/0 forces on/off, auto above
+    # DEVICE_PLAN_MIN_FRAMES padded frames). Above the gate the host
+    # planner's (nrb, ncb) masks, packed-plane download and np.nonzero
+    # over ~hundreds of millions of tile entries dominate the stage --
+    # the exact O(tiles) host pattern that cost pops 760s at 16M before
+    # the engine moved planning on device (BIGN_r03 vs r04).
+    DEVICE_PLAN_MIN_FRAMES = 1 << 22
+
+    def _device_plan_on(self):
+        env = os.environ.get("CLUSTERING_TPU_DEVICE_PLAN")
+        if env == "0":
+            return False
+        if env == "1":
+            return True
+        return self.n_pad >= self.DEVICE_PLAN_MIN_FRAMES
+
+    def _below_plane_dev(self, max_dist2):
+        """Device-resident strict-< bbox activity plane (series-constant:
+        one plane serves every threshold step). The (nrb, ncb) bbox
+        distance matrix is dropped once thresholded -- it is 2.1GB of
+        HBM at 16M frames and never needed again at a fixed
+        max_dist2."""
+        from . import pruning
+        key = float(max_dist2)
+        if self._below_dev is None or self._below_dev[0] != key:
+            if self._bbox_d2_dev is None:
+                ct = (self._coords_dev if self.backend == "pallas"
+                      and self.mesh is None
+                      else jnp.asarray(self._padded_host.T))
+                self._bbox_d2_dev = pruning.bbox_d2_device(
+                    ct, row_block=self.row_block, col_block=self.col_block)
+            below = pruning.le_planes_device(
+                self._bbox_d2_dev,
+                jnp.asarray([np.float32(max_dist2)], dtype=jnp.float32),
+                strict=True)[0]
+            self._below_dev = (key, below)
+            self._bbox_d2_dev = None
+        return self._below_dev[1]
+
+    # device window plans the compile-prefetch daemon and the real step
+    # share (the planning nonzero/count programs are real device work at
+    # big N); capped so at most this many steps' tile lists live in HBM
+    WIN_CACHE_CAP = 2
+
+    def _bidir_windows(self, row_lo, n_below, max_dist2, union_size):
+        key = (int(row_lo), int(n_below), float(max_dist2),
+               int(union_size))
         with self._plan_lock:
-            return self._tile_list_locked(row_lo, n_below, max_dist2,
-                                          triangular)
+            if key not in self._win_cache:
+                self._win_cache[key] = self._bidir_windows_dev(
+                    row_lo, n_below, max_dist2, union_size)
+                while len(self._win_cache) > self.WIN_CACHE_CAP:
+                    self._win_cache.pop(next(iter(self._win_cache)))
+            return self._win_cache[key]
+
+    def _bidir_windows_dev(self, row_lo, n_below, max_dist2, union_size):
+        """Device-planned upper-triangular tile windows: the activity
+        mask, tile lists and first-occurrence masks all stay ON DEVICE
+        (pruning.tile_list_device); the only planning transfer is one
+        (W,) window-count fetch. Returns a list of (base, span, ti_st,
+        tj_st, first_occ_st) column windows (None when empty) -- the
+        same tile sets, row-major order and window policy as the host
+        planner's _tile_list + _bidir_partitions. Caller holds
+        ``_plan_lock`` (via :meth:`_bidir_windows`)."""
+        from . import pruning
+        below = self._below_plane_dev(max_dist2)
+        active = _screen_active_device(
+            below, jnp.int32(n_below), jnp.int32(row_lo),
+            self.row_block, self.col_block, True)
+        ncb = self.n_pad // self.col_block
+        nub = union_size // self.col_block
+        span_cap = max(int(self.BIDIR_UNION_VMEM
+                           // (self.col_block * 4)), 1)
+        span = min(span_cap, nub)
+        counts_w = np.asarray(jax.device_get(
+            pruning.window_counts_device(active, span)))
+        if int(counts_w.sum()) == 0:
+            return None
+        windows = []
+        for w, base in enumerate(range(0, ncb, span)):
+            c = int(counts_w[w])
+            if c == 0:
+                continue
+            width = min(span, ncb - base)
+            ti_st, tj_st = pruning.tile_list_device(
+                active, c, base=base, width=width, quantize_chunks=True)
+            windows.append((base, width, ti_st, tj_st,
+                            _first_occ_device(ti_st, tj_st)))
+        return windows
+
+    def _tile_list(self, row_lo, n_below, max_dist2, triangular=False):
+        key = (int(row_lo), int(n_below), float(max_dist2),
+               bool(triangular))
+        with self._plan_lock:
+            if key not in self._tile_cache:
+                # memoized per series step: the precompile daemon and
+                # the real step ask for the same list, and np.nonzero +
+                # chunking is a real per-step host cost at large N
+                self._tile_cache[key] = self._tile_list_locked(
+                    row_lo, n_below, max_dist2, triangular)
+                while len(self._tile_cache) > 4 * self.WIN_CACHE_CAP:
+                    self._tile_cache.pop(next(iter(self._tile_cache)))
+            return self._tile_cache[key]
 
     def _tile_list_locked(self, row_lo, n_below, max_dist2,
                           triangular=False):
@@ -585,37 +846,67 @@ class ScreeningEngine:
             union_size = self._union_size(n_below)
             from .pallas_kernels import DISPATCH_CHUNK_GROUP
             mode = "symmetric"
-            tiles = None
+            plan_kind = "host"
+            driver = "device-program"
+            win_parts = None
             if self._bidir_ok(union_size):
-                tiles = self._tile_list(row_lo, n_below, max_dist2,
-                                        triangular=True)
-                if tiles is None:
-                    return labels_dev
-                if tiles[0].shape[0] <= DISPATCH_CHUNK_GROUP:
+                if self._device_plan_on():
+                    win_parts = self._bidir_windows(
+                        row_lo, n_below, max_dist2, union_size)
+                    plan_kind = "device"
+                    if win_parts is None:
+                        return labels_dev
                     mode = "bidir"
                 else:
-                    tiles = None  # host-driven path stays symmetric
+                    tiles = self._tile_list(row_lo, n_below, max_dist2,
+                                            triangular=True)
+                    if tiles is None:
+                        return labels_dev
+                    parts, windows = self._bidir_partitions(
+                        tiles[0], tiles[1], union_size)
+                    win_parts = [
+                        (base, span, ti_p, tj_p, fo_p)
+                        for (ti_p, tj_p, fo_p), (base, span)
+                        in zip(parts, windows)]
+                    mode = "bidir"
             if mode == "bidir":
-                ti, tj = tiles
-                parts, windows = self._bidir_partitions(ti, tj, union_size)
+                n_chunks_total = sum(p[2].shape[0] for p in win_parts)
+                tiles_per_sweep = sum(p[2].shape[0] * p[2].shape[1]
+                                      for p in win_parts)
                 t_plan = time.perf_counter() - t_plan0
                 t_disp0 = time.perf_counter()
-                out, iters, swept = _sparse_fixpoint_bidir(
-                    self._coords_dev, labels_dev,
-                    jnp.int32(n_below), jnp.float32(max_dist2),
-                    parts,
-                    row_block=self.row_block, col_block=self.col_block,
-                    union_size=union_size, windows=windows)
+                if n_chunks_total <= DISPATCH_CHUNK_GROUP:
+                    parts = tuple((ti_p, tj_p, fo_p)
+                                  for _, _, ti_p, tj_p, fo_p in win_parts)
+                    windows = tuple((base, span)
+                                    for base, span, *_ in win_parts)
+                    out, iters, swept = _sparse_fixpoint_bidir(
+                        self._coords_dev, labels_dev,
+                        jnp.int32(n_below), jnp.float32(max_dist2),
+                        parts,
+                        row_block=self.row_block, col_block=self.col_block,
+                        union_size=union_size, windows=windows)
+                else:
+                    # tile list too long for one device program (runtime
+                    # watchdogs): host-driven bounded group sweeps, one
+                    # convergence readback per sweep
+                    driver = "host-groups"
+                    out, iters, swept = _sparse_fixpoint_host_bidir(
+                        self._coords_dev, labels_dev, n_below, max_dist2,
+                        win_parts, self.row_block, self.col_block,
+                        union_size, DISPATCH_CHUNK_GROUP)
             else:
                 tiles = self._tile_list(row_lo, n_below, max_dist2)
                 if tiles is None:
                     return labels_dev
                 ti, tj = tiles
+                tiles_per_sweep = int(ti.shape[0] * ti.shape[1])
                 t_plan = time.perf_counter() - t_plan0
                 t_disp0 = time.perf_counter()
                 if ti.shape[0] > DISPATCH_CHUNK_GROUP:
                     # tile list too long for one device program (runtime
                     # watchdogs): host-driven sweeps, bounded dispatches
+                    driver = "host-groups"
                     out, iters, swept = _sparse_fixpoint_host(
                         self._coords_dev, labels_dev, n_below, max_dist2,
                         ti, tj, self.row_block, self.col_block,
@@ -642,14 +933,17 @@ class ScreeningEngine:
                 iters = int(iters)
                 swept = float(swept)
                 logger(f"    [screening fixpoint: {iters} sweeps,"
-                       f" {ti.shape[0] * ti.shape[1]} tiles/sweep,"
-                       f" {swept:.0f} swept, {mode}]")
+                       f" {tiles_per_sweep} tiles/sweep,"
+                       f" {swept:.0f} swept, {mode}, {plan_kind} plan,"
+                       f" {driver}]")
             self.last_stats = {
                 "sweeps": iters,
-                "tiles_per_sweep": int(ti.shape[0] * ti.shape[1]),
+                "tiles_per_sweep": int(tiles_per_sweep),
                 "swept_tiles": swept,
                 "tile_pairs": self.row_block * self.col_block,
                 "mode": mode,
+                "plan": plan_kind,
+                "driver": driver,
                 # sub-stage walls: t_plan = host tile-list/partition
                 # planning, t_dispatch = the fixpoint call's host wall
                 # (device-program paths return asynchronously in ~25ms;
@@ -886,6 +1180,7 @@ class ThresholdSeriesScreener:
             if eng.backend != "pallas" or eng.mesh is not None:
                 return
             prev = 0
+            warmed = set()
             for k in range(len(self.thresholds)):
                 nb = int(self.n_below_per_band[k])
                 row_lo, prev = prev, nb
@@ -893,6 +1188,10 @@ class ThresholdSeriesScreener:
                     continue
                 union = eng._union_size(nb)
                 if not eng._bidir_ok(union):
+                    continue
+                if eng._device_plan_on():
+                    self._precompile_device_step(eng, row_lo, nb,
+                                                 max_dist2, union, warmed)
                     continue
                 tiles = eng._tile_list(row_lo, nb, max_dist2,
                                        triangular=True)
@@ -908,6 +1207,57 @@ class ThresholdSeriesScreener:
                     union_size=union, windows=windows)
         except Exception:  # warm miss only delays a compile
             pass
+
+    @staticmethod
+    def _precompile_device_step(eng, row_lo, nb, max_dist2, union,
+                                warmed):
+        """Warm one device-planned step: the planning programs run for
+        real (and their window plans land in the engine's shared
+        WIN_CACHE for the actual step); the small-list path warms by
+        running its fixpoint from identity labels, the host-groups path
+        warms each distinct group program with ALL-CLEAN dirty flags
+        (the kernel skips every tile, so the device cost is ~zero --
+        the engine's device-plan precompile uses the same trick)."""
+        from .pallas_kernels import DISPATCH_CHUNK_GROUP
+        win_parts = eng._bidir_windows(row_lo, nb, max_dist2, union)
+        if win_parts is None:
+            return
+        n_chunks_total = sum(p[2].shape[0] for p in win_parts)
+        if n_chunks_total <= DISPATCH_CHUNK_GROUP:
+            parts = tuple((ti_p, tj_p, fo_p)
+                          for _, _, ti_p, tj_p, fo_p in win_parts)
+            windows = tuple((base, span)
+                            for base, span, *_ in win_parts)
+            _sparse_fixpoint_bidir(
+                eng._coords_dev,
+                jnp.arange(eng.n_pad, dtype=jnp.int32),
+                jnp.int32(nb), jnp.float32(max_dist2), parts,
+                row_block=eng.row_block, col_block=eng.col_block,
+                union_size=union, windows=windows)
+            return
+        ncb = eng.n_pad // eng.col_block
+        nrb = eng.n_pad // eng.row_block
+        zc = jnp.zeros((ncb,), jnp.int32)
+        zr = jnp.zeros((nrb,), jnp.int32)
+        lab = jnp.arange(eng.n_pad, dtype=jnp.int32)
+        for base, span, gs in _group_win_parts(win_parts,
+                                               DISPATCH_CHUNK_GROUP):
+            for ti_g, tj_g, fo_g in gs:
+                key = (ti_g.shape, span, union)
+                if key in warmed:
+                    continue
+                warmed.add(key)
+                _swept_count_bidir(fo_g, ti_g, tj_g, zc, zr)
+                lab = _sweep_group_bidir(
+                    eng._coords_dev, lab, jnp.int32(nb),
+                    jnp.float32(max_dist2), ti_g, tj_g, zc, zr, base,
+                    span=span, union_size=union,
+                    row_block=eng.row_block, col_block=eng.col_block)
+        if ("union", union) not in warmed:
+            warmed.add(("union", union))
+            _union_step_bidir(lab, lab, union_size=union,
+                              col_block=eng.col_block,
+                              row_block=eng.row_block)
 
     def _seed_vals(self, lo, hi, max_dist2):
         """Label seeds for newly-admitted positions [lo, hi): the frame's
