@@ -173,16 +173,36 @@ def calibrate_dense_rate(ops):
 
 
 def correctness_guard(ops):
-    """Cheap per-stage answer check: the same pipeline at a small N on
-    the same device, Pallas engine vs the independent XLA fallback
-    (ops/{density,neighbors,screening}.py) -- pops counts, NN indices
-    and screening labels must agree, so a silently-miscompiled kernel
-    change aborts the benchmark instead of publishing a fast wrong
-    number. Index/label comparisons are exact; pops tolerates only the
-    +-1 radius-boundary tie class (see inline comment).
-    Returns the ``checks`` dict for the bench JSON."""
-    n = 1 << 16
-    coords = synthetic_fel(n, D, seed=7)
+    """Per-stage answer check at every size in BENCH_GUARD_NS (default
+    2^16 and 2^18): the same pipeline on the same device, Pallas engine
+    vs the independent XLA fallback -- see _guard_at. Aborts the
+    benchmark on any mismatch. Returns the ``checks`` dict for the
+    bench JSON (per-size sub-dicts under "by_n")."""
+    sizes = [int(s) for s in os.environ.get(
+        "BENCH_GUARD_NS", f"{1 << 16},{1 << 18}").split(",") if s]
+    by_n = {}
+    for i, n in enumerate(sizes):
+        by_n[str(n)] = _guard_at(ops, n, seed=7 + i)
+    checks = {"by_n": by_n, "ok": all(c["ok"] for c in by_n.values())}
+    if not checks["ok"]:
+        print(f"# CORRECTNESS GUARD FAILED: {checks}", file=sys.stderr)
+        print(json.dumps({"metric": "correctness-guard-failed",
+                          "value": 0.0, "unit": "Gpairs/s",
+                          "vs_baseline": 0.0, "checks": checks}))
+        sys.exit(1)
+    print("# correctness guard: pops/nn/screening match the XLA"
+          f" fallback at N={sizes}", file=sys.stderr)
+    return checks
+
+
+def _guard_at(ops, n, seed):
+    """One guard size: pops counts, NN indices and screening labels from
+    the Pallas engine vs the independent XLA fallback
+    (ops/{density,neighbors,screening}.py) -- a silently-miscompiled
+    kernel change must abort the benchmark instead of publishing a fast
+    wrong number. Index/label comparisons are exact; pops tolerates only
+    the +-1 radius-boundary tie class (see inline comment)."""
+    coords = synthetic_fel(n, D, seed=seed)
     eng = ops.engine.DensityEngine(coords, row_block=ROW_BLOCK,
                                    col_block=COL_BLOCK)
     pops_p = eng.populations(RADII, nn_band_radius=RADII[0])
@@ -225,21 +245,12 @@ def correctness_guard(ops):
         cs, row_block=ROW_BLOCK, col_block=COL_BLOCK,
         backend="xla").run(labels0, n_below, md2)
     scr_bad = int((lab_p != lab_x).sum())
-    checks = {"n": n, "pops_mismatch": pops_bad,
-              "pops_boundary_ties_ok": pops_ok, "nn_mismatch": nn_bad,
-              "screening_mismatch": scr_bad,
-              "nn_band_prefetch_hit": pf_hit,
-              "ok": (pops_ok and nn_bad == 0 and scr_bad == 0
-                     and pf_hit)}
-    if not checks["ok"]:
-        print(f"# CORRECTNESS GUARD FAILED: {checks}", file=sys.stderr)
-        print(json.dumps({"metric": "correctness-guard-failed",
-                          "value": 0.0, "unit": "Gpairs/s",
-                          "vs_baseline": 0.0, "checks": checks}))
-        sys.exit(1)
-    print(f"# correctness guard: pops/nn/screening match the XLA"
-          f" fallback at N={n}", file=sys.stderr)
-    return checks
+    return {"n": n, "pops_mismatch": pops_bad,
+            "pops_boundary_ties_ok": pops_ok, "nn_mismatch": nn_bad,
+            "screening_mismatch": scr_bad,
+            "nn_band_prefetch_hit": pf_hit,
+            "ok": (pops_ok and nn_bad == 0 and scr_bad == 0
+                   and pf_hit)}
 
 
 def main():

@@ -19,8 +19,9 @@ This driver proves it on hardware:
      above 2^22), wall times + sub-stage breakdown recorded -- round 3's
      host planner spent t_plan 760s + t_band 1502s here.
 
-Writes BIGN_r04.json.  env: BIGN_VERIFY_N, BIGN_BIG_N, BIGN_OUT,
-BIGN_SKIP_BIG.
+Writes BIGN_r05.json.  env: BIGN_VERIFY_N, BIGN_BIG_N, BIGN_OUT,
+BIGN_SKIP_BIG, BIGN_SKIP_SCREENING, BIGN_SCR_XLA(_FRAC),
+BIGN_SCR_THRESHOLDS.
 """
 
 import json
@@ -32,7 +33,7 @@ import numpy as np
 
 VERIFY_N = int(os.environ.get("BIGN_VERIFY_N", 1 << 21))
 BIG_N = int(os.environ.get("BIGN_BIG_N", 1 << 24))
-OUT = os.environ.get("BIGN_OUT", "BIGN_r04.json")
+OUT = os.environ.get("BIGN_OUT", "BIGN_r05.json")
 ROW_BLOCK = 128
 COL_BLOCK = 4096
 RADII = [0.10, 0.15, 0.20]
@@ -125,7 +126,50 @@ def main():
     result["nn_device_plan_stats"] = {
         k: v for k, v in eng_d.last_stats["nn"].items()
         if isinstance(v, (int, float, str, bool))}
+
+    # screening at VERIFY_N (round 5: the stage had never been validated
+    # above 2^20): device-planned pallas vs host-planned pallas vs the
+    # independent XLA fallback, identity seeds, one threshold admitting
+    # BIGN_SCR_XLA_FRAC of the frames, bit-equal labels required
+    md2 = np.float32(4.0 * ops.neighbors.compute_sigma2(nn_b[1]))
+    frac = float(os.environ.get("BIGN_SCR_XLA_FRAC", "0.5"))
+    order = np.argsort(fe, kind="stable")
+    cs = coords[order]
+    n_below = int(frac * VERIFY_N)
+    labels0 = np.arange(VERIFY_N, dtype=np.int32)
+    _p("verify phase: screening pallas (device plan)")
+    os.environ["CLUSTERING_TPU_DEVICE_PLAN"] = "1"
+    t0 = time.perf_counter()
+    lab_d = ops.screening.ScreeningEngine(
+        cs, row_block=ROW_BLOCK, col_block=COL_BLOCK,
+        backend="pallas").run(labels0, n_below, md2)
+    result["stages"]["screening_device_plan"] = round(
+        time.perf_counter() - t0, 3)
+    _p("verify phase: screening pallas (host plan)")
+    os.environ["CLUSTERING_TPU_DEVICE_PLAN"] = "0"
+    t0 = time.perf_counter()
+    lab_h = ops.screening.ScreeningEngine(
+        cs, row_block=ROW_BLOCK, col_block=COL_BLOCK,
+        backend="pallas").run(labels0, n_below, md2)
+    result["stages"]["screening_host_plan"] = round(
+        time.perf_counter() - t0, 3)
+    os.environ.pop("CLUSTERING_TPU_DEVICE_PLAN", None)
+    checks["screening_device_plan_eq"] = bool(
+        np.array_equal(lab_d, lab_h))
+    result["screening_verify"] = {"n_below": n_below,
+                                  "max_dist2": float(md2)}
+    if os.environ.get("BIGN_SCR_XLA", "1") != "0":
+        _p("verify phase: screening XLA fallback (same labels required)")
+        t0 = time.perf_counter()
+        lab_x = ops.screening.ScreeningEngine(
+            cs, row_block=ROW_BLOCK, col_block=COL_BLOCK,
+            backend="xla").run(labels0, n_below, md2)
+        result["stages"]["screening_xla"] = round(
+            time.perf_counter() - t0, 3)
+        checks["screening_xla_eq"] = bool(np.array_equal(lab_d, lab_x))
+        del lab_x
     result["checks"] = checks
+    del lab_d, lab_h, cs, order
 
     # --- 2. the 16M-frame partitioned-bidir run ---
     if not os.environ.get("BIGN_SKIP_BIG"):
@@ -137,14 +181,32 @@ def main():
         eng = ops.engine.DensityEngine(coords, row_block=ROW_BLOCK,
                                        col_block=COL_BLOCK,
                                        backend="pallas")
+        # the CLI's precompile warms (device-plan windowed sweep
+        # programs at the exact production chunk shapes, 96f0583): the
+        # r4 16M artifact predates them and carried ~150s/stage of
+        # one-time first-execution cost -- this run records the walls
+        # WITH the warm threads, like production (VERDICT r5 item 3)
+        import threading
+        threading.Thread(target=eng.precompile_pops, args=(RADII,),
+                         daemon=True).start()
+        threading.Thread(target=eng.precompile_nn, daemon=True).start()
         t0 = time.perf_counter()
-        _p("big phase: pops (device plan auto, band prefetch)")
+        _p("big phase: pops (device plan auto, band prefetch, warm on)")
         pops = eng.populations(RADII, nn_band_radius=RADII[0])
         result["stages"]["big_pops_bidir"] = round(
             time.perf_counter() - t0, 3)
         result["big_pops_stats"] = {
             k: v for k, v in eng.last_stats["populations"].items()
             if isinstance(v, (int, float, str, bool))}
+        # the device-plan sub-stage walls (VERDICT r5 item 6): t_plan =
+        # best_sort (host sorts + bbox matrices + skip-frac readbacks,
+        # per-order detail) + window_counts (mask dispatch + count
+        # fetch) + tile_lists (per-window nonzero/rmask dispatches)
+        pp = eng.last_stats["populations"].get("plan_parts")
+        if pp:
+            result["big_pops_plan_parts"] = {
+                k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in pp.items()}
         result["big_pops_mode"] = eng.last_stats["populations"].get(
             "mode", "bidir")
         fe = ops.free_energies(pops[RADII[0]])
@@ -161,6 +223,58 @@ def main():
         plan_band = st.get("t_band", 0.0) + st.get("t_plan", 0.0)
         result["big_nn_plan_band_frac"] = round(
             plan_band / max(result["stages"]["big_nn_bidir"], 1e-9), 3)
+
+        # --- 16M screening series (VERDICT r5 item 1: the stage had
+        # never run above 2^20 and host-planned its tile lists) ---
+        if os.environ.get("BIGN_SKIP_SCREENING") != "1":
+            # free the density engine's device caches first: the bbox
+            # matrices alone hold 2GB per order at 16M and the screener
+            # needs its own coords upload + transient bbox matrix
+            md2_big = np.float32(
+                4.0 * ops.neighbors.compute_sigma2(nn[1]))
+            eng._dev.clear()
+            del eng
+            thresholds = [np.float32(t) for t in
+                          (float(x) for x in os.environ.get(
+                              "BIGN_SCR_THRESHOLDS",
+                              "0.5,1.0,1.5,2.0").split(","))]
+            _p(f"big phase: screening series x{len(thresholds)}"
+               " (device plan auto, hd seeds)")
+            t0 = time.perf_counter()
+            series = ops.screening.ThresholdSeriesScreener(
+                coords, fe, thresholds, row_block=ROW_BLOCK,
+                col_block=COL_BLOCK, hd_neighbors=(nn[2], nn[3]))
+            t_build = time.perf_counter() - t0
+            threading.Thread(target=series.precompile, args=(md2_big,),
+                             daemon=True).start()
+            from concurrent.futures import ThreadPoolExecutor
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [series.step_submit(k, md2_big, pool)
+                        for k in range(len(thresholds))]
+                last = futs[-1].result()
+            t_series = time.perf_counter() - t0
+            n_states = int(len(np.unique(last[last > 0])))
+            steps = [
+                {k2: (round(v, 4) if isinstance(v, float) else v)
+                 for k2, v in st.items() if k2 != "tile_pairs"}
+                for st in series.per_step_stats]
+            t_plan_sum = sum(st.get("t_plan", 0.0)
+                             for st in series.per_step_stats)
+            result["big_screening"] = {
+                "thresholds": [float(t) for t in thresholds],
+                "n_below": [int(series.n_below_per_band[k])
+                            for k in range(len(thresholds))],
+                "build_seconds": round(t_build, 3),
+                "series_seconds": round(t_series, 3),
+                "plan_seconds_sum": round(t_plan_sum, 3),
+                "plan_frac_of_wall": round(
+                    t_plan_sum / max(t_series, 1e-9), 4),
+                "states_at_last": n_states,
+                "per_step": steps,
+            }
+            result["stages"]["big_screening_series"] = round(
+                t_series, 3)
 
     result["notes"] = (
         "wall times are single cold runs through the remote tunnel: the "

@@ -386,6 +386,29 @@ def main(args, header_comment, comments_map):
                     coords, free_energy, thresholds_early, mesh=mesh)
             except ValueError:
                 pass  # the original parse site reports the usage error
+        if series_fut is not None and _precompile_on():
+            # warm the screening fixpoint compiles DURING the NN stage:
+            # sigma2 is estimated from the prefetched band phase's nh
+            # bounds (~1% of the real value -- close enough that the
+            # step programs quantize to the same compiled shapes) and
+            # the warm is compile-only (jit.lower().compile(): zero
+            # device execution, so NN's own device work is untouched).
+            # The post-NN precompile below still runs and re-warms any
+            # shape the estimate missed. Cold-1M ledger: ~8s of
+            # screening compiles were the last non-overlapped compiles.
+            import threading
+
+            def _early_screen_warm(fut=series_fut):
+                try:
+                    est = engine.band_sigma2_estimate()
+                    if est is None:
+                        return
+                    fut.result().precompile(np.float32(4.0 * est),
+                                            compile_only=True)
+                except Exception:
+                    pass  # best-effort: a miss only delays a compile
+            threading.Thread(target=_early_screen_warm,
+                             daemon=True).start()
         with stage_timer("nearest neighbors"):
             nh = engine.nearest_neighbors(free_energy)
         _log_substages("nn")

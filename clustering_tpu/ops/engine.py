@@ -335,6 +335,20 @@ def _skip_frac(d2b, thresh2):
     return (d2b > thresh2).mean()
 
 
+@jax.jit
+def _band_nh_mean(stacked_d):
+    """Mean of the finite per-frame nh distance bounds of a band-phase
+    result -- an estimate of compute_sigma2 over the true NN distances
+    (the band bound equals the true nh d2 for every frame whose nearest
+    neighbor lies within the sort band, i.e. almost all of them on
+    spatially-sorted data; pads and band-less frames carry inf and are
+    masked)."""
+    v = stacked_d[0]
+    ok = jnp.isfinite(v)
+    s = jnp.sum(jnp.where(ok, v, jnp.float32(0.0)))
+    return s / jnp.maximum(jnp.sum(ok).astype(jnp.float32), 1.0)
+
+
 @functools.partial(jax.jit, static_argnames=("row_block",))
 def _row_ub(stacked_d, perm, row_block):
     """Per-row-block upper bounds from a stacked (2, N_pad) band result:
@@ -778,11 +792,26 @@ class DensityEngine:
                 if key in self._orders:
                     return self._orders[key]
                 best, best_frac = None, -1.0
+                # per-order walls for the device-plan breakdown: pad =
+                # the host sort order + padded layout, d2b = the bbox
+                # matrix dispatch (+ coords upload on a cache miss),
+                # frac = the scalar readback that forces it all
+                prof = {}
                 for name in ("dim0", "morton"):
+                    t_p = time.perf_counter()
+                    self._padded(name)
+                    prof[f"{name}_pad"] = time.perf_counter() - t_p
+                    t_p = time.perf_counter()
+                    d2b = self._d2b_dev(name)
+                    prof[f"{name}_d2b_dispatch"] = time.perf_counter() - t_p
+                    t_p = time.perf_counter()
                     frac = float(self._get(_skip_frac(
-                        self._d2b_dev(name), jnp.float32(thresh2))))
+                        d2b, jnp.float32(thresh2))))
+                    prof[f"{name}_frac_fetch"] = time.perf_counter() - t_p
                     if frac > best_frac:
                         best, best_frac = name, frac
+                self._best_sort_prof = {k: round(v, 3)
+                                        for k, v in prof.items()}
                 self._orders[key] = best
         return self._orders[key]
 
@@ -907,8 +936,23 @@ class DensityEngine:
         the host plan moved ~270MB of packed planes + built 537MB masks
         (BIGN_r03 big_pops 1027s); this path replaces all of it."""
         from . import pallas_kernels as pk
+        # plan sub-stage walls (VERDICT r4 item 6: the 62s device t_plan
+        # at 16M shipped as one opaque number). Each segment ends at a
+        # host sync or covers pure dispatch, so the deltas are real:
+        # best_sort = host sort orders + padded layouts + device bbox
+        # matrices + the two skip-fraction readbacks (per-order detail in
+        # plan_best_sort_parts), window_counts = mask dispatches + the
+        # (W,) count fetch (absorbs all queued device plan work),
+        # tile_lists = the per-window nonzero/rmask dispatches (async;
+        # any residue here is compile time for count-dependent shapes).
+        plan_parts = {}
+        t_seg = time.perf_counter()
         name = self._best_sort(r_max2)
+        plan_parts["t_best_sort"] = time.perf_counter() - t_seg
+        if getattr(self, "_best_sort_prof", None):
+            plan_parts["plan_best_sort_parts"] = self._best_sort_prof
         order, _ = self._padded(name)
+        t_seg = time.perf_counter()
         thresh2s = jnp.asarray(
             [r_max2] + [np.float32(r) * np.float32(r) for r in radii],
             dtype=jnp.float32)
@@ -921,6 +965,8 @@ class DensityEngine:
                            // (self.col_block * 4 * len(radii))), 1), ncb)
         counts_w = self._get(
             pruning.window_counts_device(active_dev, span))
+        plan_parts["t_window_counts"] = time.perf_counter() - t_seg
+        t_seg = time.perf_counter()
         n_tiles = int(counts_w.sum())
         stats = {
             "computed_tiles": n_tiles,
@@ -930,8 +976,6 @@ class DensityEngine:
         }
         self.last_stats["populations"] = stats
         self._log_stats("pops", stats)
-        stats["t_plan"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
         windows = []
         for w, base in enumerate(range(0, ncb, span)):
             c = int(counts_w[w])
@@ -943,6 +987,10 @@ class DensityEngine:
             rm_st = pruning.rmask_gather_device(planes_dev[1:], ti_st,
                                                 tj_st)
             windows.append((base, width, ti_st, tj_st, rm_st))
+        plan_parts["t_tile_lists"] = time.perf_counter() - t_seg
+        stats["t_plan"] = time.perf_counter() - t0
+        stats["plan_parts"] = plan_parts
+        t0 = time.perf_counter()
         acc = pk.pops_tiles_bidir_windows(
             self._device(name), radii2, np.int32(self.n), windows,
             row_block=self.row_block, col_block=self.col_block)
@@ -1054,9 +1102,23 @@ class DensityEngine:
             row_host = self._get(
                 acc[ridx][self._ub_perm(name, "morton")])
             stats["band_row_refetched"] = True
-        if row_host is not None:
-            self._band_prefetch_start(row_host, stats)
-        return np.asarray(buf)
+        if row_host is None:
+            return np.asarray(buf)
+        # gate the prefetch thread's host work (fe compute, layout
+        # upload, band-program tracing) behind the counts download: on
+        # this single-core host the thread contended with the transfer
+        # handling and taxed pops ~0.27s to save NN 0.49s
+        # (PREFETCH_AB_r04). Deferred, the thread's work overlaps the
+        # pops host finish + the caller's inter-stage work (fe compute,
+        # file writes) instead -- the device is idle during the download
+        # either way, so the band kernels still run well before the NN
+        # stage's selection fetch needs them.
+        gate = threading.Event()
+        self._band_prefetch_start(row_host, stats, gate=gate)
+        try:
+            return np.asarray(buf)
+        finally:
+            gate.set()
 
     def _pops_finish(self, counts_padded, order, radii):
         """Host postlude of a populations run: scatter-unsort the padded
@@ -1462,22 +1524,25 @@ class DensityEngine:
         pf["layouts"] = layouts
         self._band_prefetch = pf
 
-    def _band_prefetch_start(self, row_host, stats):
+    def _band_prefetch_start(self, row_host, stats, gate=None):
         """Second half: compute free energies on host EXACTLY as
         ops.free_energies does (same int -> fp32 casts, same np.log, so
         the result is bit-equal to free_energies(pops)[morton_order])
         and dispatch the whole band phase -- on a daemon thread, so the
-        host fe + layout uploads + dispatches overlap the pops counts
-        download (already streaming: its D2H was requested first) and
-        never sit on the pops wall. nearest_neighbors joins the thread
-        before consuming the stash. Measured without the reorder
-        (PREFETCH_AB first pass): the counts download queued behind the
-        band kernel and the serial host fe cost pops +0.8s -- more than
-        the NN stage saved."""
+        host fe + layout uploads + dispatches never sit on the pops
+        wall. nearest_neighbors joins the thread before consuming the
+        stash. ``gate`` (an Event) defers the thread's work until the
+        caller's counts download has landed: concurrent host work taxed
+        the single-core download loop ~0.27s (PREFETCH_AB_r04), while
+        the deferred thread overlaps the pops host finish and the
+        caller's inter-stage work instead. The wait is bounded so an
+        aborted download can never hang the consumer's join."""
         n = self.n
 
         def work():
             try:
+                if gate is not None:
+                    gate.wait(timeout=600.0)
                 counts = row_host[:n]
                 # mirror ops.free_energies bit-for-bit (density.py):
                 # fp32 max, fp32 division, fp32 log -- int32 counts cast
@@ -1496,6 +1561,29 @@ class DensityEngine:
         th.start()
         self._band_prefetch_thread = th
         stats["nn_band_prefetch"] = True
+
+    def band_sigma2_estimate(self, timeout=60.0):
+        """Estimate of ``compute_sigma2`` (mean squared NN distance) from
+        the prefetched NN band phase's per-frame nh upper bounds, WITHOUT
+        consuming the prefetch stash. Available between populations(...,
+        nn_band_radius=r) and the nearest_neighbors call; returns None
+        when no stash exists. The estimate is exact for every frame whose
+        true nearest neighbor lies inside the sort band (almost all, on
+        spatially-sorted data), so it lands within ~1% of the real
+        sigma2 -- close enough that screening tile counts quantize to
+        the same compiled shapes (the caller uses it to warm the
+        screening fixpoint compiles during the NN stage)."""
+        th = getattr(self, "_band_prefetch_thread", None)
+        if th is not None:
+            th.join(timeout)
+        pf = self._band_prefetch
+        if pf is None:
+            return None
+        try:
+            val = float(self._get(_band_nh_mean(pf["out1"][0])))
+        except Exception:
+            return None
+        return val if np.isfinite(val) and val > 0.0 else None
 
     def _nn_dispatch_mesh(self, coords_dev, fe_dev, oid_dev, active,
                           bidir):

@@ -1161,7 +1161,7 @@ class ThresholdSeriesScreener:
                         .astype(np.int32))
         self._hd_d = hd_d[self.order]
 
-    def precompile(self, max_dist2):
+    def precompile(self, max_dist2, compile_only=False):
         """Best-effort warm of every step's fixpoint program.
 
         Each step's tile-list shapes, union size and partition windows
@@ -1172,8 +1172,15 @@ class ThresholdSeriesScreener:
         otherwise costs ~3-5s on the cold CLI path). The warm call runs
         the real fixpoint from identity labels and discards the result;
         device time is the step's own (dirty-gated) sweep cost. Shared
-        plan caches are guarded by the engine's plan lock. Never
-        raises."""
+        plan caches are guarded by the engine's plan lock.
+
+        ``compile_only`` warms through jit.lower().compile() instead of
+        executing -- zero device time, so the CLI can run this DURING
+        the NN stage with an ESTIMATED max_dist2 (the band phase's nh
+        bound mean, within ~1% of the real sigma2): the fixpoint
+        programs are keyed on quantized shapes, not the threshold value,
+        so a near-miss estimate still hits the same compiled programs
+        when the real steps run. Never raises."""
         try:
             from .pallas_kernels import DISPATCH_CHUNK_GROUP
             eng = self.engine
@@ -1187,11 +1194,16 @@ class ThresholdSeriesScreener:
                 if nb <= row_lo:
                     continue
                 union = eng._union_size(nb)
+                if union < eng.n_pad:
+                    # the postlude's prefix-slice download program
+                    # (labels_dev[:union]); one per distinct ladder rung
+                    jnp.arange(eng.n_pad, dtype=jnp.int32)[:union]
                 if not eng._bidir_ok(union):
                     continue
                 if eng._device_plan_on():
                     self._precompile_device_step(eng, row_lo, nb,
-                                                 max_dist2, union, warmed)
+                                                 max_dist2, union, warmed,
+                                                 compile_only=compile_only)
                     continue
                 tiles = eng._tile_list(row_lo, nb, max_dist2,
                                        triangular=True)
@@ -1199,25 +1211,29 @@ class ThresholdSeriesScreener:
                     continue
                 parts, windows = eng._bidir_partitions(tiles[0], tiles[1],
                                                        union)
-                _sparse_fixpoint_bidir(
-                    eng._coords_dev,
-                    jnp.arange(eng.n_pad, dtype=jnp.int32),
-                    jnp.int32(nb), jnp.float32(max_dist2), parts,
-                    row_block=eng.row_block, col_block=eng.col_block,
-                    union_size=union, windows=windows)
+                args = (eng._coords_dev,
+                        jnp.arange(eng.n_pad, dtype=jnp.int32),
+                        jnp.int32(nb), jnp.float32(max_dist2), parts)
+                kw = dict(row_block=eng.row_block, col_block=eng.col_block,
+                          union_size=union, windows=windows)
+                if compile_only:
+                    _sparse_fixpoint_bidir.lower(*args, **kw).compile()
+                else:
+                    _sparse_fixpoint_bidir(*args, **kw)
         except Exception:  # warm miss only delays a compile
             pass
 
     @staticmethod
     def _precompile_device_step(eng, row_lo, nb, max_dist2, union,
-                                warmed):
+                                warmed, compile_only=False):
         """Warm one device-planned step: the planning programs run for
         real (and their window plans land in the engine's shared
         WIN_CACHE for the actual step); the small-list path warms by
         running its fixpoint from identity labels, the host-groups path
         warms each distinct group program with ALL-CLEAN dirty flags
         (the kernel skips every tile, so the device cost is ~zero --
-        the engine's device-plan precompile uses the same trick)."""
+        the engine's device-plan precompile uses the same trick).
+        ``compile_only`` swaps every execution for lower().compile()."""
         from .pallas_kernels import DISPATCH_CHUNK_GROUP
         win_parts = eng._bidir_windows(row_lo, nb, max_dist2, union)
         if win_parts is None:
@@ -1228,12 +1244,15 @@ class ThresholdSeriesScreener:
                           for _, _, ti_p, tj_p, fo_p in win_parts)
             windows = tuple((base, span)
                             for base, span, *_ in win_parts)
-            _sparse_fixpoint_bidir(
-                eng._coords_dev,
-                jnp.arange(eng.n_pad, dtype=jnp.int32),
-                jnp.int32(nb), jnp.float32(max_dist2), parts,
-                row_block=eng.row_block, col_block=eng.col_block,
-                union_size=union, windows=windows)
+            args = (eng._coords_dev,
+                    jnp.arange(eng.n_pad, dtype=jnp.int32),
+                    jnp.int32(nb), jnp.float32(max_dist2), parts)
+            kw = dict(row_block=eng.row_block, col_block=eng.col_block,
+                      union_size=union, windows=windows)
+            if compile_only:
+                _sparse_fixpoint_bidir.lower(*args, **kw).compile()
+            else:
+                _sparse_fixpoint_bidir(*args, **kw)
             return
         ncb = eng.n_pad // eng.col_block
         nrb = eng.n_pad // eng.row_block
@@ -1247,17 +1266,26 @@ class ThresholdSeriesScreener:
                 if key in warmed:
                     continue
                 warmed.add(key)
-                _swept_count_bidir(fo_g, ti_g, tj_g, zc, zr)
-                lab = _sweep_group_bidir(
-                    eng._coords_dev, lab, jnp.int32(nb),
-                    jnp.float32(max_dist2), ti_g, tj_g, zc, zr, base,
-                    span=span, union_size=union,
-                    row_block=eng.row_block, col_block=eng.col_block)
+                args = (eng._coords_dev, lab, jnp.int32(nb),
+                        jnp.float32(max_dist2), ti_g, tj_g, zc, zr, base)
+                kw = dict(span=span, union_size=union,
+                          row_block=eng.row_block,
+                          col_block=eng.col_block)
+                if compile_only:
+                    _sweep_group_bidir.lower(*args, **kw).compile()
+                else:
+                    _swept_count_bidir(fo_g, ti_g, tj_g, zc, zr)
+                    lab = _sweep_group_bidir(*args, **kw)
         if ("union", union) not in warmed:
             warmed.add(("union", union))
-            _union_step_bidir(lab, lab, union_size=union,
-                              col_block=eng.col_block,
-                              row_block=eng.row_block)
+            if compile_only:
+                _union_step_bidir.lower(
+                    lab, lab, union_size=union, col_block=eng.col_block,
+                    row_block=eng.row_block).compile()
+            else:
+                _union_step_bidir(lab, lab, union_size=union,
+                                  col_block=eng.col_block,
+                                  row_block=eng.row_block)
 
     def _seed_vals(self, lo, hi, max_dist2):
         """Label seeds for newly-admitted positions [lo, hi): the frame's
@@ -1392,7 +1420,17 @@ class ThresholdSeriesScreener:
             st["swept_tiles"] = float(st["swept_tiles"])
             st["t_wait"] = time.perf_counter() - t1
             t1 = time.perf_counter()
-        final = self.engine._fetch(labels_dev)[:self.n]
+        # only labels[:nb] are consumed below: download just the admitted
+        # prefix (quantized to the union-size ladder so a handful of
+        # compiled slice programs serve the whole series) -- the full
+        # (N_pad,) fetch cost 64MB per step at 16M frames even for
+        # near-empty early thresholds
+        fetch_len = (self.engine._union_size(max(nb, 1))
+                     if self.engine.mesh is None else self.engine.n_pad)
+        if fetch_len < self.engine.n_pad:
+            final = np.asarray(jax.device_get(labels_dev[:fetch_len]))
+        else:
+            final = self.engine._fetch(labels_dev)
         t2 = time.perf_counter()
         # normalize names by each component's minimal FE-sorted rank:
         # walk the admitted positions in FE-ascending order (precomputed

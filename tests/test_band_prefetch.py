@@ -155,3 +155,26 @@ def test_prefetch_with_tiered_speculation(blobs, monkeypatch):
     nn_plain = eng_plain.nearest_neighbors(fe)
     for a, b in zip(nn_pf, nn_plain):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_band_sigma2_estimate(blobs):
+    """band_sigma2_estimate (the during-NN screening-warm input) must
+    approximate compute_sigma2 over the true NN distances WITHOUT
+    consuming the prefetch stash; no stash -> None."""
+    r = 0.4
+    eng_pf, eng_plain = _engines(blobs)
+    pops = eng_pf.populations([r], nn_band_radius=r)[r]
+    est = eng_pf.band_sigma2_estimate()
+    assert est is not None and est > 0.0
+    assert eng_pf._band_prefetch is not None  # not consumed
+    fe = ops.free_energies(pops)
+    nn = eng_pf.nearest_neighbors(fe)
+    assert eng_pf.last_stats["nn"].get("band_prefetched") is True
+    true = ops.neighbors.compute_sigma2(nn[1])
+    # the estimate is an upper-bound-mean heuristic: tight at production
+    # N (band-miss frames are rare on spatially-sorted data; measured on
+    # TPU at 2^20) but loose on a 760-frame toy whose band covers only
+    # 64 Morton positions -- pin the sanity envelope, not the accuracy
+    assert 0.3 * true < est < 3.0 * true
+    eng_plain.populations([r])  # no nn_band_radius -> no stash
+    assert eng_plain.band_sigma2_estimate() is None

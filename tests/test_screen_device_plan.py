@@ -166,3 +166,43 @@ def test_precompile_device_plan_host_groups(blobs, fe, monkeypatch):
                for st in series.per_step_stats)
     want, _ = _run_series(blobs, fe, monkeypatch, "0")
     np.testing.assert_array_equal(prev, want[-1])
+
+
+@pytest.mark.parametrize("plan", ["0", "1"])
+def test_precompile_compile_only(blobs, fe, monkeypatch, plan):
+    """compile_only precompile (the during-NN early warm, run with an
+    ESTIMATED max_dist2) must never execute or perturb anything: results
+    stay bit-equal to the host-planned reference run, even when the
+    estimate misses the real threshold slightly."""
+    monkeypatch.setenv("CLUSTERING_TPU_DEVICE_PLAN", plan)
+    series = ops.screening.ThresholdSeriesScreener(
+        blobs, fe, [np.float32(t) for t in THRESHOLDS],
+        row_block=RB, col_block=CB, backend="pallas")
+    series.precompile(np.float32(MD2 * 1.07), compile_only=True)
+    series.precompile(MD2, compile_only=True)
+    prev = None
+    for k in range(len(THRESHOLDS)):
+        prev = series.step(prev, k, MD2)
+    want, _ = _run_series(blobs, fe, monkeypatch, "0")
+    np.testing.assert_array_equal(prev, want[-1])
+
+
+def test_precompile_compile_only_host_groups(blobs, fe, monkeypatch):
+    """compile_only warm of the host-groups programs (lower().compile()
+    on the group/union programs) must not perturb results."""
+    from clustering_tpu.ops import pallas_kernels as pk
+    monkeypatch.setattr(pk, "DISPATCH_CHUNK_GROUP", 1)
+    monkeypatch.setattr(ops.screening.ScreeningEngine,
+                        "BIDIR_UNION_VMEM", CB * 4 * 8)
+    monkeypatch.setenv("CLUSTERING_TPU_DEVICE_PLAN", "1")
+    series = ops.screening.ThresholdSeriesScreener(
+        blobs, fe, [np.float32(t) for t in THRESHOLDS],
+        row_block=RB, col_block=CB, backend="pallas")
+    series.precompile(MD2, compile_only=True)
+    prev = None
+    for k in range(len(THRESHOLDS)):
+        prev = series.step(prev, k, MD2)
+    assert any(st.get("driver") == "host-groups"
+               for st in series.per_step_stats)
+    want, _ = _run_series(blobs, fe, monkeypatch, "0")
+    np.testing.assert_array_equal(prev, want[-1])
