@@ -349,6 +349,27 @@ def _band_nh_mean(stacked_d):
     return s / jnp.maximum(jnp.sum(ok).astype(jnp.float32), 1.0)
 
 
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _pad_fe(fe_n, n_pad):
+    """(n,) f32 free energies -> (1, N_pad) padded with +inf, on device:
+    the prefetch thread's host np.full + copy passes cost ~50ms in-situ
+    at 1M frames; here the host only enqueues the (n,) upload."""
+    n = fe_n.shape[0]
+    return jnp.concatenate(
+        [fe_n, jnp.full((n_pad - n,), jnp.inf, jnp.float32)]
+    ).reshape(1, n_pad)
+
+
+@jax.jit
+def _gather_fe(fe_2d, perm):
+    """Re-lay a padded (1, N_pad) fe vector to another frame order via a
+    cached device permutation (position p of the target order -> source
+    position; pads map to pads, so inf padding is preserved). Bit-exact
+    gather -- replaces the thread's host permutation pass + second
+    upload."""
+    return fe_2d[0][perm].reshape(1, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("row_block",))
 def _row_ub(stacked_d, perm, row_block):
     """Per-row-block upper bounds from a stacked (2, N_pad) band result:
@@ -859,8 +880,11 @@ class DensityEngine:
         self._warm_pops_download(len(radii))
         r_max2 = np.float32(max(radii)) * np.float32(max(radii))
         bidir = prune and self._pops_bidir_ok(len(radii))
-        if (prune and bidir and self.mesh is None
-                and self._device_plan_on()):
+        if prune and bidir and self._device_plan_on():
+            # device planning runs under a mesh too (round 5): masks and
+            # tile lists stay on device, the per-window lists are dealt
+            # round-robin over the chips there, and only the (W,) window
+            # counts cross to the host
             return self._populations_device_plan(radii, radii2, r_max2,
                                                  nn_band_radius, t0)
         planes = None
@@ -976,14 +1000,29 @@ class DensityEngine:
         }
         self.last_stats["populations"] = stats
         self._log_stats("pops", stats)
+        n_dev = 0
+        if self.mesh is not None:
+            from ..parallel.mesh import mesh_size
+            n_dev = mesh_size(self.mesh)
+            stats["mode"] = "bidir-mesh"
+            stats["mesh_devices"] = n_dev
         windows = []
         for w, base in enumerate(range(0, ncb, span)):
             c = int(counts_w[w])
             if c == 0:
                 continue
             width = min(span, ncb - base)
-            ti_st, tj_st = pruning.tile_list_device(
-                active_dev, c, pad_mode="noop", base=base, width=width)
+            if n_dev:
+                # per-window round-robin deal over the chips, ON DEVICE:
+                # the host never materializes the O(tiles) list under a
+                # mesh either (the per-device splits reshape from the
+                # same row-major nonzero the single-chip plan uses)
+                ti_st, tj_st, _ = pruning.tile_list_device_split(
+                    active_dev, c, n_dev, pad_mode="noop", base=base,
+                    width=width)
+            else:
+                ti_st, tj_st = pruning.tile_list_device(
+                    active_dev, c, pad_mode="noop", base=base, width=width)
             rm_st = pruning.rmask_gather_device(planes_dev[1:], ti_st,
                                                 tj_st)
             windows.append((base, width, ti_st, tj_st, rm_st))
@@ -991,12 +1030,32 @@ class DensityEngine:
         stats["t_plan"] = time.perf_counter() - t0
         stats["plan_parts"] = plan_parts
         t0 = time.perf_counter()
-        acc = pk.pops_tiles_bidir_windows(
-            self._device(name), radii2, np.int32(self.n), windows,
-            row_block=self.row_block, col_block=self.col_block)
+        if n_dev:
+            # mesh twin of pops_tiles_bidir_windows: each window's split
+            # chunks sweep under shard_map, rows+placed cols psum over
+            # ICI inside the program, windows compose on device and the
+            # diagonal is added once (src/density_clustering_cuda.cu:
+            # 139-182 runs the full algorithm per GPU the same way)
+            from ..parallel import sharded
+            acc = None
+            for base, width, ti_st, tj_st, rm_st in windows:
+                rows, cols = sharded._pops_sharded_bidir_window(
+                    self._device(name), radii2, jnp.int32(self.n),
+                    ti_st, tj_st, rm_st, jnp.int32(base), self.mesh,
+                    row_block=self.row_block, col_block=self.col_block,
+                    col_span=width)
+                part = rows + pk._place_cols_sum(
+                    cols, base * self.col_block, self.n_pad)
+                acc = part if acc is None else acc + part
+            if acc is None:
+                acc = jnp.zeros((len(radii), self.n_pad), jnp.int32)
+            acc = pk._add_self_count(acc, jnp.int32(self.n))
+        else:
+            acc = pk.pops_tiles_bidir_windows(
+                self._device(name), radii2, np.int32(self.n), windows,
+                row_block=self.row_block, col_block=self.col_block)
         band = None
-        if (nn_band_radius in radii
-                and os.environ.get("CLUSTERING_TPU_NN_PREFETCH") != "0"):
+        if nn_band_radius in radii and self._band_prefetch_ok():
             band = (radii.index(nn_band_radius), name)
         counts_host = self._pops_download(acc, stats, t0, band=band)
         stats["t_sweep"] = time.perf_counter() - t0
@@ -1314,6 +1373,18 @@ class DensityEngine:
             return True
         return self.n_pad >= self.DEVICE_PLAN_MIN_FRAMES
 
+    def _band_prefetch_ok(self):
+        """The NN band prefetch dispatches device programs from a daemon
+        thread; under a mesh those are COLLECTIVE programs, and
+        multi-controller (DCN) runs need a deterministic cross-process
+        dispatch order -- a thread racing the main thread's collectives
+        can interleave differently per process and deadlock. Prefetch is
+        therefore on for any single-process topology (one chip, or a
+        whole single-host mesh) and off across processes."""
+        if os.environ.get("CLUSTERING_TPU_NN_PREFETCH") == "0":
+            return False
+        return self.mesh is None or jax.process_count() == 1
+
     def _nn_span(self):
         """Column-window width (in col blocks) of the bidirectional NN
         sweeps' VMEM accumulator partitioning -- must mirror
@@ -1338,20 +1409,60 @@ class DensityEngine:
             windows.append((base, width, tiles[0], tiles[1]))
         return windows
 
-    def _nn_tiered_run_dev(self, handles, closure_dev, counts_w, span):
-        """Device-planned twin of _nn_tiered_bidir_finish's run()."""
+    def _nn_windows_sweep(self, coords_dev, fe_dev, oid_dev, mask_dev,
+                          counts_w, span):
+        """Sweep a device-planned bidirectional NN closure mask by column
+        windows. Single chip batches every window's device tile chunks
+        into one nn_tiles_bidir_windows dispatch; under a mesh each
+        window's row-major tile list is round-robin dealt over the chips
+        ON DEVICE (pruning.tile_list_device_split -- no O(tiles) host
+        list) and swept through the shard_map windowed kernel, partials
+        folding through the idempotent lexicographic min exactly like
+        _nn_dispatch_mesh. Returns stacked ((2, N_pad) d, (2, N_pad) j)
+        or None when the mask is empty."""
         from . import pallas_kernels as pk
-        rows_t, fe_rows, oid_rows, perm, _ = handles
-        n, n_pad = self.n, self.n_pad
-
-        def run():
-            windows = self._nn_windows_dev(closure_dev, counts_w, span)
+        if self.mesh is None:
+            windows = self._nn_windows_dev(mask_dev, counts_w, span)
             if not windows:
                 return None
-            out = pk.nn_tiles_bidir_windows(
-                rows_t, fe_rows.reshape(1, n_pad),
-                oid_rows.reshape(1, n_pad), np.int32(n), windows,
+            return pk.nn_tiles_bidir_windows(
+                coords_dev, fe_dev, oid_dev, np.int32(self.n), windows,
                 row_block=self.row_block, col_block=self.col_block)
+        from ..parallel import sharded
+        from ..parallel.mesh import mesh_size
+        n_dev = mesh_size(self.mesh)
+        ncb = self.n_pad // self.col_block
+        out = None
+        for w, base in enumerate(range(0, ncb, span)):
+            c = int(counts_w[w])
+            if c == 0:
+                continue
+            width = min(span, ncb - base)
+            ti_d, tj_d, _ = pruning.tile_list_device_split(
+                mask_dev, c, n_dev, pad_mode="repeat", base=base,
+                width=width)
+            od, oj, cd, cj = sharded._nn_sharded_bidir_window(
+                coords_dev, fe_dev, oid_dev, jnp.int32(self.n),
+                ti_d, tj_d, jnp.int32(base), self.mesh,
+                row_block=self.row_block, col_block=self.col_block,
+                col_span=width)
+            placed = pk._place_cols(cd, cj, base * self.col_block,
+                                    self.n_pad)
+            part = pk._lex_min2((od, oj), placed)
+            out = part if out is None else pk._lex_min2(out, part)
+        return out
+
+    def _nn_tiered_run_dev(self, handles, closure_dev, counts_w, span):
+        """Device-planned twin of _nn_tiered_bidir_finish's run()."""
+        rows_t, fe_rows, oid_rows, perm, _ = handles
+        n_pad = self.n_pad
+
+        def run():
+            out = self._nn_windows_sweep(
+                rows_t, fe_rows.reshape(1, n_pad),
+                oid_rows.reshape(1, n_pad), closure_dev, counts_w, span)
+            if out is None:
+                return None
             return _unpermute_cols(out[1], perm)
 
         return run
@@ -1393,7 +1504,7 @@ class DensityEngine:
         rb, cb = self.row_block, self.col_block
         nrb, ncb = n_pad // rb, n_pad // cb
         _, _, fe_dev, oid_dev = layout(order_name)
-        dev_plan = self._device_plan_on() and nn_bidir and self.mesh is None
+        dev_plan = self._device_plan_on() and nn_bidir
         if dev_plan:
             band_active_dev = pruning.band_mask_device(
                 nrb, ncb, rb, cb, band_blocks * cb)
@@ -1403,11 +1514,9 @@ class DensityEngine:
             wc_band = self._get(
                 pruning.window_counts_device(band_eff_dev, span))
             band_tiles = int(wc_band.sum())
-            out1 = pk.nn_tiles_bidir_windows(
-                self._device(order_name), fe_dev, oid_dev,
-                np.int32(self.n),
-                self._nn_windows_dev(band_eff_dev, wc_band, span),
-                row_block=rb, col_block=cb)
+            out1 = self._nn_windows_sweep(
+                self._device(order_name), fe_dev, oid_dev, band_eff_dev,
+                wc_band, span)
             band_active = band_eff = None
         else:
             # phase 1: banded pass over sort-neighbors -> per-frame
@@ -1493,26 +1602,28 @@ class DensityEngine:
         admissible)."""
         order_name = "morton"
         n, n_pad = self.n, self.n_pad
-        if (self.backend != "pallas" or self.mesh is not None
+        if (self.backend != "pallas"
                 or n_pad // self.col_block <= 2 * band_blocks
-                or os.environ.get("CLUSTERING_TPU_NN_PREFETCH") == "0"):
+                or not self._band_prefetch_ok()):
             return
         layouts = {}
+        # one (n,) upload; the inf padding and the dim0 re-layout run on
+        # device (_pad_fe / _gather_fe are pure data movement, so the
+        # stash's fe stays bit-equal to the consumer's host-built
+        # layouts). The thread's former host np.full + permutation
+        # passes plus the second (1, N_pad) upload were most of its
+        # single-core footprint (~0.2-0.3s in-situ at 1M frames) --
+        # shrinking them is what makes the prefetch near-free for pops
+        # (PREFETCH_AB_r04/r05 measured the on-arm tax).
+        fe_band_dev = _pad_fe(self._put(fe_sorted), n_pad)
 
         def layout(name):
             if name not in layouts:
                 order, padded = self._padded(name)
-                fe_padded = np.full(n_pad, np.inf, dtype=np.float32)
-                if name == order_name:
-                    fe_padded[:n] = fe_sorted
-                else:
-                    # re-lay-out through the cached host permutation
-                    # (position p of ``name`` order -> band-order
-                    # position of the same frame)
-                    perm = self._host_perm(order_name, name)
-                    fe_padded[:n] = fe_sorted[perm[:n]]
-                layouts[name] = (order, padded,
-                                 self._put(fe_padded.reshape(1, n_pad)),
+                fe_dev = (fe_band_dev if name == order_name else
+                          _gather_fe(fe_band_dev,
+                                     self._ub_perm(order_name, name)))
+                layouts[name] = (order, padded, fe_dev,
                                  self._oid_dev(name))
             return layouts[name]
 
@@ -1960,12 +2071,9 @@ class DensityEngine:
                 else:
                     stats["phase2_tiles"] = block_tiles
                     stats["mode"] = "block-bound"
-                    windows = self._nn_windows_dev(mask_dev, counts_w,
-                                                   span)
-                    out = (pk.nn_tiles_bidir_windows(
+                    out = self._nn_windows_sweep(
                         self._device(order_name), fe_dev, oid_dev,
-                        np.int32(n), windows, row_block=self.row_block,
-                        col_block=self.col_block) if windows else None)
+                        mask_dev, counts_w, span)
                     if order_name == band_name and out is not None:
                         out = _lex_merge(band_out[0], band_out[1],
                                          out[0], out[1])

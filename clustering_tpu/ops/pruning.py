@@ -546,6 +546,43 @@ def tile_list_device(active_dev, n_tiles, pad_mode="repeat",
     return ti.reshape(n_chunks, bucket), tj.reshape(n_chunks, bucket)
 
 
+def tile_list_device_split(active_dev, n_tiles, n_dev, pad_mode="repeat",
+                           max_entries=MAX_TILE_ENTRIES, base=0,
+                           width=None):
+    """Device twin of split_tiles_balanced over an (optional) column
+    window: the row-major window tile list is round-robin dealt over
+    ``n_dev`` devices ON DEVICE (element k -> device k % n_dev, the same
+    assignment as the host splitter) and stacked to a common (n_dev,
+    n_chunks, bucket) shape -- the host never materializes the O(tiles)
+    list. Each device's subsequence stays row-major sorted; repeat pads
+    copy the window's LAST real tile (in-window, idempotent under the
+    min-merge kernels -- devices dealt zero real tiles are all-pad),
+    noop pads carry tj = -1. The bucket policy matches the host splitter
+    (sized by the longest per-device share). Returns (ti_dev, tj_dev,
+    counts) with counts the per-device real tile counts (host int64,
+    derived from ``n_tiles`` alone), or None when empty."""
+    if n_tiles == 0:
+        return None
+    longest = -(-n_tiles // n_dev)
+    per_chunk = min(max(longest, 1), max_entries)
+    bucket = 1 << int(np.ceil(np.log2(max(per_chunk, 1024))))
+    bucket = min(bucket, max_entries)
+    n_chunks = -(-longest // bucket)
+    total = n_dev * n_chunks * bucket
+    ti, tj = _tile_list_dev_call(active_dev, jnp.int32(n_tiles), total,
+                                 pad_mode, jnp.int32(base), width)
+    # flat element k lands at reshape row k // n_dev, column k % n_dev:
+    # transposing gives device d the strided subsequence k = d (mod
+    # n_dev) in original (row-major) order
+    ti_dev = ti.reshape(n_chunks * bucket, n_dev).T.reshape(
+        n_dev, n_chunks, bucket)
+    tj_dev = tj.reshape(n_chunks * bucket, n_dev).T.reshape(
+        n_dev, n_chunks, bucket)
+    counts = np.asarray([-(-(n_tiles - d) // n_dev) if d < n_tiles else 0
+                         for d in range(n_dev)], dtype=np.int64)
+    return ti_dev, tj_dev, counts
+
+
 @jax.jit
 def rmask_gather_device(planes, ti, tj):
     """Per-tile radius bitmask gathered from (R, nrb, ncb) device planes

@@ -8,7 +8,7 @@ prefetch ON vs OFF (CLUSTERING_TPU_NN_PREFETCH=0, read at runtime --
 both variants share every compiled program), interleaved best-of-REPS,
 and verifies all four NN outputs and the pops counts are bit-identical.
 
-Writes PREFETCH_AB_r04.json. Usage: python nn_prefetch_ab.py
+Writes PREFETCH_AB_r05.json. Usage: python nn_prefetch_ab.py
 """
 
 import json
@@ -90,7 +90,7 @@ def main():
         "prefetch_hit_every_on_rep": all(r["prefetched"]
                                          for r in rows["on"]),
     }
-    with open("PREFETCH_AB_r04.json", "w") as f:
+    with open("PREFETCH_AB_r05.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 

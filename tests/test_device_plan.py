@@ -217,3 +217,63 @@ def test_engine_device_plan_forced_tiers(blobs, monkeypatch):
     nn_host = eng2.nearest_neighbors(fe, tier_qs=(0.5, 0.9))
     for a, b in zip(nn_dev, nn_host):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("pad_mode", ["repeat", "noop"])
+@pytest.mark.parametrize("n_dev", [3, 8])
+def test_tile_list_device_split_matches_host_splitter(pad_mode, n_dev):
+    """The device round-robin deal (element k -> device k % n_dev) must
+    hand every device exactly the host splitter's real-tile subsequence
+    in the same (n_dev, n_chunks, bucket) stacking; pads differ only in
+    VALUE (device split repeats the global last tile; pads are no-ops
+    for every consumer: noop tj=-1 skipped, repeat idempotent)."""
+    nrb, ncb = 48, 24
+    m = _rand_mask(nrb, ncb, 0.3, 17)
+    m[0, 0] = True
+    ti_f, tj_f = np.nonzero(m)
+    want = pruning.split_tiles_balanced(ti_f, tj_f, n_dev,
+                                        pad_mode=pad_mode,
+                                        max_entries=256)
+    got = pruning.tile_list_device_split(jnp.asarray(m), len(ti_f), n_dev,
+                                         pad_mode=pad_mode,
+                                         max_entries=256)
+    assert got[0].shape == want[0].shape
+    np.testing.assert_array_equal(want[2], got[2])
+    gi, gj = np.asarray(got[0]), np.asarray(got[1])
+    for d in range(n_dev):
+        c = int(want[2][d])
+        np.testing.assert_array_equal(gi[d].ravel()[:c],
+                                      want[0][d].ravel()[:c])
+        np.testing.assert_array_equal(gj[d].ravel()[:c],
+                                      want[1][d].ravel()[:c])
+        if pad_mode == "noop":
+            assert (gj[d].ravel()[c:] == -1).all()
+        else:
+            # repeat pads carry a REAL active tile (idempotent recompute)
+            for i, j in zip(gi[d].ravel()[c:], gj[d].ravel()[c:]):
+                assert m[i, j]
+
+
+def test_tile_list_device_split_window_stays_in_window():
+    """Windowed split lists: global tj inside [base*?, ...): every
+    real and repeat-pad entry must sit in the requested column window
+    (the windowed kernels' accumulator only spans it)."""
+    nrb, ncb, span = 48, 24, 7
+    m = _rand_mask(nrb, ncb, 0.25, 19)
+    m[:, 8] = True  # ensure the middle window is non-empty
+    cnt = np.asarray(pruning.window_counts_device(jnp.asarray(m), span))
+    base, width = span, min(span, ncb - span)
+    c = int(cnt[1])
+    got = pruning.tile_list_device_split(jnp.asarray(m), c, 5,
+                                         pad_mode="repeat", base=base,
+                                         width=width)
+    gj = np.asarray(got[1])
+    assert ((gj >= base) & (gj < base + width)).all()
+    # and the real entries reproduce the host window list round-robin
+    ti_f, tj_f = np.nonzero(m[:, base:base + width])
+    tj_f = tj_f + base
+    for d in range(5):
+        cd = int(got[2][d])
+        np.testing.assert_array_equal(np.asarray(got[0])[d].ravel()[:cd],
+                                      ti_f[d::5])
+        np.testing.assert_array_equal(gj[d].ravel()[:cd], tj_f[d::5])

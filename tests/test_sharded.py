@@ -465,3 +465,42 @@ def test_series_mesh_production_scale(mesh8, big_blobs, big_fe):
         c_s = single.step(c_s, k, max_dist2)
         c_m = meshed.step(c_m, k, max_dist2)
         np.testing.assert_array_equal(c_s, c_m, err_msg=f"threshold {k}")
+
+
+def test_engine_mesh_device_plan_bit_equal(mesh8, blobs, monkeypatch):
+    """Round-5 mesh unification: with device planning FORCED under the
+    mesh (CLUSTERING_TPU_DEVICE_PLAN=1), masks and per-window tile lists
+    stay on device and are round-robin dealt over the chips there
+    (pruning.tile_list_device_split) -- pops counts and NN indices must
+    equal the single-chip engine bit-for-bit, through forced multi-window
+    scratch caps. The reference's multi-GPU driver runs the full
+    algorithm per device the same way
+    (src/density_clustering_cuda.cu:139-182)."""
+    eng_cls = ops.engine.DensityEngine
+    radii = [0.3, 0.7]
+    single = eng_cls(blobs, row_block=8, col_block=16, backend="pallas")
+    want_p = single.populations(radii)
+    fe = ops.free_energies(want_p[0.3])
+    want_nn = single.nearest_neighbors(fe)
+
+    monkeypatch.setenv("CLUSTERING_TPU_DEVICE_PLAN", "1")
+    # tiny caps force >1 column window so the split windowed route runs
+    monkeypatch.setattr(eng_cls, "POPS_BIDIR_SCRATCH_CAP",
+                        16 * 4 * len(radii) * 2)
+    monkeypatch.setattr(eng_cls, "NN_BIDIR_SCRATCH_CAP", 16 * 16 * 2)
+    meshed = eng_cls(blobs, row_block=8, col_block=16,
+                     backend="pallas", mesh=mesh8)
+    got_p = meshed.populations(radii)
+    for r in radii:
+        np.testing.assert_array_equal(want_p[r], got_p[r])
+    st = meshed.last_stats["populations"]
+    assert st["plan"] == "device" and st["mode"] == "bidir-mesh", st
+    assert st["mesh_devices"] == 8
+
+    got_nn = meshed.nearest_neighbors(fe, band_blocks=1)
+    np.testing.assert_array_equal(want_nn[0], got_nn[0])
+    np.testing.assert_array_equal(want_nn[2], got_nn[2])
+    np.testing.assert_allclose(want_nn[1], got_nn[1], rtol=1e-6)
+    np.testing.assert_allclose(want_nn[3], got_nn[3], rtol=1e-6)
+    assert meshed.last_stats["nn"].get("plan") == "device", \
+        meshed.last_stats["nn"]
