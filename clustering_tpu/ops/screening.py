@@ -1078,6 +1078,19 @@ def _seed_update(labels, seeds, lo):
     return jax.lax.dynamic_update_slice(labels, seeds, (lo,))
 
 
+@functools.partial(jax.jit, static_argnames=("fetch_len", "nbytes"))
+def _labels_prefix_packed(labels_dev, fetch_len, nbytes):
+    """Admitted-prefix label download, narrowed by VALUE range: every
+    label in [:fetch_len] is a component min-position (or identity pad)
+    < fetch_len, so the int32 vector packs loss-lessly into ``nbytes``
+    uint8 byte planes (2 when fetch_len <= 2^16, 3 <= 2^24) -- half /
+    three-quarters the postlude's label transfer. Returns (nbytes,
+    fetch_len) uint8; the host ORs the planes back."""
+    lab = labels_dev[:fetch_len]
+    return jnp.stack([(lab >> (8 * b)) & 0xFF
+                      for b in range(nbytes)]).astype(jnp.uint8)
+
+
 class ThresholdSeriesScreener:
     """Screening runner specialized for a known -T threshold series.
 
@@ -1194,10 +1207,18 @@ class ThresholdSeriesScreener:
                 if nb <= row_lo:
                     continue
                 union = eng._union_size(nb)
-                if union < eng.n_pad:
-                    # the postlude's prefix-slice download program
-                    # (labels_dev[:union]); one per distinct ladder rung
-                    jnp.arange(eng.n_pad, dtype=jnp.int32)[:union]
+                fetch_len = min(union, eng.n_pad)
+                nbytes = (2 if fetch_len <= (1 << 16)
+                          else 3 if fetch_len <= (1 << 24) else 4)
+                ident = jnp.arange(eng.n_pad, dtype=jnp.int32)
+                if nbytes == 4:
+                    # the postlude's plain prefix-slice program
+                    ident[:fetch_len]
+                elif compile_only:
+                    _labels_prefix_packed.lower(ident, fetch_len,
+                                                nbytes).compile()
+                else:
+                    _labels_prefix_packed(ident, fetch_len, nbytes)
                 if not eng._bidir_ok(union):
                     continue
                 if eng._device_plan_on():
@@ -1360,6 +1381,7 @@ class ThresholdSeriesScreener:
         self.engine.last_stats = {}
         labels_dev = self.engine.run_device(labels_dev, nb, max_dist2,
                                             row_lo=prev_last)
+        prefetch = self._prefetch_labels(labels_dev, nb)
         self._labels_dev = labels_dev
         self._prev_nb = nb
         st = self.engine.last_stats
@@ -1368,7 +1390,8 @@ class ThresholdSeriesScreener:
             st["threshold_index"] = k
             self.per_step_stats.append(st)
         clustering = self._postlude(labels_dev, nb,
-                                    time.perf_counter() - t0, st)
+                                    time.perf_counter() - t0, st,
+                                    prefetch=prefetch)
         self._last_out = clustering
         return clustering
 
@@ -1403,7 +1426,36 @@ class ThresholdSeriesScreener:
             labels0[:nb] = seeds
         return self.engine._upload(labels0), 0
 
-    def _postlude(self, labels_dev, nb, t_fix, st=None):
+    def _prefetch_labels(self, labels_dev, nb):
+        """Dispatch the postlude's label download RIGHT BEHIND the step's
+        fixpoint on the device queue and start the D2H asynchronously.
+        Dispatched from the postlude worker instead (round 4), the slice
+        program landed AFTER the next steps' sweep dispatches, so every
+        step's fetch serialized behind later steps' compute (measured
+        t_fetch 0.13-0.2s/step at 2^20 even for tiny prefixes); enqueued
+        here it streams while the next threshold sweeps. The transfer is
+        narrowed by VALUE range (_labels_prefix_packed): labels in
+        [:fetch_len] are min-positions < fetch_len, so 2 byte planes
+        suffice below 2^16 admitted frames, 3 below 2^24, int32 beyond.
+        Returns (packed_dev, nbytes) for _postlude, or None (mesh /
+        non-pallas paths keep the in-postlude fetch)."""
+        if self.engine.backend != "pallas" or self.engine.mesh is not None:
+            return None
+        fetch_len = min(self.engine._union_size(max(nb, 1)),
+                        self.engine.n_pad)
+        nbytes = (2 if fetch_len <= (1 << 16)
+                  else 3 if fetch_len <= (1 << 24) else 4)
+        if nbytes == 4:
+            packed = labels_dev[:fetch_len]
+        else:
+            packed = _labels_prefix_packed(labels_dev, fetch_len, nbytes)
+        try:
+            packed.copy_to_host_async()
+        except Exception:  # backends without async D2H: fetch later
+            pass
+        return packed, nbytes
+
+    def _postlude(self, labels_dev, nb, t_fix, st=None, prefetch=None):
         """Fetch the fixpoint labels and normalize component names;
         returns the clustered trajectory in original frame order.
 
@@ -1424,13 +1476,25 @@ class ThresholdSeriesScreener:
         # prefix (quantized to the union-size ladder so a handful of
         # compiled slice programs serve the whole series) -- the full
         # (N_pad,) fetch cost 64MB per step at 16M frames even for
-        # near-empty early thresholds
-        fetch_len = (self.engine._union_size(max(nb, 1))
-                     if self.engine.mesh is None else self.engine.n_pad)
-        if fetch_len < self.engine.n_pad:
-            final = np.asarray(jax.device_get(labels_dev[:fetch_len]))
+        # near-empty early thresholds. The series drivers pre-dispatch
+        # the narrowed prefix (_prefetch_labels); arbitrary-seed and
+        # mesh paths fetch here.
+        if prefetch is not None:
+            packed, nbytes = prefetch
+            got = np.asarray(packed)
+            if nbytes == 4:
+                final = got
+            else:
+                final = got[0].astype(np.int32)
+                for b in range(1, nbytes):
+                    final |= got[b].astype(np.int32) << (8 * b)
         else:
-            final = self.engine._fetch(labels_dev)
+            fetch_len = (self.engine._union_size(max(nb, 1))
+                         if self.engine.mesh is None else self.engine.n_pad)
+            if fetch_len < self.engine.n_pad:
+                final = np.asarray(jax.device_get(labels_dev[:fetch_len]))
+            else:
+                final = self.engine._fetch(labels_dev)
         t2 = time.perf_counter()
         # normalize names by each component's minimal FE-sorted rank:
         # walk the admitted positions in FE-ascending order (precomputed
@@ -1512,6 +1576,7 @@ class ThresholdSeriesScreener:
         self.engine.last_stats = {}
         labels_dev = self.engine.run_device(labels_dev, nb, max_dist2,
                                             row_lo=prev_last)
+        prefetch = self._prefetch_labels(labels_dev, nb)
         self._labels_dev = labels_dev
         self._prev_nb = nb
         st = self.engine.last_stats
@@ -1520,7 +1585,8 @@ class ThresholdSeriesScreener:
             st["threshold_index"] = k
             self.per_step_stats.append(st)
         fut = pool.submit(self._postlude, labels_dev, nb,
-                          time.perf_counter() - t0, st)
+                          time.perf_counter() - t0, st,
+                          prefetch=prefetch)
         self._last_future = fut
         return fut
 

@@ -23,8 +23,13 @@ from clustering_tpu import ops
 # programs defined by clustering_tpu (underscore helpers + public jits);
 # jax-internal wrappers (convert_element_type, reshape, ...) are counted
 # separately and not pinned (they vary with jax version and cost ~no
-# compile time)
-_BUDGET = 22
+# compile time).
+# 22 -> 23 (round 5): _labels_prefix_packed (one per union-ladder rung;
+# 3 rungs here) REPLACES the postlude's anonymous labels_dev[:len] slice
+# programs one-for-one -- those compiled as jax-internal jit(slice) and
+# were never counted, so the named pack adds counted programs without
+# adding cold compiles.
+_BUDGET = 23
 
 
 def _run_pipeline(n=1 << 13, row_block=64, col_block=512):
