@@ -1438,8 +1438,12 @@ class ThresholdSeriesScreener:
         [:fetch_len] are min-positions < fetch_len, so 2 byte planes
         suffice below 2^16 admitted frames, 3 below 2^24, int32 beyond.
         Returns (packed_dev, nbytes) for _postlude, or None (mesh /
-        non-pallas paths keep the in-postlude fetch)."""
+        non-pallas paths keep the in-postlude fetch;
+        CLUSTERING_TPU_SCREEN_PREFETCH=0 forces the old path for paired
+        A/Bs)."""
         if self.engine.backend != "pallas" or self.engine.mesh is not None:
+            return None
+        if os.environ.get("CLUSTERING_TPU_SCREEN_PREFETCH") == "0":
             return None
         fetch_len = min(self.engine._union_size(max(nb, 1)),
                         self.engine.n_pad)
