@@ -825,3 +825,42 @@ def test_grouped_dispatch_pops_and_nn_match(monkeypatch):
     nn_g = eng2.nearest_neighbors(fe)
     for a, b in zip(nn_ref, nn_g):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_series_label_prefetch_gate_bit_equal(monkeypatch):
+    """The pre-dispatched value-narrowed label download
+    (_prefetch_labels + _labels_prefix_packed) must be bit-identical to
+    the in-postlude int32 fetch (CLUSTERING_TPU_SCREEN_PREFETCH=0), for
+    both the sync step and the submit pipeline -- pins the byte-plane
+    decode against the plain path."""
+    from concurrent.futures import ThreadPoolExecutor
+    coords = _bigger_blobs(n=500, seed=31)
+    pops = ops.populations(coords, [0.4], backend="xla",
+                           row_block=8, col_block=16)[0.4]
+    fe = ops.free_energies(pops)
+    nn = ops.nearest_neighbors(coords, fe, backend="xla",
+                               row_block=8, col_block=16)
+    md2 = np.float32(4.0 * ops.neighbors.compute_sigma2(nn[1]))
+    finite = fe[np.isfinite(fe)]
+    thresholds = [np.float32(t) for t in
+                  np.quantile(finite, [0.3, 0.7, 1.0])]
+
+    def run(prefetch_env):
+        monkeypatch.setenv("CLUSTERING_TPU_SCREEN_PREFETCH", prefetch_env)
+        ser = ops.screening.ThresholdSeriesScreener(
+            coords, fe, thresholds, row_block=8, col_block=16,
+            backend="pallas", hd_neighbors=(nn[2], nn[3]))
+        outs, a = [], None
+        for k in range(len(thresholds)):
+            a = ser.step(a, k, md2)
+            outs.append(a)
+        ser.reset()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [ser.step_submit(k, md2, pool)
+                    for k in range(len(thresholds))]
+            outs += [f.result() for f in futs]
+        return outs
+
+    on, off = run("1"), run("0")
+    for a, b in zip(on, off):
+        np.testing.assert_array_equal(a, b)
