@@ -32,13 +32,21 @@ def main():
     from clustering_tpu import ops
     from bench import synthetic_fel
 
+    t00 = time.perf_counter()
+
+    def _p(msg):
+        print(f"[{time.perf_counter() - t00:7.1f}s] {msg}", flush=True)
+
     dev = jax.devices()[0]
+    _p(f"device {dev}")
     coords = synthetic_fel(N, 4)
     engine = ops.engine.DensityEngine(coords, row_block=128,
                                       col_block=4096)
     pops = engine.populations([0.10], nn_band_radius=0.10)
+    _p("pops done")
     fe = ops.free_energies(pops[0.10])
     nn = engine.nearest_neighbors(fe)
+    _p("nn done")
     max_dist2 = np.float32(4.0 * ops.neighbors.compute_sigma2(nn[1]))
 
     fmax = float(np.nanmax(fe[np.isfinite(fe)]))
@@ -65,9 +73,11 @@ def main():
             return wall, outs, list(series.per_step_stats)
 
         run_series()  # warm (both arms share every compiled program)
+        _p(f"{name}: warm on done")
         os.environ["CLUSTERING_TPU_SCREEN_PREFETCH"] = "0"
         run_series()
         os.environ.pop("CLUSTERING_TPU_SCREEN_PREFETCH", None)
+        _p(f"{name}: warm off done")
 
         rows = {"on": [], "off": []}
         best = {}
@@ -78,6 +88,7 @@ def main():
                 else:
                     os.environ.pop("CLUSTERING_TPU_SCREEN_PREFETCH", None)
                 wall, outs, steps = run_series()
+                _p(f"{name}: rep {tag} {wall:.3f}s")
                 rows[tag].append(round(wall, 3))
                 cur = best.get(tag)
                 if cur is None or wall < cur[0]:
