@@ -386,7 +386,9 @@ def main(args, header_comment, comments_map):
                     coords, free_energy, thresholds_early, mesh=mesh)
             except ValueError:
                 pass  # the original parse site reports the usage error
-        if series_fut is not None and _precompile_on():
+        if (series_fut is not None and _precompile_on()
+                and os.environ.get(
+                    "CLUSTERING_TPU_EARLY_SCREEN_WARM", "1") != "0"):
             # warm the screening fixpoint compiles DURING the NN stage:
             # sigma2 is estimated from the prefetched band phase's nh
             # bounds (~1% of the real value -- close enough that the

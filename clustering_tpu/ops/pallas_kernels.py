@@ -1381,7 +1381,7 @@ def label_min_sparse(coords_t_sorted, labels, n_below, max_dist2,
 
 
 def _label_min_bidir_kernel(win_ref, max_d2_ref, ti_ref, tj_ref,
-                            dirty_col_ref, dirty_row_ref,
+                            dirty_tile_ref,
                             xt_ref, yt_ref, lab_y_ref, lab_x_ref, init_ref,
                             out_ref, acc_ref,
                             *, row_block, col_block, n_dim):
@@ -1419,8 +1419,13 @@ def _label_min_bidir_kernel(win_ref, max_d2_ref, ti_ref, tj_ref,
 
     # skip repeat-padded duplicates, and tiles where neither side's
     # labels changed since the previous sweep (their proposals are
-    # already in the union; both directions must be clean to skip)
-    @pl.when(((dirty_col_ref[j] != 0) | (dirty_row_ref[i] != 0))
+    # already in the union; both directions must be clean to skip).
+    # The dirty gate arrives pre-gathered per TILE (callers compute
+    # dirty_col[tj] | dirty_row[ti] on device): per-block arrays here
+    # scaled SMEM with N (s32[n_pad/row_block] = 512KB at 16M frames
+    # blew v5e's 1MB scalar memory); per-tile flags scale only with the
+    # chunk length, like the pops/NN kernels' rmask operand.
+    @pl.when((dirty_tile_ref[k] != 0)
              & ((k == 0)
                 | (i != ti_ref[jnp.maximum(k - 1, 0)])
                 | (j != tj_ref[jnp.maximum(k - 1, 0)])))
@@ -1443,7 +1448,7 @@ def _label_min_bidir_kernel(win_ref, max_d2_ref, ti_ref, tj_ref,
 @functools.partial(jax.jit, static_argnames=("union_size", "col_span",
                                              "row_block", "col_block"))
 def label_min_sparse_bidir(coords_t, labels, n_below, max_dist2,
-                           tile_i, tile_j, dirty_col, dirty_row,
+                           tile_i, tile_j, dirty_tile,
                            union_size,
                            row_block=DEFAULT_ROW_BLOCK,
                            col_block=DEFAULT_COL_BLOCK,
@@ -1470,25 +1475,25 @@ def label_min_sparse_bidir(coords_t, labels, n_below, max_dist2,
                                row_block=row_block, col_block=col_block,
                                n_dim=n_dim)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=5,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((n_dim, row_block),
-                         lambda k, nb, md, ti, tj, dc, dr: (0, ti[k])),
+                         lambda k, nb, md, ti, tj, dt: (0, ti[k])),
             pl.BlockSpec((n_dim, col_block),
-                         lambda k, nb, md, ti, tj, dc, dr: (0, tj[k])),
+                         lambda k, nb, md, ti, tj, dt: (0, tj[k])),
             pl.BlockSpec((1, col_block),
-                         lambda k, nb, md, ti, tj, dc, dr: (0, tj[k])),
+                         lambda k, nb, md, ti, tj, dt: (0, tj[k])),
             pl.BlockSpec((1, row_block),
-                         lambda k, nb, md, ti, tj, dc, dr: (0, ti[k])),
+                         lambda k, nb, md, ti, tj, dt: (0, ti[k])),
             pl.BlockSpec((1, row_block),
-                         lambda k, nb, md, ti, tj, dc, dr: (0, ti[k])),
+                         lambda k, nb, md, ti, tj, dt: (0, ti[k])),
         ],
         out_specs=[
             pl.BlockSpec((1, row_block),
-                         lambda k, nb, md, ti, tj, dc, dr: (0, ti[k])),
+                         lambda k, nb, md, ti, tj, dt: (0, ti[k])),
             pl.BlockSpec((col_span, col_block),
-                         lambda k, nb, md, ti, tj, dc, dr: (0, 0)),
+                         lambda k, nb, md, ti, tj, dt: (0, 0)),
         ],
     )
     init = jnp.full((1, n_pad), _IMAX, dtype=jnp.int32)
@@ -1504,14 +1509,13 @@ def label_min_sparse_bidir(coords_t, labels, n_below, max_dist2,
         out_shape=[jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
                    jax.ShapeDtypeStruct((col_span, col_block), jnp.int32)],
         # init buffer -> row output (covers unvisited row blocks)
-        input_output_aliases={10: 0},
+        input_output_aliases={9: 0},
         compiler_params=params,
         interpret=INTERPRET_MODE(),
     )(window,
       jnp.asarray([max_dist2], dtype=jnp.float32),
       jnp.asarray(tile_i, dtype=jnp.int32),
       jnp.asarray(tile_j, dtype=jnp.int32),
-      jnp.asarray(dirty_col, dtype=jnp.int32),
-      jnp.asarray(dirty_row, dtype=jnp.int32),
+      jnp.asarray(dirty_tile, dtype=jnp.int32),
       coords_t, coords_t, labels, labels, init)
     return out, acc.reshape(1, col_span * col_block)

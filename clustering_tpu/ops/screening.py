@@ -320,9 +320,14 @@ def _sweep_group_bidir(coords_t, labels, n_below, max_dist2, ti_g, tj_g,
 
     def chunk_body(labels_cur, tt):
         ti_c, tj_c = tt
+        # per-tile dirty gate, gathered on device: the kernel takes a
+        # chunk-length flag array (per-block arrays in SMEM scaled with
+        # N and overflowed v5e's 1MB scalar memory at 16M frames)
+        dt_c = ((dirty_col[tj_c] != 0)
+                | (dirty_row[ti_c] != 0)).astype(jnp.int32)
         row_p, col_p = label_min_sparse_bidir(
             coords_t, labels_cur.reshape(1, -1), n_below, max_dist2,
-            ti_c, tj_c, dirty_col, dirty_row, union_size,
+            ti_c, tj_c, dt_c, union_size,
             row_block=row_block, col_block=col_block,
             col_base=base, col_span=span)
         lab = jnp.minimum(labels_cur, row_p[0])
@@ -539,9 +544,13 @@ def _sparse_fixpoint_bidir(coords_t, labels0, n_below, max_dist2,
             def chunk_body(labels_cur, tt, lo=lo, w=w, base=base,
                            span=span):
                 ti_c, tj_c = tt
+                # per-tile dirty gate (see _sweep_group_bidir): keeps
+                # the kernel's SMEM footprint chunk-sized, not N-sized
+                dt_c = ((dirty_col[tj_c] != 0)
+                        | (dirty_row[ti_c] != 0)).astype(jnp.int32)
                 row_p, col_p = label_min_sparse_bidir(
                     coords_t, labels_cur.reshape(1, -1), n_below,
-                    max_dist2, ti_c, tj_c, dirty_col, dirty_row,
+                    max_dist2, ti_c, tj_c, dt_c,
                     union_size, row_block=row_block, col_block=col_block,
                     col_base=base, col_span=span)
                 lab = jnp.minimum(labels_cur, row_p[0])

@@ -485,9 +485,12 @@ def _screening_sharded_pallas_bidir(coords_t, labels0, n_below, max_dist2,
 
             def chunk_body(labels_cur, tt):
                 ti_c, tj_c = tt
+                # per-tile dirty gate (kernel SMEM stays chunk-sized)
+                dt_c = ((dirty_col[tj_c] != 0)
+                        | (dirty_row[ti_c] != 0)).astype(jnp.int32)
                 row_p, col_p = pk.label_min_sparse_bidir(
                     ct, labels_cur.reshape(1, -1), nb, md2, ti_c, tj_c,
-                    dirty_col, dirty_row, union_size,
+                    dt_c, union_size,
                     row_block=row_block, col_block=col_block)
                 lab = jnp.minimum(labels_cur, row_p[0])
                 lab = jnp.concatenate(
