@@ -20,8 +20,10 @@ This driver proves it on hardware:
      host planner spent t_plan 760s + t_band 1502s here.
 
 Writes BIGN_r05.json.  env: BIGN_VERIFY_N, BIGN_BIG_N, BIGN_OUT,
-BIGN_SKIP_BIG, BIGN_SKIP_SCREENING, BIGN_SCR_XLA(_FRAC),
-BIGN_SCR_THRESHOLDS.
+BIGN_SKIP_BIG, BIGN_SKIP_VERIFY (big phase only, for plan-cost probes;
+the published artifact must keep the verify phase), BIGN_SKIP_SCREENING,
+BIGN_SCR_XLA(_FRAC), BIGN_SCR_THRESHOLDS, BIGN_LEDGER (path: record
+per-program compile walls and attach a per-stage summary).
 """
 
 import json
@@ -53,128 +55,159 @@ def main():
     from bench import synthetic_fel
     from clustering_tpu import ops
 
+    ledger_path = os.environ.get("BIGN_LEDGER")
+    if ledger_path:
+        from clustering_tpu.utils import compile_ledger
+        compile_ledger.install(ledger_path)
+
+    def ledger_cut(tag, marks={}):
+        """Cumulative compile seconds at this point; per-stage deltas
+        let the big-phase walls separate in-stage XLA compiles from
+        execution/tunnel time."""
+        if not ledger_path:
+            return
+        total = n = 0.0
+        try:
+            with open(ledger_path) as fh:
+                for line in fh:
+                    ev = json.loads(line)
+                    if "compile" in ev.get("event", ""):
+                        total += ev.get("secs", 0.0)
+                        n += 1
+        except OSError:
+            pass
+        marks[tag] = {"cum_compile_s": round(total, 1), "programs": int(n)}
+        result.setdefault("ledger_marks", marks)
+
     result = {"device": str(jax.devices()[0]), "stages": {}}
+    skip_verify = os.environ.get("BIGN_SKIP_VERIFY") == "1"
+    if skip_verify:
+        result["verify_skipped"] = True
 
     # --- 1. bit-exact verification at VERIFY_N ---
     coords = synthetic_fel(VERIFY_N, 4)
     result["verify_n"] = VERIFY_N
 
-    def engine(**over):
-        eng = ops.engine.DensityEngine(coords, row_block=ROW_BLOCK,
-                                       col_block=COL_BLOCK,
-                                       backend="pallas")
-        for k, v in over.items():
-            setattr(eng, k, v)
-        return eng
+    checks = {}
+    if not skip_verify:
+        def engine(**over):
+            eng = ops.engine.DensityEngine(coords, row_block=ROW_BLOCK,
+                                           col_block=COL_BLOCK,
+                                           backend="pallas")
+            for k, v in over.items():
+                setattr(eng, k, v)
+            return eng
 
-    _p("verify phase: pops bidir")
-    t0 = time.perf_counter()
-    eng_b = engine()
-    pops_b = eng_b.populations(RADII)
-    result["stages"]["pops_bidir"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    _p("verify phase: pops symmetric")
-    pops_s = engine(POPS_BIDIR_SCRATCH_CAP=0).populations(RADII)
-    result["stages"]["pops_symmetric"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    _p("verify phase: pops partitioned")
-    pops_p = engine(POPS_BIDIR_SCRATCH_CAP=8 << 20).populations(RADII)
-    result["stages"]["pops_partitioned"] = round(
-        time.perf_counter() - t0, 3)
-    checks = {
-        "pops_bidir_eq_symmetric": bool(all(
-            np.array_equal(pops_b[r], pops_s[r]) for r in RADII)),
-        "pops_partitioned_eq": bool(all(
-            np.array_equal(pops_b[r], pops_p[r]) for r in RADII)),
-    }
-
-    fe = ops.free_energies(pops_b[RADII[0]])
-    t0 = time.perf_counter()
-    _p("verify phase: nn bidir")
-    nn_b = eng_b.nearest_neighbors(fe)
-    result["stages"]["nn_bidir"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    _p("verify phase: nn symmetric")
-    nn_s = engine(NN_BIDIR_SCRATCH_CAP=0).nearest_neighbors(fe)
-    result["stages"]["nn_symmetric"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    _p("verify phase: nn partitioned")
-    nn_p = engine(NN_BIDIR_SCRATCH_CAP=8 << 20).nearest_neighbors(fe)
-    result["stages"]["nn_partitioned"] = round(time.perf_counter() - t0, 3)
-    checks["nn_bidir_eq_symmetric"] = bool(
-        all(np.array_equal(a, b) for a, b in zip(nn_b, nn_s)))
-    checks["nn_partitioned_eq"] = bool(
-        all(np.array_equal(a, b) for a, b in zip(nn_b, nn_p)))
-
-    # device-planned pops + NN (masks/tile lists device-resident) must
-    # be bit-equal to the host-planned baseline above
-    _p("verify phase: device plan (pops + nn)")
-    os.environ["CLUSTERING_TPU_DEVICE_PLAN"] = "1"
-    t0 = time.perf_counter()
-    eng_d = engine()
-    pops_d = eng_d.populations(RADII, nn_band_radius=RADII[0])
-    result["stages"]["pops_device_plan"] = round(
-        time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    nn_d = eng_d.nearest_neighbors(fe)
-    result["stages"]["nn_device_plan"] = round(time.perf_counter() - t0, 3)
-    os.environ.pop("CLUSTERING_TPU_DEVICE_PLAN", None)
-    checks["pops_device_plan_eq"] = bool(all(
-        np.array_equal(pops_b[r], pops_d[r]) for r in RADII))
-    checks["nn_device_plan_eq"] = bool(
-        all(np.array_equal(a, b) for a, b in zip(nn_b, nn_d)))
-    result["nn_device_plan_stats"] = {
-        k: v for k, v in eng_d.last_stats["nn"].items()
-        if isinstance(v, (int, float, str, bool))}
-
-    # screening at VERIFY_N (round 5: the stage had never been validated
-    # above 2^20): device-planned pallas vs host-planned pallas vs the
-    # independent XLA fallback, identity seeds, one threshold admitting
-    # BIGN_SCR_XLA_FRAC of the frames, bit-equal labels required
-    md2 = np.float32(4.0 * ops.neighbors.compute_sigma2(nn_b[1]))
-    frac = float(os.environ.get("BIGN_SCR_XLA_FRAC", "0.5"))
-    order = np.argsort(fe, kind="stable")
-    cs = coords[order]
-    n_below = int(frac * VERIFY_N)
-    labels0 = np.arange(VERIFY_N, dtype=np.int32)
-    _p("verify phase: screening pallas (device plan)")
-    os.environ["CLUSTERING_TPU_DEVICE_PLAN"] = "1"
-    t0 = time.perf_counter()
-    lab_d = ops.screening.ScreeningEngine(
-        cs, row_block=ROW_BLOCK, col_block=COL_BLOCK,
-        backend="pallas").run(labels0, n_below, md2)
-    result["stages"]["screening_device_plan"] = round(
-        time.perf_counter() - t0, 3)
-    _p("verify phase: screening pallas (host plan)")
-    os.environ["CLUSTERING_TPU_DEVICE_PLAN"] = "0"
-    t0 = time.perf_counter()
-    lab_h = ops.screening.ScreeningEngine(
-        cs, row_block=ROW_BLOCK, col_block=COL_BLOCK,
-        backend="pallas").run(labels0, n_below, md2)
-    result["stages"]["screening_host_plan"] = round(
-        time.perf_counter() - t0, 3)
-    os.environ.pop("CLUSTERING_TPU_DEVICE_PLAN", None)
-    checks["screening_device_plan_eq"] = bool(
-        np.array_equal(lab_d, lab_h))
-    result["screening_verify"] = {"n_below": n_below,
-                                  "max_dist2": float(md2)}
-    if os.environ.get("BIGN_SCR_XLA", "1") != "0":
-        _p("verify phase: screening XLA fallback (same labels required)")
+        _p("verify phase: pops bidir")
         t0 = time.perf_counter()
-        lab_x = ops.screening.ScreeningEngine(
-            cs, row_block=ROW_BLOCK, col_block=COL_BLOCK,
-            backend="xla").run(labels0, n_below, md2)
-        result["stages"]["screening_xla"] = round(
+        eng_b = engine()
+        pops_b = eng_b.populations(RADII)
+        result["stages"]["pops_bidir"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _p("verify phase: pops symmetric")
+        pops_s = engine(POPS_BIDIR_SCRATCH_CAP=0).populations(RADII)
+        result["stages"]["pops_symmetric"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _p("verify phase: pops partitioned")
+        pops_p = engine(POPS_BIDIR_SCRATCH_CAP=8 << 20).populations(RADII)
+        result["stages"]["pops_partitioned"] = round(
             time.perf_counter() - t0, 3)
-        checks["screening_xla_eq"] = bool(np.array_equal(lab_d, lab_x))
-        del lab_x
-    result["checks"] = checks
-    del lab_d, lab_h, cs, order
+        checks = {
+            "pops_bidir_eq_symmetric": bool(all(
+                np.array_equal(pops_b[r], pops_s[r]) for r in RADII)),
+            "pops_partitioned_eq": bool(all(
+                np.array_equal(pops_b[r], pops_p[r]) for r in RADII)),
+        }
+
+        fe = ops.free_energies(pops_b[RADII[0]])
+        t0 = time.perf_counter()
+        _p("verify phase: nn bidir")
+        nn_b = eng_b.nearest_neighbors(fe)
+        result["stages"]["nn_bidir"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _p("verify phase: nn symmetric")
+        nn_s = engine(NN_BIDIR_SCRATCH_CAP=0).nearest_neighbors(fe)
+        result["stages"]["nn_symmetric"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _p("verify phase: nn partitioned")
+        nn_p = engine(NN_BIDIR_SCRATCH_CAP=8 << 20).nearest_neighbors(fe)
+        result["stages"]["nn_partitioned"] = round(time.perf_counter() - t0, 3)
+        checks["nn_bidir_eq_symmetric"] = bool(
+            all(np.array_equal(a, b) for a, b in zip(nn_b, nn_s)))
+        checks["nn_partitioned_eq"] = bool(
+            all(np.array_equal(a, b) for a, b in zip(nn_b, nn_p)))
+
+        # device-planned pops + NN (masks/tile lists device-resident) must
+        # be bit-equal to the host-planned baseline above
+        _p("verify phase: device plan (pops + nn)")
+        os.environ["CLUSTERING_TPU_DEVICE_PLAN"] = "1"
+        t0 = time.perf_counter()
+        eng_d = engine()
+        pops_d = eng_d.populations(RADII, nn_band_radius=RADII[0])
+        result["stages"]["pops_device_plan"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        nn_d = eng_d.nearest_neighbors(fe)
+        result["stages"]["nn_device_plan"] = round(time.perf_counter() - t0, 3)
+        os.environ.pop("CLUSTERING_TPU_DEVICE_PLAN", None)
+        checks["pops_device_plan_eq"] = bool(all(
+            np.array_equal(pops_b[r], pops_d[r]) for r in RADII))
+        checks["nn_device_plan_eq"] = bool(
+            all(np.array_equal(a, b) for a, b in zip(nn_b, nn_d)))
+        result["nn_device_plan_stats"] = {
+            k: v for k, v in eng_d.last_stats["nn"].items()
+            if isinstance(v, (int, float, str, bool))}
+
+        # screening at VERIFY_N (round 5: the stage had never been validated
+        # above 2^20): device-planned pallas vs host-planned pallas vs the
+        # independent XLA fallback, identity seeds, one threshold admitting
+        # BIGN_SCR_XLA_FRAC of the frames, bit-equal labels required
+        md2 = np.float32(4.0 * ops.neighbors.compute_sigma2(nn_b[1]))
+        frac = float(os.environ.get("BIGN_SCR_XLA_FRAC", "0.5"))
+        order = np.argsort(fe, kind="stable")
+        cs = coords[order]
+        n_below = int(frac * VERIFY_N)
+        labels0 = np.arange(VERIFY_N, dtype=np.int32)
+        _p("verify phase: screening pallas (device plan)")
+        os.environ["CLUSTERING_TPU_DEVICE_PLAN"] = "1"
+        t0 = time.perf_counter()
+        lab_d = ops.screening.ScreeningEngine(
+            cs, row_block=ROW_BLOCK, col_block=COL_BLOCK,
+            backend="pallas").run(labels0, n_below, md2)
+        result["stages"]["screening_device_plan"] = round(
+            time.perf_counter() - t0, 3)
+        _p("verify phase: screening pallas (host plan)")
+        os.environ["CLUSTERING_TPU_DEVICE_PLAN"] = "0"
+        t0 = time.perf_counter()
+        lab_h = ops.screening.ScreeningEngine(
+            cs, row_block=ROW_BLOCK, col_block=COL_BLOCK,
+            backend="pallas").run(labels0, n_below, md2)
+        result["stages"]["screening_host_plan"] = round(
+            time.perf_counter() - t0, 3)
+        os.environ.pop("CLUSTERING_TPU_DEVICE_PLAN", None)
+        checks["screening_device_plan_eq"] = bool(
+            np.array_equal(lab_d, lab_h))
+        result["screening_verify"] = {"n_below": n_below,
+                                      "max_dist2": float(md2)}
+        if os.environ.get("BIGN_SCR_XLA", "1") != "0":
+            _p("verify phase: screening XLA fallback (same labels required)")
+            t0 = time.perf_counter()
+            lab_x = ops.screening.ScreeningEngine(
+                cs, row_block=ROW_BLOCK, col_block=COL_BLOCK,
+                backend="xla").run(labels0, n_below, md2)
+            result["stages"]["screening_xla"] = round(
+                time.perf_counter() - t0, 3)
+            checks["screening_xla_eq"] = bool(np.array_equal(lab_d, lab_x))
+            del lab_x
+        result["checks"] = checks
+        del lab_d, lab_h, cs, order
 
     # --- 2. the 16M-frame partitioned-bidir run ---
     if not os.environ.get("BIGN_SKIP_BIG"):
-        del coords, pops_b, pops_s, pops_p, nn_b, nn_s, nn_p, nn_d, \
-            pops_d, eng_b, eng_d
+        if not skip_verify:
+            del pops_b, pops_s, pops_p, nn_b, nn_s, nn_p, nn_d, \
+                pops_d, eng_b, eng_d
+        del coords
         _p(f"big phase: generating {BIG_N} frames")
         coords = synthetic_fel(BIG_N, 4)
         result["big_n"] = BIG_N
@@ -190,11 +223,13 @@ def main():
         threading.Thread(target=eng.precompile_pops, args=(RADII,),
                          daemon=True).start()
         threading.Thread(target=eng.precompile_nn, daemon=True).start()
+        ledger_cut("before_big_pops")
         t0 = time.perf_counter()
         _p("big phase: pops (device plan auto, band prefetch, warm on)")
         pops = eng.populations(RADII, nn_band_radius=RADII[0])
         result["stages"]["big_pops_bidir"] = round(
             time.perf_counter() - t0, 3)
+        ledger_cut("after_big_pops")
         result["big_pops_stats"] = {
             k: v for k, v in eng.last_stats["populations"].items()
             if isinstance(v, (int, float, str, bool))}
@@ -215,6 +250,7 @@ def main():
         nn = eng.nearest_neighbors(fe)
         result["stages"]["big_nn_bidir"] = round(
             time.perf_counter() - t0, 3)
+        ledger_cut("after_big_nn")
         result["big_nn_stats"] = {
             k: v for k, v in eng.last_stats["nn"].items()
             if isinstance(v, (int, float, str, bool))}
@@ -254,6 +290,7 @@ def main():
                         for k in range(len(thresholds))]
                 last = futs[-1].result()
             t_series = time.perf_counter() - t0
+            ledger_cut("after_big_screening")
             n_states = int(len(np.unique(last[last > 0])))
             steps = [
                 {k2: (round(v, 4) if isinstance(v, float) else v)

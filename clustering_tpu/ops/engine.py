@@ -779,7 +779,30 @@ class DensityEngine:
                                                   thresh2s)
                 active = pruning.upper_tri_device(
                     planes[0], self.row_block, self.col_block)
-                pruning.window_counts_device(active, span)
+                counts_w = self._get(
+                    pruning.window_counts_device(active, span))
+                # warm the per-window tile-list + rmask programs at the
+                # EXACT production shapes: counts come from the real
+                # d2b/mask (same as the stage), and quantized chunk
+                # totals make them shape-stable; distinct residual
+                # programs compile concurrently (the remote compiler
+                # parallelizes across threads)
+                from concurrent.futures import ThreadPoolExecutor
+
+                def _warm_win(w_base):
+                    w, base = w_base
+                    c = int(counts_w[w])
+                    if c == 0:
+                        return
+                    width = min(span, ncb - base)
+                    ti_st, tj_st = pruning.tile_list_device(
+                        active, c, pad_mode="noop", base=base,
+                        width=width, quantize_chunks=True)
+                    pruning.rmask_gather_device(planes[1:], ti_st, tj_st)
+                bases = list(enumerate(range(0, ncb, span)))
+                with ThreadPoolExecutor(
+                        max_workers=min(4, max(len(bases), 1))) as ex:
+                    list(ex.map(_warm_win, bases))
                 return
             name = self._best_sort(r_max2)
             planes = pruning.active_masks_device(
@@ -1006,11 +1029,11 @@ class DensityEngine:
             n_dev = mesh_size(self.mesh)
             stats["mode"] = "bidir-mesh"
             stats["mesh_devices"] = n_dev
-        windows = []
-        for w, base in enumerate(range(0, ncb, span)):
+        def _win_plan(w_base):
+            w, base = w_base
             c = int(counts_w[w])
             if c == 0:
-                continue
+                return None
             width = min(span, ncb - base)
             if n_dev:
                 # per-window round-robin deal over the chips, ON DEVICE:
@@ -1021,11 +1044,32 @@ class DensityEngine:
                     active_dev, c, n_dev, pad_mode="noop", base=base,
                     width=width)
             else:
+                # noop pads tolerate repeat-quantized chunk counts (tj=-1
+                # entries carry rmask 0 and are skipped), so the static
+                # nonzero total is a power of two: equal-width windows
+                # share ONE compiled tile-list program instead of one per
+                # active-tile count (each was a fresh 10-40s remote
+                # compile at 16M -- t_tile_lists 153s in the first
+                # BIGN_r05 probe)
                 ti_st, tj_st = pruning.tile_list_device(
-                    active_dev, c, pad_mode="noop", base=base, width=width)
+                    active_dev, c, pad_mode="noop", base=base,
+                    width=width, quantize_chunks=True)
             rm_st = pruning.rmask_gather_device(planes_dev[1:], ti_st,
                                                 tj_st)
-            windows.append((base, width, ti_st, tj_st, rm_st))
+            return (base, width, ti_st, tj_st, rm_st)
+        bases = list(enumerate(range(0, ncb, span)))
+        if len(bases) > 1:
+            # the residual distinct programs (remainder width, rmask
+            # shapes) compile CONCURRENTLY: the axon remote compiler
+            # parallelizes across threads, and dispatch order does not
+            # affect the device-side result composition below
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(4, len(bases))) as ex:
+                windows = [win for win in ex.map(_win_plan, bases)
+                           if win is not None]
+        else:
+            windows = [win for win in map(_win_plan, bases)
+                       if win is not None]
         plan_parts["t_tile_lists"] = time.perf_counter() - t_seg
         stats["t_plan"] = time.perf_counter() - t0
         stats["plan_parts"] = plan_parts

@@ -707,25 +707,44 @@ class ScreeningEngine:
             below, jnp.int32(n_below), jnp.int32(row_lo),
             self.row_block, self.col_block, True)
         ncb = self.n_pad // self.col_block
-        nub = union_size // self.col_block
         span_cap = max(int(self.BIDIR_UNION_VMEM
                            // (self.col_block * 4)), 1)
-        span = min(span_cap, nub)
+        # span pinned to the VMEM cap, NOT the union width: a series'
+        # union grows per step, and union-sized spans compiled a fresh
+        # window_counts + tile-list nonzero program per step (10-40s
+        # each at 16M frames, t_plan 25-40s/step in the first BIGN_r05
+        # probe). With the span fixed, every step shares the same
+        # planning programs; windows past the union hold no active
+        # tiles (the mask is restricted to cols < n_below) and the
+        # sweep's beyond-union accumulator columns fold as no-op IMAX
+        # proposals.
+        span = min(span_cap, ncb)
         counts_w = np.asarray(jax.device_get(
             pruning.window_counts_device(active, span)))
         if int(counts_w.sum()) == 0:
             return None
-        windows = []
-        for w, base in enumerate(range(0, ncb, span)):
+
+        def _win(w_base):
+            w, base = w_base
             c = int(counts_w[w])
             if c == 0:
-                continue
+                return None
             width = min(span, ncb - base)
             ti_st, tj_st = pruning.tile_list_device(
                 active, c, base=base, width=width, quantize_chunks=True)
-            windows.append((base, width, ti_st, tj_st,
-                            _first_occ_device(ti_st, tj_st)))
-        return windows
+            return (base, width, ti_st, tj_st,
+                    _first_occ_device(ti_st, tj_st))
+        bases = list(enumerate(range(0, ncb, span)))
+        if len(bases) > 1:
+            # distinct residual programs compile concurrently (the
+            # remote compiler parallelizes across threads)
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(4, len(bases))) as ex:
+                wins = [win for win in ex.map(_win, bases)
+                        if win is not None]
+        else:
+            wins = [win for win in map(_win, bases) if win is not None]
+        return wins
 
     def _tile_list(self, row_lo, n_below, max_dist2, triangular=False):
         key = (int(row_lo), int(n_below), float(max_dist2),
@@ -1024,12 +1043,16 @@ class ScreeningEngine:
         sweeping reaches the identical fixpoint)."""
         from .pallas_kernels import _chunk_flat
         nub = union_size // self.col_block
+        ncb = self.n_pad // self.col_block
         span_cap = max(int(self.BIDIR_UNION_VMEM // (self.col_block * 4)),
                        1)
         if nub <= span_cap:
+            # span pinned to min(cap, ncb), matching the device planner:
+            # one sweep-kernel col_span across every step of a series
+            # (union-sized spans compiled one kernel per union width)
             parts = ((jnp.asarray(ti), jnp.asarray(tj),
                       jnp.asarray(_first_occ_mask(ti, tj))),)
-            return parts, ((0, nub),)
+            return parts, ((0, min(span_cap, ncb)),)
         ti_f = np.asarray(ti, dtype=np.int32).reshape(-1)
         tj_f = np.asarray(tj, dtype=np.int32).reshape(-1)
         keep = np.ones(len(ti_f), dtype=bool)
