@@ -413,6 +413,10 @@ class DensityEngine:
         # pops regression in WARMAB_r04). Double-checked: hits stay
         # lock-free (dict reads of fully built values are safe).
         self._build_lock = threading.RLock()
+        # memoized device-plan products (see _pops_plan_products):
+        # shared between the precompile warm thread and the stage
+        self._pops_plan_lock = threading.Lock()
+        self._pops_plan_cache = {}
         # per-stage compute accounting (computed = post-pruning tiles
         # actually swept; effective = the N^2 the algorithm replaces) --
         # populated by populations()/nearest_neighbors(), consumed by
@@ -771,38 +775,13 @@ class DensityEngine:
                         [(0, w, ti0, tj0, rm0)],
                         row_block=self.row_block,
                         col_block=self.col_block)
+                # build the REAL plan products (threshold planes, active
+                # mask, window counts, quantized per-window tile lists +
+                # radius masks) through the memoized helper: the stage
+                # reuses the same device buffers instead of rebuilding
+                # (duplicated planning state OOM'd the chip at 16M)
                 name = self._best_sort(r_max2)
-                thresh2s = jnp.asarray(
-                    [r_max2] + [np.float32(r) * np.float32(r)
-                                for r in radii], dtype=jnp.float32)
-                planes = pruning.le_planes_device(self._d2b_dev(name),
-                                                  thresh2s)
-                active = pruning.upper_tri_device(
-                    planes[0], self.row_block, self.col_block)
-                counts_w = self._get(
-                    pruning.window_counts_device(active, span))
-                # warm the per-window tile-list + rmask programs at the
-                # EXACT production shapes: counts come from the real
-                # d2b/mask (same as the stage), and quantized chunk
-                # totals make them shape-stable; distinct residual
-                # programs compile concurrently (the remote compiler
-                # parallelizes across threads)
-                from concurrent.futures import ThreadPoolExecutor
-
-                def _warm_win(w_base):
-                    w, base = w_base
-                    c = int(counts_w[w])
-                    if c == 0:
-                        return
-                    width = min(span, ncb - base)
-                    ti_st, tj_st = pruning.tile_list_device(
-                        active, c, pad_mode="noop", base=base,
-                        width=width, quantize_chunks=True)
-                    pruning.rmask_gather_device(planes[1:], ti_st, tj_st)
-                bases = list(enumerate(range(0, ncb, span)))
-                with ThreadPoolExecutor(
-                        max_workers=min(4, max(len(bases), 1))) as ex:
-                    list(ex.map(_warm_win, bases))
+                self._pops_plan_products(name, radii, r_max2, 0)
                 return
             name = self._best_sort(r_max2)
             planes = pruning.active_masks_device(
@@ -973,6 +952,92 @@ class DensityEngine:
         stats["t_host"] = time.perf_counter() - t0
         return out
 
+
+    def _pops_plan_products(self, name, radii, r_max2, n_dev):
+        """Memoized device-plan products for populations: threshold
+        planes, the upper-triangular active mask, the (W,) window-count
+        fetch and the per-window quantized tile lists + radius masks.
+        Shared between precompile_pops' warm thread and the production
+        stage: each building its own copy duplicated ~4GB of device
+        planning state at 16M frames and OOM'd the chip -- whoever
+        arrives first builds, the other blocks briefly and reuses the
+        SAME device buffers. Returns (span, counts_w, windows, prof)."""
+        from . import pruning
+        key = (name, tuple(float(r) for r in radii), float(r_max2),
+               int(n_dev))
+        with self._pops_plan_lock:
+            hit = self._pops_plan_cache.get(key)
+            if hit is not None:
+                span, counts_w, windows, prof = hit
+                return span, counts_w, windows, dict(prof,
+                                                     plan_cache_hit=True)
+            prof = {}
+            t_seg = time.perf_counter()
+            thresh2s = jnp.asarray(
+                [r_max2] + [np.float32(r) * np.float32(r) for r in radii],
+                dtype=jnp.float32)
+            planes_dev = pruning.le_planes_device(self._d2b_dev(name),
+                                                  thresh2s)
+            active_dev = pruning.upper_tri_device(
+                planes_dev[0], self.row_block, self.col_block)
+            ncb = self.n_pad // self.col_block
+            span = min(max(int(self.POPS_BIDIR_SCRATCH_CAP
+                               // (self.col_block * 4 * len(radii))), 1),
+                       ncb)
+            counts_w = self._get(
+                pruning.window_counts_device(active_dev, span))
+            prof["t_window_counts"] = time.perf_counter() - t_seg
+            t_seg = time.perf_counter()
+
+            def _win_plan(w_base):
+                w, base = w_base
+                c = int(counts_w[w])
+                if c == 0:
+                    return None
+                width = min(span, ncb - base)
+                if n_dev:
+                    # per-window round-robin deal over the chips, ON
+                    # DEVICE: the host never materializes the O(tiles)
+                    # list under a mesh either
+                    ti_st, tj_st, _ = pruning.tile_list_device_split(
+                        active_dev, c, n_dev, pad_mode="noop", base=base,
+                        width=width)
+                else:
+                    # noop pads tolerate repeat-quantized chunk counts
+                    # (tj=-1 entries carry rmask 0 and are skipped), so
+                    # the static nonzero total is a power of two:
+                    # equal-width windows share ONE compiled tile-list
+                    # program instead of one per active-tile count (each
+                    # cost a fresh remote compile + first executable
+                    # load, 10-40s at 16M -- t_tile_lists 153s in the
+                    # first BIGN_r05 probe)
+                    ti_st, tj_st = pruning.tile_list_device(
+                        active_dev, c, pad_mode="noop", base=base,
+                        width=width, quantize_chunks=True)
+                rm_st = pruning.rmask_gather_device(planes_dev[1:],
+                                                    ti_st, tj_st)
+                return (base, width, ti_st, tj_st, rm_st)
+            bases = list(enumerate(range(0, ncb, span)))
+            if len(bases) > 1:
+                # distinct residual programs compile/load CONCURRENTLY
+                # (the axon remote compiler parallelizes across threads;
+                # dispatch order does not affect result composition)
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(
+                        max_workers=min(4, len(bases))) as ex:
+                    windows = [win for win in ex.map(_win_plan, bases)
+                               if win is not None]
+            else:
+                windows = [win for win in map(_win_plan, bases)
+                           if win is not None]
+            prof["t_tile_lists"] = time.perf_counter() - t_seg
+            out = (span, counts_w, windows, prof)
+            self._pops_plan_cache[key] = out
+            while len(self._pops_plan_cache) > 1:
+                self._pops_plan_cache.pop(
+                    next(iter(self._pops_plan_cache)))
+            return span, counts_w, windows, dict(prof)
+
     def _populations_device_plan(self, radii, radii2, r_max2,
                                  nn_band_radius, t0):
         """Device-planned populations (big N, bidirectional): threshold
@@ -999,78 +1064,25 @@ class DensityEngine:
         if getattr(self, "_best_sort_prof", None):
             plan_parts["plan_best_sort_parts"] = self._best_sort_prof
         order, _ = self._padded(name)
-        t_seg = time.perf_counter()
-        thresh2s = jnp.asarray(
-            [r_max2] + [np.float32(r) * np.float32(r) for r in radii],
-            dtype=jnp.float32)
-        planes_dev = pruning.le_planes_device(self._d2b_dev(name),
-                                              thresh2s)
-        active_dev = pruning.upper_tri_device(
-            planes_dev[0], self.row_block, self.col_block)
-        ncb = self.n_pad // self.col_block
-        span = min(max(int(self.POPS_BIDIR_SCRATCH_CAP
-                           // (self.col_block * 4 * len(radii))), 1), ncb)
-        counts_w = self._get(
-            pruning.window_counts_device(active_dev, span))
-        plan_parts["t_window_counts"] = time.perf_counter() - t_seg
-        t_seg = time.perf_counter()
+        n_dev = 0
+        if self.mesh is not None:
+            from ..parallel.mesh import mesh_size
+            n_dev = mesh_size(self.mesh)
+        span, counts_w, windows, prof = self._pops_plan_products(
+            name, radii, r_max2, n_dev)
+        plan_parts.update(prof)
         n_tiles = int(counts_w.sum())
         stats = {
             "computed_tiles": n_tiles,
             "tile_pairs": self.row_block * self.col_block,
             "effective_pairs": float(self.n) * self.n,
-            "mode": "bidir", "plan": "device",
+            "mode": "bidir-mesh" if n_dev else "bidir",
+            "plan": "device",
         }
+        if n_dev:
+            stats["mesh_devices"] = n_dev
         self.last_stats["populations"] = stats
         self._log_stats("pops", stats)
-        n_dev = 0
-        if self.mesh is not None:
-            from ..parallel.mesh import mesh_size
-            n_dev = mesh_size(self.mesh)
-            stats["mode"] = "bidir-mesh"
-            stats["mesh_devices"] = n_dev
-        def _win_plan(w_base):
-            w, base = w_base
-            c = int(counts_w[w])
-            if c == 0:
-                return None
-            width = min(span, ncb - base)
-            if n_dev:
-                # per-window round-robin deal over the chips, ON DEVICE:
-                # the host never materializes the O(tiles) list under a
-                # mesh either (the per-device splits reshape from the
-                # same row-major nonzero the single-chip plan uses)
-                ti_st, tj_st, _ = pruning.tile_list_device_split(
-                    active_dev, c, n_dev, pad_mode="noop", base=base,
-                    width=width)
-            else:
-                # noop pads tolerate repeat-quantized chunk counts (tj=-1
-                # entries carry rmask 0 and are skipped), so the static
-                # nonzero total is a power of two: equal-width windows
-                # share ONE compiled tile-list program instead of one per
-                # active-tile count (each was a fresh 10-40s remote
-                # compile at 16M -- t_tile_lists 153s in the first
-                # BIGN_r05 probe)
-                ti_st, tj_st = pruning.tile_list_device(
-                    active_dev, c, pad_mode="noop", base=base,
-                    width=width, quantize_chunks=True)
-            rm_st = pruning.rmask_gather_device(planes_dev[1:], ti_st,
-                                                tj_st)
-            return (base, width, ti_st, tj_st, rm_st)
-        bases = list(enumerate(range(0, ncb, span)))
-        if len(bases) > 1:
-            # the residual distinct programs (remainder width, rmask
-            # shapes) compile CONCURRENTLY: the axon remote compiler
-            # parallelizes across threads, and dispatch order does not
-            # affect the device-side result composition below
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=min(4, len(bases))) as ex:
-                windows = [win for win in ex.map(_win_plan, bases)
-                           if win is not None]
-        else:
-            windows = [win for win in map(_win_plan, bases)
-                       if win is not None]
-        plan_parts["t_tile_lists"] = time.perf_counter() - t_seg
         stats["t_plan"] = time.perf_counter() - t0
         stats["plan_parts"] = plan_parts
         t0 = time.perf_counter()
