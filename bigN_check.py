@@ -263,6 +263,13 @@ def main():
 
         def _build_series():
             try:
+                # estimate FIRST: the NN stage consumes the band
+                # prefetch stash early, and the series build below takes
+                # ~2 min at 16M (the first run ordered these backwards
+                # and the warm never fired)
+                est = eng.band_sigma2_estimate()
+                series_box["sigma2_est"] = (None if est is None
+                                            else round(est, 6))
                 t_b = time.perf_counter()
                 s = ops.screening.ThresholdSeriesScreener(
                     coords, fe, thresholds, row_block=ROW_BLOCK,
@@ -270,7 +277,6 @@ def main():
                 series_box["build_s"] = round(
                     time.perf_counter() - t_b, 3)
                 series_box["series"] = s
-                est = eng.band_sigma2_estimate()
                 if est is not None:
                     t_c = time.perf_counter()
                     s.precompile(np.float32(4.0 * est),
