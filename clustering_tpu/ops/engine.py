@@ -1228,12 +1228,23 @@ class DensityEngine:
         # file writes) instead -- the device is idle during the download
         # either way, so the band kernels still run well before the NN
         # stage's selection fetch needs them.
-        gate = threading.Event()
+        # default: dispatch the band phase immediately (no gate) -- the
+        # thread's fe passes moved on device (_pad_fe/_gather_fe), so
+        # the host contention the round-4 Event gate protected against
+        # is gone, and gating only delayed the band kernels into the NN
+        # stage. Paired A/B (BANDGATE_AB_r05.json, 2^20 best-of-3):
+        # gate-off pops 1.033 vs 1.098, nn 1.225 vs 1.268, pipeline
+        # 2.258 vs 2.421s, bit-equal. CLUSTERING_TPU_BAND_GATE=1
+        # restores the contention-free download ordering.
+        gate = None
+        if os.environ.get("CLUSTERING_TPU_BAND_GATE", "0") == "1":
+            gate = threading.Event()
         self._band_prefetch_start(row_host, stats, gate=gate)
         try:
             return np.asarray(buf)
         finally:
-            gate.set()
+            if gate is not None:
+                gate.set()
 
     def _pops_finish(self, counts_padded, order, radii):
         """Host postlude of a populations run: scatter-unsort the padded
