@@ -17,6 +17,7 @@
 // and CPython dtoa are both correctly rounded; fuzz-tested in
 // tests/test_io.py), multithreaded into per-chunk regions then compacted.
 
+#include <algorithm>
 #include <atomic>
 #include <cctype>
 #include <cmath>
@@ -768,6 +769,117 @@ long long format_kv_ig(const long long* keys, const double* vals,
     o[w++] = '\n';
     return w;
   });
+}
+
+// Morton (Z-order) frame order + permuted padded layout in one native
+// pass. Bit-identical to ops/pruning.py::morton_order (float64
+// quantization, identical key assembly, stable sort = numpy
+// kind="stable" for tied keys) -- the numpy bit-interleave loop makes
+// ~60 full passes over 16M uint64 keys and the fancy-index permute
+// touches 256MB; together they cost 30-50s on the single-core target
+// VM where this pass costs a few seconds. ``padded_out`` (n_pad x d
+// row-major f32, pad rows 3e38) may be null to compute the order only.
+// Returns 0 on success.
+extern "C" long long morton_order_pad(const float* coords, long long n,
+                                      int d, long long n_pad,
+                                      long long* order_out,
+                                      float* padded_out) {
+  if (n <= 0 || d <= 0 || d > 31 || (padded_out && n_pad < n)) return -1;
+  int bits = 62 / d;
+  if (bits < 1) bits = 1;
+  std::vector<double> lo(d, 0.0), span(d, 0.0);
+  for (int k = 0; k < d; ++k) {
+    double mn = (double)coords[k], mx = (double)coords[k];
+    for (long long i = 1; i < n; ++i) {
+      const double v = (double)coords[i * d + k];
+      if (v < mn) mn = v;
+      if (v > mx) mx = v;
+    }
+    lo[k] = mn;
+    span[k] = (mx - mn) == 0.0 ? 1.0 : (mx - mn);
+  }
+  const double scale = (double)((1ULL << bits) - 1);
+  std::vector<uint64_t> key(n);
+  {
+    int nt = pick_threads(n, 1 << 20);
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t)
+      ths.emplace_back([&, t] {
+        const long long a = n * t / nt, b = n * (t + 1) / nt;
+        for (long long i = a; i < b; ++i) {
+          uint64_t kk = 0;
+          for (int k = 0; k < d; ++k) {
+            // same double ops and order as the numpy reference:
+            // (c - lo) / span * (2^bits - 1), truncated to uint64
+            const double v = (double)coords[i * d + k];
+            const uint64_t q = (uint64_t)((v - lo[k]) / span[k] * scale);
+            for (int bb = 0; bb < bits; ++bb)
+              kk |= ((q >> bb) & 1ULL) << (bb * d + k);
+          }
+          key[i] = kk;
+        }
+      });
+    for (auto& th : ths) th.join();
+  }
+  // LSD radix sort (8-bit digits): stable per pass, so the final order
+  // equals std::stable_sort / numpy kind="stable" for tied keys, at
+  // O(n) instead of O(n log n) single-threaded comparisons (the
+  // comparison sort was ~70% of this pass at 16M frames). Passes whose
+  // digit histogram is a single bucket are skipped.
+  {
+    std::vector<long long> idx(n), tmp_idx(n);
+    std::vector<uint64_t> tmp_key(n);
+    for (long long i = 0; i < n; ++i) idx[i] = i;
+    uint64_t* kin = key.data();
+    uint64_t* kout = tmp_key.data();
+    long long* iin = idx.data();
+    long long* iout = tmp_idx.data();
+    const int passes = (bits * d + 7) / 8;
+    long long hist[256];
+    for (int p = 0; p < passes; ++p) {
+      const int shift = p * 8;
+      std::memset(hist, 0, sizeof(hist));
+      for (long long i = 0; i < n; ++i)
+        ++hist[(kin[i] >> shift) & 0xFF];
+      bool single = false;
+      for (int b = 0; b < 256; ++b)
+        if (hist[b] == n) { single = true; break; }
+      if (single) continue;
+      long long pos = 0;
+      for (int b = 0; b < 256; ++b) {
+        const long long c = hist[b];
+        hist[b] = pos;
+        pos += c;
+      }
+      for (long long i = 0; i < n; ++i) {
+        const long long dst = hist[(kin[i] >> shift) & 0xFF]++;
+        kout[dst] = kin[i];
+        iout[dst] = iin[i];
+      }
+      std::swap(kin, kout);
+      std::swap(iin, iout);
+    }
+    std::memcpy(order_out, iin, sizeof(long long) * n);
+  }
+  if (padded_out) {
+    int nt = pick_threads(n_pad, 1 << 20);
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; ++t)
+      ths.emplace_back([&, t] {
+        const long long a = n_pad * t / nt, b = n_pad * (t + 1) / nt;
+        for (long long i = a; i < b; ++i) {
+          float* dst = padded_out + i * d;
+          if (i < n) {
+            const float* src = coords + order_out[i] * d;
+            for (int k = 0; k < d; ++k) dst[k] = src[k];
+          } else {
+            for (int k = 0; k < d; ++k) dst[k] = 3e38f;
+          }
+        }
+      });
+    for (auto& th : ths) th.join();
+  }
+  return 0;
 }
 
 }  // extern "C"

@@ -446,6 +446,16 @@ class DensityEngine:
                     order = np.argsort(self.coords[:, 0], kind="stable")
                     sorted_coords = self.coords[order]
                 elif name == "morton":
+                    # one native pass for order + permuted padded layout
+                    # (bit-identical to the numpy path): the numpy
+                    # morton keys + 256MB fancy-index permute cost
+                    # 32-52s of the pops plan at 16M (BIGN_r05
+                    # morton_pad)
+                    native = textio_native.morton_order_pad(
+                        self.coords, n_pad=self.n_pad)
+                    if native is not None:
+                        self._orders[name] = native
+                        return self._orders[name]
                     order = pruning.morton_order(self.coords)
                     sorted_coords = self.coords[order]
                 else:

@@ -39,7 +39,16 @@ def morton_order(coords):
     Groups spatially-close frames into the same tile so per-block bounding
     boxes stay tight in every dimension (dim-0 sorting only bounds one).
     Used where results are permutation-invariant (population counts).
+
+    One native pass when the library is available (bit-identical keys +
+    stable sort, equality pinned in tests): the numpy bit-interleave
+    loop below makes ~60 passes over the key array and cost 30-50s at
+    16M frames on the single-core target VM.
     """
+    from ..utils import textio_native
+    native = textio_native.morton_order_pad(coords)
+    if native is not None:
+        return native
     c = np.asarray(coords, dtype=np.float64)
     n, d = c.shape
     bits = max(1, 62 // d)

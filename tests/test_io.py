@@ -257,3 +257,46 @@ def test_large_io_fast_paths_engaged(tmp_path):
     # %e keeps 7 significant digits (reference fe-file format)
     np.testing.assert_allclose(f2, fes, rtol=1e-6)
     assert elapsed < 30.0, f"1M-row IO round-trip took {elapsed:.1f}s"
+
+
+def test_native_morton_order_matches_numpy():
+    """The native morton_order_pad must replicate the numpy reference
+    bit-for-bit (float64 quantization, stable tie order) -- engine
+    layouts and the screening band order both ride on it."""
+    import numpy as np
+    from clustering_tpu.utils import textio_native
+    if not textio_native.available() or textio_native.morton_order_pad(
+            np.zeros((2, 2), dtype=np.float32)) is None:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    def ref(coords):
+        c = np.asarray(coords, dtype=np.float64)
+        n, d = c.shape
+        bits = max(1, 62 // d)
+        lo = c.min(axis=0)
+        span = c.max(axis=0) - lo
+        span[span == 0] = 1.0
+        q = ((c - lo) / span * ((1 << bits) - 1)).astype(np.uint64)
+        key = np.zeros(n, dtype=np.uint64)
+        for b in range(bits):
+            for k in range(d):
+                key |= (((q[:, k] >> np.uint64(b)) & np.uint64(1))
+                        << np.uint64(b * d + k))
+        return np.argsort(key, kind="stable")
+
+    rng = np.random.default_rng(11)
+    for d in (1, 2, 4, 6):
+        for n in (1, 9, 2048, 30000):
+            c = rng.normal(size=(n, d)).astype(np.float32)
+            if n >= 2048:
+                c[::5] = c[1]  # tied keys exercise stable order
+            order = textio_native.morton_order_pad(c)
+            assert np.array_equal(order, ref(c))
+            n_pad = n + 53
+            o2, padded = textio_native.morton_order_pad(c, n_pad=n_pad)
+            assert np.array_equal(o2, order)
+            assert np.array_equal(padded[:n], c[order])
+            assert (padded[n:] == np.float32(3e38)).all()
+        c0 = np.zeros((777, d), dtype=np.float32)
+        assert np.array_equal(textio_native.morton_order_pad(c0), ref(c0))
